@@ -1,0 +1,81 @@
+"""Catalog: load the driver-generated star-schema parquets as views.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings. ``events`` is the stream-shaped
+table (batch shadow of the reference's packet stream); ``documents``
+and ``embeddings`` back the LLM-pipeline operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast, even at 100 TB
+# scale the dims stay tiny relative to facts (TPC-H star schema).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver-generated parquets store timestamps as TIMESTAMP(NANOS),
+# which Spark rejects unless read as raw nano longs
+# (spark.sql.legacy.parquet.nanosAsLong). DuckDB truncates the same
+# columns to microsecond TIMESTAMPs, so we floor-divide nanos -> micros
+# to match the oracle exactly.
+TIMESTAMP_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _enable_nanos_as_long(spark: SparkSession) -> None:
+    # Runtime-settable; applied defensively because the driver may hand
+    # us a session built without it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _enable_nanos_as_long(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in TIMESTAMP_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; return the frames.
+
+    Views keep the plans declarative (spark.sql over them composes with
+    DataFrame ops), and parquet scans stay lazy — nothing is read until
+    an action, so registering all ten is free.
+    """
+    frames: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        frames[name] = df
+    return frames

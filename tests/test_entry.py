@@ -1,0 +1,26 @@
+"""Driver-contract smoke tests for __spark_entry__.py."""
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+)
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_queries_and_oracles_consistent(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert qs, "no queries registered"
+    assert set(oracles) <= set(qs)
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and sql.strip(), name
