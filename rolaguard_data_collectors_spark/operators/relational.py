@@ -1,3 +1,562 @@
+"""Relational surface (SURVEY.md §2B): the capability-implied batch
+query operators — joins (broadcast/SMJ/semi/anti), hash aggregates,
+rollup/cube/grouping sets, window functions, sorts/top-k, set ops,
+pivot, exact and approximate statistics — expressed as TPC-H-style
+queries over the star schema.
+
+Scale notes (these shapes are chosen for the 100 TB case):
+- every dim-side join uses an explicit broadcast() hint (region,
+  nation, supplier, part, customer stay tiny relative to the facts);
+- fact-fact joins (orders x lineitem) equi-join on the natural key so
+  AQE can pick SMJ / shuffled hash and handle skew;
+- all aggregates are partial-aggregation-friendly (sum/count/min/max)
+  so the map side combines before the shuffle;
+- top-k is orderBy+limit, which Spark executes as TakeOrderedAndProject
+  (per-partition heap + single-reduce merge, no full sort).
+
+Float columns in oracle-checked outputs are round()ed identically on
+both sides; ORDER BY ties are broken with unique keys so LIMIT
+selections are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
 from ..registry import QuerySpec
 
-QUERIES: list[QuerySpec] = []
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- TPC-H Q1: pricing summary (hash aggregate, 8 aggs) ------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- TPC-H Q3-like: shipping priority (join + agg + top-k) ---------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- TPC-H Q5-like: local supplier volume (5-way join) -------------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name, r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+# --- semi / anti joins ---------------------------------------------------
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers holding at least one URGENT order (left_semi —
+    probes push the build side; no row multiplication)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (null-safe
+    count of the right side)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+JOIN_LEFT_OUTER_ORACLE = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# --- broadcast dim join --------------------------------------------------
+
+
+def broadcast_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x broadcast(dim): no shuffle of lineitem; the part table is
+    replicated to every executor (correct call at 100 TB — part grows
+    with SF but stays orders of magnitude below lineitem; AQE would
+    also pick broadcast under the threshold)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+        )
+    )
+
+
+BROADCAST_PART_ORACLE = """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(p_retailprice), 4) AS avg_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --- rollup / cube / grouping sets --------------------------------------
+
+
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+# --- window functions ----------------------------------------------------
+
+
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical Window + row_number
+    pattern; partition-local sort, no global shuffle beyond the
+    partitionBy hash."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+WINDOW_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def window_lag_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
+    )
+
+
+WINDOW_LAG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey), 2) AS price_delta
+FROM orders
+"""
+
+
+def window_running_supplier_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+WINDOW_RUNNING_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem
+"""
+
+
+# --- sort / top-k --------------------------------------------------------
+
+
+def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10: Spark plans TakeOrderedAndProject (heap per
+    partition + single merge), not a full sort — the right shape at
+    any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "o_orderpriority")
+    )
+
+
+TOPK_GLOBAL_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --- set operations ------------------------------------------------------
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct set semantics) over the
+    nation keys reachable from customers vs suppliers, tagged by op."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    union = cust.union(supp).distinct().withColumn("op", F.lit("union"))
+    inter = cust.intersect(supp).withColumn("op", F.lit("intersect"))
+    minus = cust.subtract(supp).withColumn("op", F.lit("except"))  # EXCEPT DISTINCT
+    return union.unionByName(inter).unionByName(minus)
+
+
+SET_OPS_ORACLE = """
+SELECT nationkey, 'union' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'intersect' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+
+# --- distinct aggregates -------------------------------------------------
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+DISTINCT_COUNTS_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- pivot ---------------------------------------------------------------
+
+
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+PIVOT_ORACLE = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- scalar function showcase -------------------------------------------
+
+
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/date builtin surface over part+orders (all JVM-side
+    Catalyst expressions, whole-stage codegen'd)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        (F.col("p_size") % 5).alias("size_mod"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("other")).alias("brand_or_other"),
+    )
+
+
+SCALAR_SHOWCASE_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       substr(p_type, 1, 5) AS type_head,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       trim('  x  ') AS trimmed,
+       p_size % 5 AS size_mod,
+       abs(p_size - 25) AS size_dist,
+       round(p_retailprice * 1.1, 2) AS price_up,
+       greatest(p_size, 10) AS size_floor10,
+       coalesce(nullif(p_brand, 'Brand#1'), 'other') AS brand_or_other
+FROM part
+"""
+
+
+def date_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+    )
+
+
+DATE_SHOWCASE_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(day(o_orderdate) AS INTEGER) AS d,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS plus30
+FROM orders
+"""
+
+
+# --- exact percentiles ---------------------------------------------------
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+EXACT_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- approximate aggregates (rows-only: sketch values are
+# engine-specific by design) ---------------------------------------------
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct + approximate percentile — the scale path
+    for 100 TB statistics (no exact distinct shuffle). No oracle:
+    sketches are engine-specific; the driver records rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+    )
+
+
+QUERIES = [
+    QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, "TPC-H Q1 hash agg"),
+    QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "join+agg+topk"),
+    QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_ORACLE, "5-way join"),
+    QuerySpec("join_semi_customers_with_orders", join_semi_customers_with_orders,
+              JOIN_SEMI_ORACLE, "left semi (EXISTS)"),
+    QuerySpec("join_anti_customers_without_orders", join_anti_customers_without_orders,
+              JOIN_ANTI_ORACLE, "left anti (NOT EXISTS)"),
+    QuerySpec("join_left_outer_order_counts", join_left_outer_order_counts,
+              JOIN_LEFT_OUTER_ORACLE, "left outer + null-safe count"),
+    QuerySpec("broadcast_part_join", broadcast_part_join, BROADCAST_PART_ORACLE,
+              "broadcast dim join"),
+    QuerySpec("rollup_returnflag_status", rollup_returnflag_status, ROLLUP_ORACLE, "rollup"),
+    QuerySpec("cube_status_priority", cube_status_priority, CUBE_ORACLE, "cube"),
+    QuerySpec("grouping_sets_mixed", grouping_sets_mixed, GROUPING_SETS_ORACLE,
+              "grouping sets"),
+    QuerySpec("window_topk_orders_per_customer", window_topk_orders_per_customer,
+              WINDOW_TOPK_ORACLE, "row_number topk per group"),
+    QuerySpec("window_lag_price_delta", window_lag_price_delta, WINDOW_LAG_ORACLE, "lag"),
+    QuerySpec("window_running_supplier_qty", window_running_supplier_qty,
+              WINDOW_RUNNING_ORACLE, "running frame sum"),
+    QuerySpec("topk_global_orders", topk_global_orders, TOPK_GLOBAL_ORACLE,
+              "global top-k"),
+    QuerySpec("set_ops_nations", set_ops_nations, SET_OPS_ORACLE, "union/intersect/except"),
+    QuerySpec("distinct_counts", distinct_counts, DISTINCT_COUNTS_ORACLE,
+              "multi distinct agg"),
+    QuerySpec("pivot_linestatus", pivot_linestatus, PIVOT_ORACLE, "pivot"),
+    QuerySpec("scalar_function_showcase", scalar_function_showcase, SCALAR_SHOWCASE_ORACLE,
+              "string/math builtins"),
+    QuerySpec("date_function_showcase", date_function_showcase, DATE_SHOWCASE_ORACLE,
+              "date builtins"),
+    QuerySpec("exact_percentiles", exact_percentiles, EXACT_PERCENTILES_ORACLE,
+              "exact quantiles"),
+    QuerySpec("approx_aggregates", approx_aggregates, None,
+              "HLL++/approx percentile (rows-only)"),
+]
