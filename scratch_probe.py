@@ -1,12 +1,12 @@
-# check only relational queries
+# check only stateful queries
 import sys
 
 for n in [n for n in list(sys.modules) if n.startswith("rolaguard")]:
     del sys.modules[n]
 from rolaguard_data_collectors_spark.oracle import check_all
-from rolaguard_data_collectors_spark.operators import relational
+from rolaguard_data_collectors_spark.operators import stateful
 
-names = [q.name for q in relational.QUERIES]
+names = [q.name for q in stateful.QUERIES]
 res = check_all(spark, "/root/testdata/sf0.001", names=names)  # noqa: F821
 for r in res:
     print(("OK " if r.ok else "FAIL") + ("" if r.exact_match else " ~"), r.name, r.detail[:240])
