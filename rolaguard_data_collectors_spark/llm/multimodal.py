@@ -1,3 +1,170 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, decoded/feature-extracted via Arrow-batched pandas stages.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic STUB (see ``fake_decode_features``) — the
+Spark-side contract (schema, binary column handling, mapInPandas batch
+shape, partitioning) is real and oracle/row checked. Swapping the stub
+for PIL/ffmpeg changes one function body, not the plan.
+
+Binary payloads are synthesized from document text (utf-8 bytes) so
+every byte-level result is deterministic and DuckDB-verifiable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
 from ..registry import QuerySpec
 
-QUERIES: list[QuerySpec] = []
+DECODE_AVAILABLE = False  # no PIL/ffmpeg in this environment
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table shape: binary payload + typed metadata
+    struct. payload = utf8 bytes of the text (a stand-in for image
+    bytes); metadata mirrors what an ingest service would attach."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column operator surface: byte length, content digest,
+    metadata projection — everything JVM-side on BinaryType."""
+    media = media_table(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+MULTIMODAL_BINARY_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_bytes,
+       sha256(text) AS sha256,
+       'image/png' AS mime,
+       CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+       CAST(n_chars % 480 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
+def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode kernel (deterministic fake).
+
+    Real version would decode image bytes and emit pooled features;
+    the container lacks codecs, so this derives features from the raw
+    bytes: mean/max byte value and a 4-dim 'embedding' from byte-range
+    histograms. Deterministic, so tests pin exact values. Arrow hands
+    us column batches — the vectorized (not per-row) shape is the part
+    that matters at scale.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        mean_b, max_b, hist = [], [], []
+        for raw in payloads:
+            b = bytes(raw)
+            if not b:
+                mean_b.append(0.0)
+                max_b.append(0)
+                hist.append([0.0, 0.0, 0.0, 0.0])
+                continue
+            mean_b.append(round(sum(b) / len(b), 6))
+            max_b.append(max(b))
+            quarters = [0, 0, 0, 0]
+            for x in b:
+                quarters[x // 64] += 1
+            hist.append([round(q / len(b), 6) for q in quarters])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mean_byte": mean_b,
+                "max_byte": max_b,
+                "byte_hist": hist,
+            }
+        )
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the binary column — the
+    Arrow-batched plumbing for any real decoder. Rows-only check (the
+    kernel is a stub; its byte-derived outputs are still deterministic
+    and unit-tested in tests/test_multimodal.py)."""
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "payload").mapInPandas(
+        fake_decode_features,
+        schema="doc_id long, mean_byte double, max_byte int, byte_hist array<double>",
+    )
+
+
+def multimodal_frame_sample_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/chunk sampling of a binary payload: every 32nd byte-offset
+    chunk of 16 bytes (video frame-sampling shape) via JVM-side
+    substring on binary — no Python. Chunk digests are md5 over the
+    hex chunks sorted per doc (collect_list order is nondeterministic
+    across partitions, so the digest sorts first)."""
+    media = media_table(spark, sf_dir)
+    chunks = media.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, int(greatest(length(payload) - 16, 0) / 32)),"
+                " i -> substring(payload, i * 32 + 1, 16))"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.select("doc_id", F.lower(F.hex("chunk")).alias("hx"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.md5(F.array_join(F.array_sort(F.collect_list("hx")), "")).alias("chunks_digest"),
+        )
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = """
+WITH chunks AS (
+  SELECT doc_id,
+         lower(hex(encode(substr(text, i * 32 + 1, 16)))) AS hx
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, CAST(greatest(length(text) - 16, 0) // 32 AS BIGINT))) AS i
+        FROM documents)
+)
+SELECT doc_id, count(*) AS n_chunks,
+       md5(string_agg(hx, '' ORDER BY hx)) AS chunks_digest
+FROM chunks GROUP BY doc_id
+"""
+
+
+QUERIES = [
+    QuerySpec("multimodal_binary_stats", multimodal_binary_stats,
+              MULTIMODAL_BINARY_STATS_ORACLE, "binary column + metadata surface"),
+    QuerySpec("multimodal_decode_features", multimodal_decode_features, None,
+              "mapInPandas decode stub (rows-only)"),
+    QuerySpec("multimodal_frame_sample", multimodal_frame_sample_sorted,
+              MULTIMODAL_FRAME_SAMPLE_ORACLE, "binary chunk sampling"),
+]

@@ -1,3 +1,237 @@
+"""Similarity search over the embedding column (array<float>).
+
+Baseline: brute-force cosine top-k against a query vector — a single
+narrow scan + TakeOrderedAndProject, linear in corpus size and
+embarrassingly parallel (this is the honest baseline even at scale
+when k is small and the scan is columnar).
+
+Scale paths:
+- sign-bit LSH bucketing (hyperplane sketch on fixed dimensions):
+  probe only the query's bucket — turns the scan into a
+  partition-pruned subset when the table is written bucketed/
+  partitioned by the sketch;
+- IVF-style coarse quantization using the label column as the coarse
+  cell: rank within the query's cell only.
+
+All dot products stay JVM-side: cast to array<double> then
+aggregate(zip_with(...)) — no Python in the loop. Embeddings are
+unit-norm in the testdata, so dot == cosine; a cosine that divides by
+norms is used anyway to keep semantics honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
 from ..registry import QuerySpec
 
-QUERIES: list[QuerySpec] = []
+QUERY_VEC_ID = 0  # deterministic query point
+TOP_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with(cast({a} AS array<double>), cast({b} AS array<double>),"
+        " (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(F.expr(
+        f"aggregate(cast({a} AS array<double>), 0D, (acc, v) -> acc + v * v)"
+    ))
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
+    " (x, y) -> x + y)"
+)
+_NORM_A_SQL = "sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y))"
+_NORM_B_SQL = "sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y))"
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the fixed query vector."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    joined = emb.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    cos = F.round(
+        _dot("embedding", "q_embedding") / (_norm("embedding") * _norm("q_embedding")), 6
+    )
+    return (
+        joined.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+COSINE_TOPK_ORACLE = f"""
+SELECT a.vec_id, a.label,
+       round({_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
+FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) b
+WHERE a.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def _signbit_bucket(col: str) -> Column:
+    # 4-bit hyperplane sketch: sign of dims 1..4 (axis-aligned
+    # hyperplanes — deterministic and portable; a production variant
+    # would use random projections broadcast as literals).
+    b = F.lit(0)
+    for j in range(4):
+        b = b + F.when(F.element_at(F.col(col), j + 1) > 0, 2 ** j).otherwise(0)
+    return b.cast("int")
+
+
+def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: probe only the query's sign-bit LSH bucket, rank by cosine
+    inside it. At scale the bucket id is a partition/bucketing column
+    and the scan prunes to ~1/16 of the data before any math."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _signbit_bucket("embedding"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    joined = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("q_bucket"))
+    )
+    cos = F.round(
+        _dot("embedding", "q_embedding") / (_norm("embedding") * _norm("q_embedding")), 6
+    )
+    return (
+        joined.select("vec_id", "label", "bucket", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_BUCKET_SQL_A = " + ".join(
+    f"CASE WHEN a.embedding[{j + 1}] > 0 THEN {2 ** j} ELSE 0 END" for j in range(4)
+)
+_BUCKET_SQL_B = " + ".join(
+    f"CASE WHEN b.embedding[{j + 1}] > 0 THEN {2 ** j} ELSE 0 END" for j in range(4)
+)
+LSH_BUCKET_TOPK_ORACLE = f"""
+SELECT a.vec_id, a.label, CAST({_BUCKET_SQL_A} AS INTEGER) AS bucket,
+       round({_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
+FROM embeddings a,
+     (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) b
+WHERE a.vec_id != {QUERY_VEC_ID}
+  AND ({_BUCKET_SQL_A}) = ({_BUCKET_SQL_B})
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse search: restrict ranking to the query's coarse
+    cell (label = precomputed cluster assignment), top-k inside."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"), F.col("label").alias("q_label")
+    )
+    joined = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("label") == F.col("q_label"))
+    )
+    cos = F.round(
+        _dot("embedding", "q_embedding") / (_norm("embedding") * _norm("q_embedding")), 6
+    )
+    return (
+        joined.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+IVF_LABEL_TOPK_ORACLE = f"""
+SELECT a.vec_id, a.label,
+       round({_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
+FROM embeddings a,
+     (SELECT embedding, label FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) b
+WHERE a.vec_id != {QUERY_VEC_ID} AND a.label = b.label
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector stats: L2 norm, min/max component, dimensionality —
+    the sanity profile a pipeline runs before indexing."""
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.round(_norm("embedding"), 6).alias("l2_norm"),
+        F.round(F.array_min(F.col("embedding")).cast("double"), 6).alias("min_dim"),
+        F.round(F.array_max(F.col("embedding")).cast("double"), 6).alias("max_dim"),
+        F.size("embedding").alias("dims"),
+    )
+
+
+EMBEDDING_NORMS_ORACLE = """
+SELECT vec_id,
+       round(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+                              (x, y) -> x + y)), 6) AS l2_norm,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_dim,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
+       CAST(len(embedding) AS INTEGER) AS dims
+FROM embeddings
+"""
+
+
+def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF training step: per-label centroid (posexplode + mean per
+    dimension), then each vector's dot with its own centroid. Two
+    shuffles total (label x dim agg, then label-keyed broadcast join)."""
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"pos": "dim", "col": "v"})
+    cent = dims.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    return (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum(F.col("v") * F.col("c")), 6).alias("dot_centroid"))
+    )
+
+
+LABEL_CENTROID_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim
+)
+SELECT d.vec_id, d.label, round(sum(d.v * c.c), 6) AS dot_centroid
+FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+GROUP BY d.vec_id, d.label
+"""
+
+
+QUERIES = [
+    QuerySpec("cosine_topk_bruteforce", cosine_topk_bruteforce, COSINE_TOPK_ORACLE,
+              "brute-force cosine top-k"),
+    QuerySpec("lsh_bucket_topk", lsh_bucket_topk, LSH_BUCKET_TOPK_ORACLE,
+              "sign-bit LSH bucketed ANN"),
+    QuerySpec("ivf_label_topk", ivf_label_topk, IVF_LABEL_TOPK_ORACLE,
+              "IVF coarse-cell ANN"),
+    QuerySpec("embedding_norms", embedding_norms, EMBEDDING_NORMS_ORACLE,
+              "vector stats profile"),
+    QuerySpec("label_centroid_distance", label_centroid_distance, LABEL_CENTROID_ORACLE,
+              "centroid training + distance"),
+]

@@ -1,3 +1,213 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting (whitespace + BPE-ish regex), quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All pure Catalyst expressions (JVM-side, whole-stage codegen) — no
+Python UDFs in any hot path. The fingerprint op uses the portable
+md5-based shingle hash (portable_sql.hex32) so DuckDB can verify the
+exact same values.
+
+Scale: every query is a narrow projection or a single hash aggregate
+keyed by doc_id — embarrassingly parallel, no cross-doc shuffle except
+the fingerprint's per-doc combine, which partial-aggregates map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..portable_sql import hex32
 from ..registry import QuerySpec
 
-QUERIES: list[QuerySpec] = []
+# A BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
+# punctuation — the classic GPT-2-style split approximated in a regex
+# both engines execute identically.
+BPE_ISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- token counting ------------------------------------------------------
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH}', 0)")).alias("bpe_tokens"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS INTEGER) AS bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
+# --- quality scoring -----------------------------------------------------
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / mean-word-length / stopword-ratio quality signals with
+    a composite keep/drop gate — the standard C4-style heuristic filter
+    family, all as column arithmetic."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_wlen = (F.length("text") - (n_toks - 1)) / n_toks
+    score = (
+        F.when(n_toks < 5, 0.0)
+        .otherwise(
+            F.round(
+                0.5 * F.least(n_toks / 100.0, F.lit(1.0))
+                + 0.3 * (stop_hits / n_toks)
+                + 0.2 * F.least(mean_wlen / 10.0, F.lit(1.0)),
+                6,
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        stop_hits.alias("stopword_hits"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        score.alias("quality_score"),
+        (score >= 0.2).alias("keep"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+QUALITY_SCORES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stopword_hits
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, stopword_hits,
+         (length(text) - (n_tokens - 1)) / n_tokens AS mean_wlen,
+         CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+           round(0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (stopword_hits / CAST(n_tokens AS DOUBLE))
+               + 0.2 * least(((length(text) - (n_tokens - 1)) / n_tokens) / 10.0, 1.0), 6)
+         END AS quality_score
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(stopword_hits AS INTEGER) AS stopword_hits,
+       round(mean_wlen, 6) AS mean_word_len,
+       quality_score,
+       quality_score >= 0.2 AS keep
+FROM s
+"""
+
+
+# --- language identification (n-gram/stopword heuristic) -----------------
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lexical language heuristic: English stopword
+    density plus marker character n-grams. (The corpus is synthetic so
+    the labels are what they are — the operator is the deterministic
+    scoring pipeline, which is what runs at scale.)"""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_toks
+    th_grams = F.size(F.expr("regexp_extract_all(text, 'th', 0)"))
+    pred = (
+        F.when(stop_ratio > 0.08, "en")
+        .when(th_grams > 5, "en_weak")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        th_grams.alias("th_bigrams"),
+        pred.alias("lang_pred"),
+    )
+
+
+LANGUAGE_ID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN})))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+         len(regexp_extract_all(text, 'th')) AS th_grams
+  FROM documents
+)
+SELECT doc_id, lang AS lang_label,
+       round(stop_ratio, 6) AS stopword_ratio,
+       CAST(th_grams AS INTEGER) AS th_bigrams,
+       CASE WHEN stop_ratio > 0.08 THEN 'en'
+            WHEN th_grams > 5 THEN 'en_weak'
+            ELSE 'und' END AS lang_pred
+FROM t
+"""
+
+
+# --- document fingerprinting (shingle sketch) ----------------------------
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-sketch fingerprint over character 5-gram shingles: hash
+    every 5-gram (portable md5-based h32), keep min / max / distinct
+    count per doc. The min-hash value is the 1-perm MinHash; equal
+    fingerprints => near-identical shingle sets. Shingle explosion is
+    map-local (explode then partial agg by doc_id)."""
+    docs = _docs(spark, sf_dir)
+    shingled = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))")
+        ).alias("shingle"),
+    )
+    h = F.expr(hex32("shingle"))
+    return (
+        shingled.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("h").alias("fp_min"),
+            F.max("h").alias("fp_max"),
+            F.countDistinct("h").alias("n_shingles"),
+        )
+    )
+
+
+DOC_FINGERPRINTS_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+  FROM documents
+), sh AS (
+  SELECT doc_id, {hex32("substr(text, i, 5)")} AS h FROM pos
+)
+SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+       count(DISTINCT h) AS n_shingles
+FROM sh GROUP BY doc_id
+"""
+
+
+QUERIES = [
+    QuerySpec("token_counts", token_counts, TOKEN_COUNTS_ORACLE,
+              "whitespace + BPE-ish token counting"),
+    QuerySpec("quality_scores", quality_scores, QUALITY_SCORES_ORACLE,
+              "C4-style quality heuristics"),
+    QuerySpec("language_id", language_id, LANGUAGE_ID_ORACLE,
+              "stopword/ngram language heuristic"),
+    QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_ORACLE,
+              "5-gram shingle bottom sketch"),
+]

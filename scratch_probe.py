@@ -1,13 +1,13 @@
-# check only stateful queries
+# check llm modules
 import sys
 
 for n in [n for n in list(sys.modules) if n.startswith("rolaguard")]:
     del sys.modules[n]
 from rolaguard_data_collectors_spark.oracle import check_all
-from rolaguard_data_collectors_spark.operators import stateful
+from rolaguard_data_collectors_spark.llm import dedup, multimodal, similarity, text
 
-names = [q.name for q in stateful.QUERIES]
+names = [q.name for m in (text, dedup, similarity, multimodal) for q in m.QUERIES]
 res = check_all(spark, "/root/testdata/sf0.001", names=names)  # noqa: F821
 for r in res:
-    print(("OK " if r.ok else "FAIL") + ("" if r.exact_match else " ~"), r.name, r.detail[:240])
+    print(("OK " if r.ok else "FAIL") + ("" if r.exact_match else " ~"), r.name, r.detail[:200])
 print("CHECK-DONE", sum(r.ok for r in res), "/", len(res))
