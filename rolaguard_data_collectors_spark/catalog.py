@@ -59,6 +59,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _enable_nanos_as_long(spark)
+    # Every query path flows through here: also guarantee executors can
+    # import this package (pandas UDFs pickle by module reference).
+    from .bootstrap import ensure_executor_pythonpath
+
+    ensure_executor_pythonpath(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in TIMESTAMP_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

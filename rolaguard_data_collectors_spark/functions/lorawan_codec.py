@@ -1,0 +1,388 @@
+"""Pure-Python LoRaWAN 1.0.x frame codec + crypto.
+
+Implements, from the public LoRaWAN 1.0 specification, the function
+surface the reference exposes through its Go shared library
+(SURVEY.md §2A ops 13, 41-47; reference bridge
+auditing/datacollectors/utils/LorawanWrapper.py, Go implementation
+lorawanwrapper/utils/*.go — behavior parity only, no code reuse):
+
+- PHYPayload parse/encode: MHDR | MACPayload | MIC, JoinRequest /
+  JoinAccept / Data frames, FCtrl flags, FOpts MAC commands
+- MIC: AES-CMAC per frame type (B0 block for data frames)
+- FRMPayload encryption (CTR-style A-block keystream)
+- JoinAccept encrypt/decrypt (inverted ECB per spec)
+- Session-key derivation (NwkSKey/AppSKey from AppKey + nonces)
+- Key testing / structured brute force
+
+Everything operates on plain bytes/dicts so the pandas-UDF layer
+(lorawan_udfs.py) can vectorize over Arrow batches without Spark
+imports here.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from dataclasses import dataclass
+
+from cryptography.hazmat.primitives import cmac as _cmac
+from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+MTYPES = [
+    "JoinRequest",
+    "JoinAccept",
+    "UnconfirmedDataUp",
+    "UnconfirmedDataDown",
+    "ConfirmedDataUp",
+    "ConfirmedDataDown",
+    "RFU",
+    "Proprietary",
+]
+MAJOR_NAMES = {0: "LoRaWANR1"}
+UPLINK_MTYPES = {"JoinRequest", "UnconfirmedDataUp", "ConfirmedDataUp"}
+DATA_MTYPES = {
+    "UnconfirmedDataUp",
+    "UnconfirmedDataDown",
+    "ConfirmedDataUp",
+    "ConfirmedDataDown",
+}
+
+# MAC command CIDs (public spec table 1.0.x), uplink/downlink payload
+# sizes in bytes (without the CID byte).
+MAC_CMDS_UP = {
+    0x02: ("LinkCheckReq", 0),
+    0x03: ("LinkADRAns", 1),
+    0x04: ("DutyCycleAns", 0),
+    0x05: ("RXParamSetupAns", 1),
+    0x06: ("DevStatusAns", 2),
+    0x07: ("NewChannelAns", 1),
+    0x08: ("RXTimingSetupAns", 0),
+    0x09: ("TxParamSetupAns", 0),
+    0x0A: ("DlChannelAns", 1),
+}
+MAC_CMDS_DOWN = {
+    0x02: ("LinkCheckAns", 2),
+    0x03: ("LinkADRReq", 4),
+    0x04: ("DutyCycleReq", 1),
+    0x05: ("RXParamSetupReq", 4),
+    0x06: ("DevStatusReq", 0),
+    0x07: ("NewChannelReq", 5),
+    0x08: ("RXTimingSetupReq", 1),
+    0x09: ("TxParamSetupReq", 1),
+    0x0A: ("DlChannelReq", 4),
+}
+
+
+# --- primitives ----------------------------------------------------------
+
+
+def aes128_encrypt(key: bytes, block: bytes) -> bytes:
+    enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+    return enc.update(block) + enc.finalize()
+
+
+def aes128_decrypt(key: bytes, block: bytes) -> bytes:
+    dec = Cipher(algorithms.AES(key), modes.ECB()).decryptor()
+    return dec.update(block) + dec.finalize()
+
+
+def aes_cmac(key: bytes, data: bytes) -> bytes:
+    c = _cmac.CMAC(algorithms.AES(key))
+    c.update(data)
+    return c.finalize()
+
+
+def _le(b: bytes) -> str:
+    """Wire little-endian bytes -> canonical big-endian hex display."""
+    return b[::-1].hex()
+
+
+def _unle(hexstr: str) -> bytes:
+    return bytes.fromhex(hexstr)[::-1]
+
+
+# --- MIC -----------------------------------------------------------------
+
+
+def mic_join_request(app_key: bytes, mhdr_and_macpayload: bytes) -> bytes:
+    return aes_cmac(app_key, mhdr_and_macpayload)[:4]
+
+
+def mic_join_accept(app_key: bytes, mhdr: int, decrypted_payload: bytes) -> bytes:
+    return aes_cmac(app_key, bytes([mhdr]) + decrypted_payload)[:4]
+
+
+def mic_data(
+    nwk_s_key: bytes, dev_addr_le: bytes, f_cnt: int, uplink: bool, msg: bytes
+) -> bytes:
+    b0 = (
+        b"\x49"
+        + b"\x00\x00\x00\x00"
+        + (b"\x00" if uplink else b"\x01")
+        + dev_addr_le
+        + f_cnt.to_bytes(4, "little")
+        + b"\x00"
+        + bytes([len(msg)])
+    )
+    return aes_cmac(nwk_s_key, b0 + msg)[:4]
+
+
+# --- FRMPayload encryption ----------------------------------------------
+
+
+def frm_crypt(
+    key: bytes, dev_addr_le: bytes, f_cnt: int, uplink: bool, payload: bytes
+) -> bytes:
+    """Symmetric (encrypt == decrypt): XOR with the A-block keystream."""
+    out = bytearray()
+    for i in range(0, len(payload), 16):
+        a = (
+            b"\x01"
+            + b"\x00\x00\x00\x00"
+            + (b"\x00" if uplink else b"\x01")
+            + dev_addr_le
+            + f_cnt.to_bytes(4, "little")
+            + b"\x00"
+            + bytes([i // 16 + 1])
+        )
+        s = aes128_encrypt(key, a)
+        chunk = payload[i : i + 16]
+        out.extend(x ^ y for x, y in zip(chunk, s))
+    return bytes(out)
+
+
+# --- JoinAccept + session keys ------------------------------------------
+
+
+def join_accept_decrypt(app_key: bytes, encrypted: bytes) -> bytes:
+    """Device side: the server encrypted with aes128_decrypt, so the
+    device recovers plaintext with aes128_encrypt (spec quirk)."""
+    return aes128_encrypt(app_key, encrypted)
+
+
+def join_accept_encrypt(app_key: bytes, plaintext: bytes) -> bytes:
+    return aes128_decrypt(app_key, plaintext)
+
+
+def derive_session_keys(
+    app_key: bytes, app_nonce: bytes, net_id: bytes, dev_nonce: int
+) -> tuple[bytes, bytes]:
+    """LoRaWAN 1.0: S*Key = aes128_encrypt(AppKey,
+    prefix | AppNonce(3 LE) | NetID(3 LE) | DevNonce(2 LE) | pad)."""
+    tail = app_nonce + net_id + dev_nonce.to_bytes(2, "little") + b"\x00" * 7
+    nwk = aes128_encrypt(app_key, b"\x01" + tail)
+    app = aes128_encrypt(app_key, b"\x02" + tail)
+    return nwk, app
+
+
+# --- MAC commands (FOpts) ------------------------------------------------
+
+
+def parse_mac_commands(f_opts: bytes, uplink: bool) -> list[dict]:
+    table = MAC_CMDS_UP if uplink else MAC_CMDS_DOWN
+    cmds, i = [], 0
+    while i < len(f_opts):
+        cid = f_opts[i]
+        i += 1
+        name, size = table.get(cid, (f"Unknown_{cid:02x}", len(f_opts) - i))
+        payload = f_opts[i : i + size]
+        i += size
+        cmds.append({"cid": name, "payload": payload.hex()})
+    return cmds
+
+
+# --- parse ---------------------------------------------------------------
+
+
+@dataclass
+class ParsedFrame:
+    """Flat parse result matching the engine's packet columns
+    (FIXTURES.md F1: m_type, major, mic, join_eui, dev_eui, dev_nonce,
+    dev_addr, FCtrl flags, f_count, f_opts, f_port, error)."""
+
+    m_type: str | None = None
+    major: str | None = None
+    mic: str | None = None
+    join_eui: str | None = None
+    dev_eui: str | None = None
+    dev_nonce: int | None = None
+    dev_addr: str | None = None
+    adr: bool | None = None
+    ack: bool | None = None
+    adr_ack_req: bool | None = None
+    f_pending: bool | None = None
+    class_b: bool | None = None
+    f_count: int | None = None
+    f_opts: str | None = None
+    f_port: int | None = None
+    frm_payload: str | None = None  # hex; decrypted when a key is given
+    error: str | None = None
+
+
+def parse_phypayload(
+    raw: bytes,
+    app_s_key: bytes | None = None,
+    nwk_s_key: bytes | None = None,
+) -> ParsedFrame:
+    out = ParsedFrame()
+    try:
+        if len(raw) < 5:
+            raise ValueError(f"frame too short: {len(raw)} bytes")
+        mhdr = raw[0]
+        out.m_type = MTYPES[mhdr >> 5]
+        out.major = MAJOR_NAMES.get(mhdr & 0x03, f"RFU{mhdr & 0x03}")
+        out.mic = raw[-4:].hex()
+        body = raw[1:-4]
+        if out.m_type == "JoinRequest":
+            if len(body) != 18:
+                raise ValueError(f"bad JoinRequest length {len(body)}")
+            out.join_eui = _le(body[0:8])
+            out.dev_eui = _le(body[8:16])
+            out.dev_nonce = int.from_bytes(body[16:18], "little")
+        elif out.m_type == "JoinAccept":
+            # still encrypted at parse time; expose raw bytes
+            out.frm_payload = body.hex()
+        elif out.m_type in DATA_MTYPES:
+            uplink = out.m_type in UPLINK_MTYPES
+            if len(body) < 7:
+                raise ValueError(f"bad FHDR length {len(body)}")
+            dev_addr_le = body[0:4]
+            out.dev_addr = _le(dev_addr_le)
+            fctrl = body[4]
+            out.adr = bool(fctrl & 0x80)
+            out.ack = bool(fctrl & 0x20)
+            if uplink:
+                out.adr_ack_req = bool(fctrl & 0x40)
+                out.class_b = bool(fctrl & 0x10)
+                out.f_pending = False
+            else:
+                out.adr_ack_req = False
+                out.f_pending = bool(fctrl & 0x10)
+                out.class_b = False
+            f_opts_len = fctrl & 0x0F
+            out.f_count = int.from_bytes(body[5:7], "little")
+            f_opts = body[7 : 7 + f_opts_len]
+            rest = body[7 + f_opts_len :]
+            if f_opts:
+                out.f_opts = json.dumps(
+                    parse_mac_commands(f_opts, uplink), separators=(",", ":")
+                )
+            if rest:
+                out.f_port = rest[0]
+                frm = rest[1:]
+                if frm:
+                    key = nwk_s_key if out.f_port == 0 else app_s_key
+                    if key is not None:
+                        frm = frm_crypt(key, dev_addr_le, out.f_count, uplink, frm)
+                    out.frm_payload = frm.hex()
+        elif out.m_type == "Proprietary":
+            out.frm_payload = body.hex()
+    except Exception as e:  # route to error column, never raise (op 32)
+        out.error = f"Unmarshal error: {e}"
+    return out
+
+
+def parse_phypayload_b64(
+    data_b64: str,
+    app_s_key_hex: str | None = None,
+    nwk_s_key_hex: str | None = None,
+) -> ParsedFrame:
+    try:
+        pad = "=" * ((4 - len(data_b64) % 4) % 4)
+        raw = base64.b64decode(data_b64 + pad)
+    except Exception as e:
+        return ParsedFrame(error=f"Unmarshal error: {e}")
+    return parse_phypayload(
+        raw,
+        bytes.fromhex(app_s_key_hex) if app_s_key_hex else None,
+        bytes.fromhex(nwk_s_key_hex) if nwk_s_key_hex else None,
+    )
+
+
+# --- encode --------------------------------------------------------------
+
+
+def encode_join_request(
+    app_key: bytes, join_eui_hex: str, dev_eui_hex: str, dev_nonce: int
+) -> bytes:
+    mhdr = 0x00
+    body = _unle(join_eui_hex) + _unle(dev_eui_hex) + dev_nonce.to_bytes(2, "little")
+    msg = bytes([mhdr]) + body
+    return msg + mic_join_request(app_key, msg)
+
+
+def encode_join_accept(
+    app_key: bytes,
+    app_nonce: bytes,
+    net_id: bytes,
+    dev_addr_hex: str,
+    dl_settings: int = 0,
+    rx_delay: int = 1,
+) -> bytes:
+    mhdr = 0x20
+    body = (
+        app_nonce + net_id + _unle(dev_addr_hex) + bytes([dl_settings, rx_delay])
+    )
+    mic = mic_join_accept(app_key, mhdr, body)
+    return bytes([mhdr]) + join_accept_encrypt(app_key, body + mic)
+
+
+def encode_data_frame(
+    nwk_s_key: bytes,
+    dev_addr_hex: str,
+    f_cnt: int,
+    payload: bytes = b"",
+    f_port: int | None = 1,
+    confirmed: bool = False,
+    uplink: bool = True,
+    adr: bool = False,
+    ack: bool = False,
+    f_opts: bytes = b"",
+    app_s_key: bytes | None = None,
+) -> bytes:
+    if uplink:
+        mhdr = 0x80 if confirmed else 0x40
+    else:
+        mhdr = 0xA0 if confirmed else 0x60
+    fctrl = (0x80 if adr else 0) | (0x20 if ack else 0) | (len(f_opts) & 0x0F)
+    dev_addr_le = _unle(dev_addr_hex)
+    fhdr = dev_addr_le + bytes([fctrl]) + (f_cnt & 0xFFFF).to_bytes(2, "little") + f_opts
+    frm = b""
+    if f_port is not None:
+        key = nwk_s_key if f_port == 0 else (app_s_key or nwk_s_key)
+        frm = bytes([f_port]) + frm_crypt(key, dev_addr_le, f_cnt, uplink, payload)
+    msg = bytes([mhdr]) + fhdr + frm
+    return msg + mic_data(nwk_s_key, dev_addr_le, f_cnt, uplink, msg)
+
+
+# --- key testing / brute force (op 46 shape) -----------------------------
+
+
+def validate_data_mic(raw: bytes, nwk_s_key: bytes) -> bool:
+    if len(raw) < 12:
+        return False
+    mhdr = raw[0]
+    m_type = MTYPES[mhdr >> 5]
+    if m_type not in DATA_MTYPES:
+        return False
+    uplink = m_type in UPLINK_MTYPES
+    dev_addr_le = raw[1:5]
+    f_cnt = int.from_bytes(raw[6:8], "little")
+    return mic_data(nwk_s_key, dev_addr_le, f_cnt, uplink, raw[:-4]) == raw[-4:]
+
+
+def validate_join_request_mic(raw: bytes, app_key: bytes) -> bool:
+    if len(raw) != 23 or (raw[0] >> 5) != 0:
+        return False
+    return mic_join_request(app_key, raw[:-4]) == raw[-4:]
+
+
+def test_app_keys(raw: bytes, keys: list[bytes]) -> list[bytes]:
+    """Return every candidate key whose MIC validates the frame —
+    the per-frame kernel of the reference's key brute force; the
+    keyspace generation itself is a spark.range plan in
+    lorawan_queries.py."""
+    m_type = MTYPES[raw[0] >> 5] if raw else None
+    if m_type == "JoinRequest":
+        return [k for k in keys if validate_join_request_mic(raw, k)]
+    return [k for k in keys if validate_data_mic(raw, k)]

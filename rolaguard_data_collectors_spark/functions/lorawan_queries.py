@@ -1,3 +1,199 @@
-from ..registry import QuerySpec
+"""LoRaWAN codec queries (SURVEY.md §2A ops 13-14, 41-47).
 
-QUERIES: list[QuerySpec] = []
+Frames are synthesized deterministically from the ``events`` table
+(dev_addr from user_id, FCnt from event_id, per-device keys =
+md5('dev-<uid>')) so every query is reproducible.
+
+Oracle strategy: the cheap byte-slicing extractors (the reference's
+getMType/getCounter/getDevAddrFromMACPayload family,
+lorawanwrapper/utils/lorawanWrapper.go:46-109) are pure wire-format
+arithmetic — expressed in portable SQL and DuckDB-verified. The
+crypto surface (CMAC MIC, session keys, FRMPayload encrypt) cannot be
+expressed in SQL, so those queries are rows-only and their kernels are
+pinned by tests/test_lorawan_codec.py (public LoRaWAN vector) and
+tests/test_lorawan_udfs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..portable_sql import hex_byte
+from ..registry import QuerySpec
+from .lorawan_udfs import (
+    decode_phypayload,
+    derive_session_keys,
+    encode_data_frame_b64,
+    encode_join_request_b64,
+    validate_mic,
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- op 42 family: wire-format field extraction (SQL-portable) -----------
+
+# One SQL text valid in BOTH Spark SQL and DuckDB: frame hex assembled
+# from events, then header fields sliced back out (display byte order
+# for multi-byte fields is the reverse of wire little-endian).
+_FIELD_EXTRACT_SQL = f"""
+WITH f AS (
+  SELECT event_id,
+         printf('%08x', user_id) AS da,
+         CASE WHEN event_id % 2 = 0 THEN 128 ELSE 0 END
+           + CASE WHEN event_id % 4 = 1 THEN 32 ELSE 0 END AS fctrl_int,
+         event_id % 65536 AS fcnt,
+         user_id % 223 + 1 AS fport
+  FROM events
+), frames AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN '40' ELSE '80' END
+         || substr(da, 7, 2) || substr(da, 5, 2) || substr(da, 3, 2) || substr(da, 1, 2)
+         || printf('%02x', fctrl_int)
+         || substr(printf('%04x', fcnt), 3, 2) || substr(printf('%04x', fcnt), 1, 2)
+         || printf('%02x', fport)
+         || 'deadbeef' AS frame_hex
+  FROM f
+)
+SELECT event_id, frame_hex,
+       CASE WHEN {hex_byte("substr(frame_hex, 1, 2)")} >= 128 THEN 'ConfirmedDataUp'
+            ELSE 'UnconfirmedDataUp' END AS m_type,
+       substr(frame_hex, 9, 2) || substr(frame_hex, 7, 2)
+         || substr(frame_hex, 5, 2) || substr(frame_hex, 3, 2) AS dev_addr,
+       {hex_byte("substr(frame_hex, 11, 2)")} % 256 >= 128 AS adr,
+       {hex_byte("substr(frame_hex, 11, 2)")} % 64 >= 32 AS ack,
+       {hex_byte("substr(frame_hex, 11, 2)")} % 16 AS fopts_len,
+       {hex_byte("substr(frame_hex, 15, 2)")} * 256
+         + {hex_byte("substr(frame_hex, 13, 2)")} AS f_count,
+       {hex_byte("substr(frame_hex, 17, 2)")} AS f_port
+FROM frames
+"""
+
+
+def lorawan_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_FIELD_EXTRACT_SQL)
+
+
+# --- per-device deterministic key material -------------------------------
+
+
+def _keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.md5(F.format_string("dev-%d", F.col("user_id"))).alias("key_hex"),
+        F.format_string("%08x", F.col("user_id")).alias("dev_addr"),
+        (F.col("event_id") % 65536).alias("f_cnt"),
+        (F.col("user_id") % 223 + 1).cast("int").alias("f_port"),
+        F.coalesce(F.col("props"), F.lit("")).alias("payload_text"),
+    )
+
+
+def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op 13/41 end-to-end: encode a data frame per event (Arrow batch
+    UDF), decode it back with FRMPayload decrypt, validate the MIC —
+    the full printPHYPayload surface. Rows-only (CMAC isn't SQL)."""
+    ev = _keyed_events(spark, sf_dir)
+    framed = ev.withColumn(
+        "data",
+        encode_data_frame_b64("key_hex", "dev_addr", "f_cnt", "payload_text", "f_port"),
+    )
+    parsed = framed.withColumn(
+        "p", decode_phypayload("data", "key_hex", "key_hex")
+    ).withColumn("mic_ok", validate_mic("data", "key_hex"))
+    return parsed.select(
+        "event_id",
+        F.col("p.m_type").alias("m_type"),
+        F.col("p.dev_addr").alias("dev_addr"),
+        F.col("p.f_count").alias("f_count"),
+        F.col("p.f_port").alias("f_port"),
+        # decrypted payload back to text proves the crypt round trip
+        F.expr("cast(unhex(p.frm_payload) AS string)").alias("payload_text"),
+        "mic_ok",
+        F.col("p.error").alias("error"),
+    )
+
+
+def lorawan_join_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ops 43-44: JoinRequest encode/parse + session-key derivation for
+    every signup event (the reference's /join handling,
+    LoraServerIOCollector.py:285-304). Rows-only."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "signup")
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        F.md5(F.format_string("app-%d", F.col("user_id") % 8)).alias("app_key"),
+        F.format_string("%016x", F.col("user_id")).alias("dev_eui"),
+        F.format_string("%016x", F.col("user_id") + 1000000).alias("join_eui"),
+        (F.col("event_id") % 65536).alias("dev_nonce"),
+    )
+    framed = ev.withColumn(
+        "jr_b64", encode_join_request_b64("app_key", "join_eui", "dev_eui", "dev_nonce")
+    )
+    parsed = framed.withColumn(
+        "p", decode_phypayload("jr_b64", F.lit(None).cast("string"), F.lit(None).cast("string"))
+    ).withColumn(
+        "keys",
+        derive_session_keys(
+            "app_key", F.lit("010203"), F.lit("130000"), "dev_nonce"
+        ),
+    ).withColumn("mic_ok", validate_mic("jr_b64", "app_key"))
+    return parsed.select(
+        "event_id",
+        F.col("p.m_type").alias("m_type"),
+        F.col("p.join_eui").alias("join_eui"),
+        F.col("p.dev_eui").alias("dev_eui"),
+        F.col("p.dev_nonce").alias("dev_nonce"),
+        F.col("keys.nwk_s_key").alias("nwk_s_key"),
+        F.col("keys.app_s_key").alias("app_s_key"),
+        "mic_ok",
+    )
+
+
+def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op 46 shape: candidate keyspace as a generated DataFrame
+    (spark.range -> key construction expr), cross-joined against a
+    bounded frame sample, MIC-checked per pair, survivors kept. The
+    true per-device key is planted in the candidate set; at 100 TB the
+    keyspace side is the small broadcast relation. Rows-only."""
+    frames = (
+        _keyed_events(spark, sf_dir)
+        .filter(F.col("event_id") % 97 == 0)  # bounded sample of frames
+        .withColumn(
+            "data",
+            encode_data_frame_b64("key_hex", "dev_addr", "f_cnt", "payload_text", "f_port"),
+        )
+        .select("event_id", "user_id", "data")
+    )
+    decoys = spark.range(48).select(
+        F.md5(F.concat(F.lit("decoy-"), F.col("id"))).alias("cand_key")
+    )
+    true_keys = frames.select(
+        F.md5(F.format_string("dev-%d", F.col("user_id"))).alias("cand_key")
+    ).distinct()
+    candidates = decoys.unionByName(true_keys).distinct()
+    tested = frames.crossJoin(F.broadcast(candidates)).withColumn(
+        "ok", validate_mic("data", "cand_key")
+    )
+    return (
+        tested.filter(F.col("ok"))
+        .select("event_id", "user_id", F.col("cand_key").alias("cracked_key"))
+    )
+
+
+QUERIES = [
+    QuerySpec("lorawan_field_extract", lorawan_field_extract, _FIELD_EXTRACT_SQL,
+              "op 42 wire-format field slicing (portable SQL)"),
+    QuerySpec("lorawan_decode_roundtrip", lorawan_decode_roundtrip, None,
+              "ops 13/41/45/47 encode->decode->MIC round trip"),
+    QuerySpec("lorawan_join_workflow", lorawan_join_workflow, None,
+              "ops 43-44 join parse + session keys"),
+    QuerySpec("lorawan_key_bruteforce", lorawan_key_bruteforce, None,
+              "op 46 keyspace x frames MIC testing"),
+]

@@ -1,0 +1,128 @@
+"""Arrow-vectorized pandas UDFs wrapping the LoRaWAN codec.
+
+The reference calls its Go shared library once per message through
+ctypes (LorawanWrapper.py:11-19); here the codec runs per Arrow batch
+— columns in, columns out — which is the Spark-native replacement for
+that per-record native call (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import lorawan_codec as lc
+
+PARSED_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("m_type", T.StringType()),
+        T.StructField("major", T.StringType()),
+        T.StructField("mic", T.StringType()),
+        T.StructField("join_eui", T.StringType()),
+        T.StructField("dev_eui", T.StringType()),
+        T.StructField("dev_nonce", T.IntegerType()),
+        T.StructField("dev_addr", T.StringType()),
+        T.StructField("adr", T.BooleanType()),
+        T.StructField("ack", T.BooleanType()),
+        T.StructField("adr_ack_req", T.BooleanType()),
+        T.StructField("f_pending", T.BooleanType()),
+        T.StructField("class_b", T.BooleanType()),
+        T.StructField("f_count", T.LongType()),
+        T.StructField("f_opts", T.StringType()),
+        T.StructField("f_port", T.IntegerType()),
+        T.StructField("frm_payload", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_FIELDS = [f.name for f in PARSED_FRAME_SCHEMA.fields]
+
+
+@F.pandas_udf(PARSED_FRAME_SCHEMA)
+def decode_phypayload(
+    data_b64: pd.Series, app_s_key: pd.Series, nwk_s_key: pd.Series
+) -> pd.DataFrame:
+    """printPHYPayload equivalent (op 41): base64 frame -> parsed
+    struct, optional FRMPayload decrypt when keys are provided."""
+    rows = []
+    for b64, ak, nk in zip(data_b64, app_s_key, nwk_s_key):
+        if b64 is None:
+            rows.append(dict.fromkeys(_FIELDS))
+            continue
+        p = lc.parse_phypayload_b64(b64, ak or None, nk or None)
+        rows.append({f: getattr(p, f) for f in _FIELDS})
+    return pd.DataFrame(rows, columns=_FIELDS)
+
+
+@F.pandas_udf(T.StringType())
+def encode_data_frame_b64(
+    nwk_s_key: pd.Series,
+    dev_addr: pd.Series,
+    f_cnt: pd.Series,
+    payload: pd.Series,
+    f_port: pd.Series,
+) -> pd.Series:
+    """Inverse codec (op 47 shape): fields -> base64 frame."""
+    out = []
+    for nk, da, fc, pl, fp in zip(nwk_s_key, dev_addr, f_cnt, payload, f_port):
+        raw = lc.encode_data_frame(
+            bytes.fromhex(nk), da, int(fc), (pl or "").encode(), f_port=int(fp)
+        )
+        out.append(base64.b64encode(raw).decode())
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def encode_join_request_b64(
+    app_key: pd.Series, join_eui: pd.Series, dev_eui: pd.Series, dev_nonce: pd.Series
+) -> pd.Series:
+    out = []
+    for ak, je, de, dn in zip(app_key, join_eui, dev_eui, dev_nonce):
+        raw = lc.encode_join_request(bytes.fromhex(ak), je, de, int(dn))
+        out.append(base64.b64encode(raw).decode())
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
+def validate_mic(data_b64: pd.Series, key_hex: pd.Series) -> pd.Series:
+    """generateValidMIC / testAppKeys kernel (ops 45-46): does this key
+    authenticate this frame?"""
+    out = []
+    for b64, kh in zip(data_b64, key_hex):
+        try:
+            pad = "=" * ((4 - len(b64) % 4) % 4)
+            raw = base64.b64decode(b64 + pad)
+            key = bytes.fromhex(kh)
+            if raw and (raw[0] >> 5) == 0:
+                out.append(lc.validate_join_request_mic(raw, key))
+            else:
+                out.append(lc.validate_data_mic(raw, key))
+        except Exception:
+            out.append(False)
+    return pd.Series(out)
+
+
+SESSION_KEYS_SCHEMA = T.StructType(
+    [
+        T.StructField("nwk_s_key", T.StringType()),
+        T.StructField("app_s_key", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(SESSION_KEYS_SCHEMA)
+def derive_session_keys(
+    app_key: pd.Series, app_nonce: pd.Series, net_id: pd.Series, dev_nonce: pd.Series
+) -> pd.DataFrame:
+    """generateSessionKeysFromJoins equivalent (op 44)."""
+    rows = []
+    for ak, an, ni, dn in zip(app_key, app_nonce, net_id, dev_nonce):
+        nwk, app = lc.derive_session_keys(
+            bytes.fromhex(ak), bytes.fromhex(an), bytes.fromhex(ni), int(dn)
+        )
+        rows.append({"nwk_s_key": nwk.hex(), "app_s_key": app.hex()})
+    return pd.DataFrame(rows, columns=["nwk_s_key", "app_s_key"])

@@ -33,3 +33,12 @@ def hex32(expr: str) -> str:
 def minhash_term(expr: str, a: int, b: int) -> str:
     """One member of a universal-ish hash family over hex32(expr)."""
     return f"(({a} * {hex32(expr)} + {b}) % {HASH_PRIME})"
+
+
+def hex_byte(expr: str) -> str:
+    """Parse a 2-hex-char SQL string expression to its 0-255 int value
+    (portable byte extraction for wire-format field slicing)."""
+    return (
+        f"((instr('0123456789abcdef', substr({expr}, 1, 1)) - 1) * 16"
+        f" + instr('0123456789abcdef', substr({expr}, 2, 1)) - 1)"
+    )

@@ -1,0 +1,149 @@
+"""LoRaWAN codec correctness.
+
+Absolute check: the widely-published LoRaWAN 1.0 example frame (the
+`lora-packet` library's documented test vector). Relative checks:
+encode∘decode = identity across frame types, JoinAccept
+encrypt/decrypt round trip, session-key derivation feeding FRMPayload
+decrypt, MIC validation + key testing, field parity with the
+reference's golden JSON frames (jsonUnmarshaler.go:12-19 — fixtures
+only)."""
+
+import base64
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+# Public test vector (lora-packet README): UnconfirmedDataUp frame.
+PUBLIC_FRAME_HEX = "40F17DBE4900020001954378762B11FF0D"
+PUBLIC_NWK_S_KEY = bytes.fromhex("44024241ed4ce9a68c6a8bc055233fd3")
+PUBLIC_APP_S_KEY = bytes.fromhex("ec925802ae430ca77fd3dd73cb2cc588")
+
+
+def test_public_vector_parse_fields():
+    raw = bytes.fromhex(PUBLIC_FRAME_HEX)
+    p = lc.parse_phypayload(raw)
+    assert p.error is None
+    assert p.m_type == "UnconfirmedDataUp"
+    assert p.major == "LoRaWANR1"
+    assert p.dev_addr == "49be7df1"
+    assert p.f_count == 2
+    assert p.f_port == 1
+    assert p.mic == "2b11ff0d"
+
+
+def test_public_vector_mic_and_decrypt():
+    raw = bytes.fromhex(PUBLIC_FRAME_HEX)
+    assert lc.validate_data_mic(raw, PUBLIC_NWK_S_KEY)
+    assert not lc.validate_data_mic(raw, PUBLIC_APP_S_KEY)
+    p = lc.parse_phypayload(raw, app_s_key=PUBLIC_APP_S_KEY)
+    assert bytes.fromhex(p.frm_payload) == b"test"
+
+
+def test_key_testing_finds_needle():
+    raw = bytes.fromhex(PUBLIC_FRAME_HEX)
+    candidates = [bytes([i]) * 16 for i in range(8)] + [PUBLIC_NWK_S_KEY]
+    assert lc.test_app_keys(raw, candidates) == [PUBLIC_NWK_S_KEY]
+
+
+def test_join_request_roundtrip_reference_fields():
+    # Field values from the reference's golden JoinRequest JSON
+    # (jsonUnmarshaler.go:14) — we re-encode with our own key and check
+    # the parse inverts the encode bit-exactly.
+    app_key = bytes(range(16))
+    raw = lc.encode_join_request(app_key, "55d239ac716f234d", "b827eb891cf50003", 51639)
+    assert len(raw) == 23
+    p = lc.parse_phypayload(raw)
+    assert p.m_type == "JoinRequest"
+    assert p.join_eui == "55d239ac716f234d"
+    assert p.dev_eui == "b827eb891cf50003"
+    assert p.dev_nonce == 51639
+    assert lc.validate_join_request_mic(raw, app_key)
+    assert not lc.validate_join_request_mic(raw, bytes(16))
+
+
+def test_join_accept_roundtrip_and_session_keys():
+    app_key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    app_nonce, net_id = b"\x01\x02\x03", b"\x13\x00\x00"
+    ja = lc.encode_join_accept(app_key, app_nonce, net_id, "017fc1c4")
+    assert ja[0] == 0x20
+    plain = lc.join_accept_decrypt(app_key, ja[1:])
+    body, mic = plain[:-4], plain[-4:]
+    assert lc.mic_join_accept(app_key, 0x20, body) == mic
+    assert body[0:3] == app_nonce
+    assert body[3:6] == net_id
+    assert body[6:10][::-1].hex() == "017fc1c4"
+
+    nwk, app = lc.derive_session_keys(app_key, app_nonce, net_id, 51639)
+    assert nwk != app and len(nwk) == len(app) == 16
+    # session keys must decrypt what they encrypted
+    frame = lc.encode_data_frame(
+        nwk, "017fc1c4", 17, b"hello lorawan", f_port=93, app_s_key=app
+    )
+    p = lc.parse_phypayload(frame, app_s_key=app)
+    assert bytes.fromhex(p.frm_payload) == b"hello lorawan"
+    assert lc.validate_data_mic(frame, nwk)
+
+
+def test_fopts_mac_commands_reference_shape():
+    # Downlink with a LinkADRReq in FOpts (reference golden frame
+    # jsonUnmarshaler.go:19 carries cid=LinkADRReq dataRate=2 txPower=4
+    # chMask=0xFFFF nbRep=1 -> payload bytes 24 ff ff 01).
+    nwk = bytes(range(16))
+    fopts = bytes([0x03, 0x24, 0xFF, 0xFF, 0x01])
+    frame = lc.encode_data_frame(
+        nwk, "017fc1c4", 55, b"", f_port=None, uplink=False, adr=True, f_opts=fopts
+    )
+    p = lc.parse_phypayload(frame)
+    assert p.error is None
+    assert p.m_type == "UnconfirmedDataDown"
+    assert p.adr is True and p.f_pending is False
+    assert p.f_count == 55
+    cmds = json.loads(p.f_opts)
+    assert cmds == [{"cid": "LinkADRReq", "payload": "24ffff01"}]
+    assert p.f_port is None
+
+
+def test_parse_error_routing():
+    p = lc.parse_phypayload(b"\x40\x01")
+    assert p.error and "Unmarshal error" in p.error
+    p2 = lc.parse_phypayload_b64("!!!notbase64!!!")
+    assert p2.error
+
+
+def test_b64_unpadded_accepted():
+    raw = bytes.fromhex(PUBLIC_FRAME_HEX)
+    b64 = base64.b64encode(raw).decode().rstrip("=")
+    p = lc.parse_phypayload_b64(b64)
+    assert p.dev_addr == "49be7df1"
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    dev_addr=st.integers(0, 2**32 - 1),
+    f_cnt=st.integers(0, 2**16 - 1),
+    payload=st.binary(max_size=64),
+    f_port=st.integers(1, 223),
+    confirmed=st.booleans(),
+    uplink=st.booleans(),
+    adr=st.booleans(),
+    ack=st.booleans(),
+)
+def test_encode_decode_identity(dev_addr, f_cnt, payload, f_port, confirmed, uplink, adr, ack):
+    nwk = bytes.fromhex("44024241ed4ce9a68c6a8bc055233fd3")
+    app = bytes.fromhex("ec925802ae430ca77fd3dd73cb2cc588")
+    da = f"{dev_addr:08x}"
+    frame = lc.encode_data_frame(
+        nwk, da, f_cnt, payload, f_port=f_port, confirmed=confirmed,
+        uplink=uplink, adr=adr, ack=ack, app_s_key=app,
+    )
+    p = lc.parse_phypayload(frame, app_s_key=app)
+    assert p.error is None
+    assert p.dev_addr == da
+    assert p.f_count == f_cnt
+    assert p.f_port == f_port
+    assert p.adr == adr and p.ack == ack
+    assert bytes.fromhex(p.frm_payload or "") == payload
+    assert lc.validate_data_mic(frame, nwk)

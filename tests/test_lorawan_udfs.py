@@ -1,0 +1,62 @@
+"""Spark-side LoRaWAN query checks: the UDF pipeline must reproduce
+the codec's ground truth through the full plan (encode -> decode ->
+MIC), and the brute-force query must crack exactly the planted keys."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rolaguard_data_collectors_spark.functions.lorawan_queries import (
+    lorawan_decode_roundtrip,
+    lorawan_join_workflow,
+    lorawan_key_bruteforce,
+)
+from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+
+@pytest.fixture(scope="module")
+def roundtrip(spark, sf_dir):
+    return lorawan_decode_roundtrip(spark, sf_dir).collect()
+
+
+def test_decode_roundtrip_all_rows_clean(roundtrip):
+    assert len(roundtrip) > 0
+    assert all(r.error is None for r in roundtrip)
+    assert all(r.mic_ok for r in roundtrip)
+    assert all(r.m_type == "UnconfirmedDataUp" for r in roundtrip)
+
+
+def test_decode_roundtrip_payload_matches_source(roundtrip, spark, sf_dir):
+    from rolaguard_data_collectors_spark.catalog import load_table
+
+    ev = {
+        r.event_id: r
+        for r in load_table(spark, sf_dir, "events").select("event_id", "props", "user_id").collect()
+    }
+    for r in roundtrip[:50]:
+        src = ev[r.event_id]
+        assert r.payload_text == (src.props or "")
+        assert r.dev_addr == f"{src.user_id:08x}"
+        assert r.f_count == r.event_id % 65536
+
+
+def test_join_workflow_keys_match_codec(spark, sf_dir):
+    rows = lorawan_join_workflow(spark, sf_dir).collect()
+    assert rows and all(r.mic_ok for r in rows)
+    r = rows[0]
+    uid = int(r.dev_eui, 16)
+    app_key = __import__("hashlib").md5(f"app-{uid % 8}".encode()).hexdigest()
+    nwk, app = lc.derive_session_keys(
+        bytes.fromhex(app_key), bytes.fromhex("010203"), bytes.fromhex("130000"), r.dev_nonce
+    )
+    assert r.nwk_s_key == nwk.hex()
+    assert r.app_s_key == app.hex()
+    assert r.m_type == "JoinRequest"
+
+
+def test_bruteforce_cracks_only_planted_keys(spark, sf_dir):
+    cracked = lorawan_key_bruteforce(spark, sf_dir).collect()
+    assert cracked, "expected at least one cracked frame"
+    import hashlib
+
+    for r in cracked:
+        assert r.cracked_key == hashlib.md5(f"dev-{r.user_id}".encode()).hexdigest()
