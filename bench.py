@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "total_query_wall", "value": <sum sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Each query is forced to full materialization with a ``noop``-format
+write (all partitions computed, nothing collected to the driver, no
+filesystem cost) — the same action the driver's correctness pass pays
+for, minus the transfer. A warm-up query runs first so JVM/codegen
+startup isn't billed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from rolaguard_data_collectors_spark.registry import collect_all
+    from rolaguard_data_collectors_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    specs = collect_all()
+
+    # Warm-up: JVM classloading + first codegen, not billed to any query.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
+        1000
+    ).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        try:
+            df = spec.build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a failing query must not hide the rest
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
