@@ -1,0 +1,384 @@
+"""Transport layer behind the streaming sources.
+
+A ``Transport`` is the minimal contract the reference's network
+threads satisfied: connect, hand over raw ``(topic, value)`` messages,
+close. The real network transports (MQTT via paho, TTN v2 WebSocket,
+TTN v3 SSE) are import-gated — the container has no network client
+libs — with their connection parameters mirroring the reference:
+
+- MQTT: topic list with QoS, optional TLS, 10-60 s reconnect backoff
+  (reference GenericMqttCollector.py:67-93,
+  LoraServerIOCollector.py:111-151,135).
+- TTN v2 WS: login -> token -> wss subscribe per gateway, 20 s pings,
+  token refreshed on a timer (TTNCollector.py:86-118, 304-355).
+- TTN v3 SSE: streaming POST to /api/v3/events per region, chunks
+  split on blank lines, forced reconnect every 1800 s
+  (TTNv3Collector.py:76-161, :14).
+
+Tests and bench use ``ReplayTransport`` (JSONL capture files) and
+``FakeTransport`` (seeded deterministic generator) — same contract,
+no network.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import queue
+import random
+import threading
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RawMessage:
+    """One raw transport message, pre-normalization."""
+
+    topic: str
+    value: str
+    ts: int  # arrival epoch seconds
+
+
+class Transport:
+    """Contract: connect() once, poll() repeatedly, close() once."""
+
+    def connect(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def poll(self, max_records: int) -> list[RawMessage]:  # pragma: no cover
+        raise NotImplementedError
+
+    def close(self) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class ReplayTransport(Transport):
+    """Replays a JSONL capture file (one object per line:
+    ``{"topic": ..., "value": ..., "ts": ...}``). The deterministic
+    stand-in for a broker connection in tests/bench."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = None
+
+    def connect(self) -> None:
+        self._fh = open(self.path, encoding="utf-8")
+
+    def poll(self, max_records: int) -> list[RawMessage]:
+        assert self._fh is not None, "connect() first"
+        out = []
+        for line in itertools.islice(self._fh, max_records):
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            out.append(
+                RawMessage(
+                    topic=rec.get("topic", ""),
+                    value=rec.get("value", ""),
+                    ts=int(rec.get("ts", 0)),
+                )
+            )
+        return out
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+class FakeTransport(Transport):
+    """Seeded deterministic message generator (ChirpStack-shaped
+    gateway JSON) — lets live-source tests run with zero I/O."""
+
+    def __init__(self, seed: int = 42, total: int = 100):
+        self.seed = seed
+        self.total = total
+        self._emitted = 0
+        self._rng: random.Random | None = None
+
+    def connect(self) -> None:
+        self._rng = random.Random(self.seed)
+        self._emitted = 0
+
+    def poll(self, max_records: int) -> list[RawMessage]:
+        assert self._rng is not None, "connect() first"
+        out = []
+        n = min(max_records, self.total - self._emitted)
+        for _ in range(n):
+            i = self._emitted
+            gw = f"{self._rng.getrandbits(64):016x}"
+            body = {
+                "phyPayload": "QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI=",
+                "rxInfo": {
+                    "channel": i % 8,
+                    "rfChain": i % 2,
+                    "crcStatus": 1,
+                    "codeRate": "4/5",
+                    "rssi": -100.0 + (i % 40),
+                    "loRaSNR": float(i % 12),
+                    "size": 23,
+                    "timestamp": 1700000000 + i,
+                    "frequency": 868100000,
+                    "mac": gw,
+                    "dataRate": {
+                        "modulation": "LORA",
+                        "spreadFactor": 7 + i % 5,
+                        "bandwidth": 125,
+                    },
+                },
+            }
+            out.append(
+                RawMessage(
+                    topic=f"gateway/{gw}/rx",
+                    value=json.dumps(body),
+                    ts=1700000000 + i,
+                )
+            )
+            self._emitted += 1
+        return out
+
+    def close(self) -> None:
+        self._rng = None
+
+
+@dataclass
+class MqttConfig:
+    host: str = "localhost"
+    port: int = 1883
+    topics: tuple[str, ...] = ("gateway/#",)
+    qos: int = 1
+    ssl: bool = False
+    user: str | None = None
+    password: str | None = None
+    # Reference backoff: reconnect_delay_set(10, 60)
+    # (LoraServerIOCollector.py:135).
+    reconnect_min_s: int = 10
+    reconnect_max_s: int = 60
+
+
+class MqttTransport(Transport):
+    """paho-mqtt subscriber (ops 1-2). The broker callback thread
+    pushes into a bounded queue; ``poll`` drains it — the queue is the
+    same decoupling the reference got from paho's network thread
+    (GenericMqttCollector.py:90 loop_start)."""
+
+    def __init__(self, config: MqttConfig):
+        try:
+            import paho.mqtt.client as mqtt  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - lib not in container
+            raise ImportError(
+                "MqttTransport requires paho-mqtt; use ReplayTransport/"
+                "FakeTransport (or an MQTT->Kafka bridge) where it is "
+                "unavailable"
+            ) from exc
+        self._mqtt = mqtt
+        self.config = config
+        self._queue: queue.Queue[RawMessage] = queue.Queue(maxsize=100_000)
+        self._client = None
+
+    def connect(self) -> None:  # pragma: no cover - needs a broker
+        import time
+
+        c = self.config
+        client = self._mqtt.Client()
+        if c.user:
+            client.username_pw_set(c.user, c.password)
+        if c.ssl:
+            client.tls_set()
+        client.reconnect_delay_set(c.reconnect_min_s, c.reconnect_max_s)
+
+        def on_message(_client, _userdata, msg):
+            try:
+                self._queue.put_nowait(
+                    RawMessage(
+                        topic=msg.topic,
+                        value=msg.payload.decode("utf-8", errors="replace"),
+                        ts=int(time.time()),
+                    )
+                )
+            except queue.Full:
+                pass  # at-least-once transport; backpressure drops oldest-first
+
+        client.on_message = on_message
+        client.connect(c.host, c.port)
+        for t in c.topics:
+            client.subscribe(t, qos=c.qos)
+        client.loop_start()
+        self._client = client
+
+    def poll(self, max_records: int) -> list[RawMessage]:
+        out = []
+        for _ in range(max_records):
+            try:
+                out.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        return out
+
+    def close(self) -> None:  # pragma: no cover - needs a broker
+        if self._client is not None:
+            self._client.loop_stop()
+            self._client.disconnect()
+            self._client = None
+
+
+@dataclass
+class TTNv2Config:
+    account_server: str = "https://account.thethingsnetwork.org"
+    gateway_ids: tuple[str, ...] = ()
+    user: str | None = None
+    password: str | None = None
+    ping_interval_s: int = 20  # TTNCollector.py:112
+
+
+class TTNv2WebSocketTransport(Transport):
+    """TTN v2 console WebSocket (op 3): login -> access token -> wss
+    subscribe per gateway; keepalive 'h' frames are dropped downstream
+    by the length>1 filter (the normalize pipeline keeps that exact
+    semantics)."""
+
+    def __init__(self, config: TTNv2Config):
+        try:
+            import websocket  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - lib not in container
+            raise ImportError(
+                "TTNv2WebSocketTransport requires websocket-client; use "
+                "ReplayTransport with captured frames where it is unavailable"
+            ) from exc
+        self.config = config
+        self._queue: queue.Queue[RawMessage] = queue.Queue(maxsize=100_000)
+        self._ws_thread: threading.Thread | None = None
+
+    def connect(self) -> None:  # pragma: no cover - needs TTN network
+        raise NotImplementedError(
+            "live TTN v2 console access is decommissioned upstream; replay "
+            "captured frames (TTNCollector.py:181-192 frame shapes)"
+        )
+
+    def poll(self, max_records: int) -> list[RawMessage]:
+        out = []
+        for _ in range(max_records):
+            try:
+                out.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        return out
+
+    def close(self) -> None:
+        self._ws_thread = None
+
+
+@dataclass
+class TTNv3Config:
+    base_url: str = "https://eu1.cloud.thethings.network"
+    gateway_ids: tuple[str, ...] = ()
+    api_key: str | None = None
+    reconnect_every_s: int = 1800  # STREAM_TIMEOUT, TTNv3Collector.py:14
+
+
+class TTNv3SseTransport(Transport):
+    """TTN v3 events SSE stream (op 4): streaming POST to
+    /api/v3/events, chunks split on blank lines, forced reconnect
+    every 30 min (TTNv3Collector.py:76-161)."""
+
+    def __init__(self, config: TTNv3Config):
+        try:
+            import requests  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - lib not in container
+            raise ImportError(
+                "TTNv3SseTransport requires requests; use ReplayTransport "
+                "with captured SSE events where it is unavailable"
+            ) from exc
+        self._requests = __import__("requests")
+        self.config = config
+        self._queue: queue.Queue[RawMessage] = queue.Queue(maxsize=100_000)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def connect(self) -> None:  # pragma: no cover - needs TTN network
+        import time
+
+        def run():
+            c = self.config
+            while not self._stop.is_set():
+                try:
+                    resp = self._requests.post(
+                        f"{c.base_url}/api/v3/events",
+                        json={"identifiers": [
+                            {"gateway_ids": {"gateway_id": g}} for g in c.gateway_ids
+                        ]},
+                        headers={"Authorization": f"Bearer {c.api_key}"},
+                        stream=True,
+                        timeout=c.reconnect_every_s,
+                    )
+                    buf = ""
+                    for chunk in resp.iter_content(decode_unicode=True):
+                        if self._stop.is_set():
+                            break
+                        buf += chunk
+                        # SSE events separated by blank lines
+                        # (TTNv3Collector.py:68-74).
+                        while "\n\n" in buf:
+                            event, buf = buf.split("\n\n", 1)
+                            if event.strip():
+                                self._queue.put(
+                                    RawMessage("", event.strip(), int(time.time()))
+                                )
+                except Exception:
+                    time.sleep(5)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def poll(self, max_records: int) -> list[RawMessage]:
+        out = []
+        for _ in range(max_records):
+            try:
+                out.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        return out
+
+    def close(self) -> None:
+        self._stop.set()
+
+
+_TRANSPORTS = {
+    "replay": lambda opts: ReplayTransport(opts["path"]),
+    "fake": lambda opts: FakeTransport(
+        seed=int(opts.get("seed", 42)), total=int(opts.get("total", 100))
+    ),
+    "mqtt": lambda opts: MqttTransport(
+        MqttConfig(
+            host=opts.get("host", "localhost"),
+            port=int(opts.get("port", 1883)),
+            topics=tuple((opts.get("topics") or "gateway/#").split(",")),
+            qos=int(opts.get("qos", 1)),
+            ssl=opts.get("ssl", "false").lower() == "true",
+            user=opts.get("user"),
+            password=opts.get("password"),
+        )
+    ),
+    "ttn_ws": lambda opts: TTNv2WebSocketTransport(
+        TTNv2Config(
+            gateway_ids=tuple((opts.get("gateway_ids") or "").split(",")),
+            user=opts.get("user"),
+            password=opts.get("password"),
+        )
+    ),
+    "ttn_v3_sse": lambda opts: TTNv3SseTransport(
+        TTNv3Config(
+            base_url=opts.get("base_url", "https://eu1.cloud.thethings.network"),
+            gateway_ids=tuple((opts.get("gateway_ids") or "").split(",")),
+            api_key=opts.get("api_key"),
+        )
+    ),
+}
+
+
+def make_transport(kind: str, options: dict) -> Transport:
+    if kind not in _TRANSPORTS:
+        raise KeyError(f"unknown transport {kind!r}; one of {sorted(_TRANSPORTS)}")
+    return _TRANSPORTS[kind](options)

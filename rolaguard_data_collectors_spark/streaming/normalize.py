@@ -1,0 +1,379 @@
+"""Per-source normalization pipelines: raw transport rows -> the one
+canonical ``packet`` frame (SURVEY.md §1.3, §2A ops 11-33).
+
+Each pipeline is a pure column-expression plan over the
+``RAW_MESSAGE_SCHEMA`` rows a source emits — it runs identically on a
+batch DataFrame (oracle-checkable) and a readStream frame. The only
+non-Catalyst step is the Arrow-vectorized LoRaWAN codec UDF (op 13).
+
+Fidelity note: the reference stamps ``date = datetime.now()`` at parse
+time (GenericMqttCollector.py:158); for replayable/deterministic
+pipelines we stamp the transport arrival time instead
+(``timestamp_seconds(ts)``) — same intent (arrival time), reproducible.
+
+Scale notes: everything here is per-row narrow work — no shuffle, no
+state; filters sit below the codec UDF so Catalyst prunes cheap drops
+(heartbeats, oversized frames) before the expensive decode, the same
+ordering the reference hand-codes (SURVEY.md §4). The four pipelines
+union into one frame only when the caller asks (unionByName with
+nulls), keeping per-source plans independent at 1000-collector scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.lorawan_udfs import decode_phypayload
+from ..schemas import (
+    CHIRPSTACK_APPLICATION_SCHEMA,
+    CHIRPSTACK_GATEWAY_SCHEMA,
+    CHIRPSTACK_JOIN_SCHEMA,
+    MQTT_FORWARDER_SCHEMA,
+    PACKET_COLUMNS,
+    PACKET_SCHEMA,
+    TTN_V2_PAYLOAD_SCHEMA,
+    TTN_V2_STATUS_SCHEMA,
+    TTN_V3_EVENT_SCHEMA,
+)
+
+# Passthrough columns kept next to the packet for the stateful layer
+# (arrival order) and the envelope sink (raw message body).
+PASSTHROUGH = ["_seq", "_raw_topic", "_raw_value"]
+
+
+def _b64_pad(col: Column) -> Column:
+    """Pad base64 to a multiple of 4 (op 12,
+    GenericMqttCollector.py:127-130)."""
+    return F.concat(col, F.repeat(F.lit("="), (F.lit(4) - F.length(col) % 4) % 4))
+
+
+def _finish(df: DataFrame) -> DataFrame:
+    """Project to the fixed packet schema (§1.3): every source emits a
+    subset; missing columns become typed nulls (Service.py:7-46 writer
+    contract)."""
+    present = set(df.columns)
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in present
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in PACKET_SCHEMA.fields
+    ]
+    cols += [F.col(c) for c in PASSTHROUGH if c in present]
+    return df.select(*cols)
+
+
+def _with_passthrough(raw: DataFrame) -> DataFrame:
+    return raw.select(
+        F.col("seq").alias("_seq"),
+        F.col("topic").alias("_raw_topic"),
+        F.col("value").alias("_raw_value"),
+        "*",
+    )
+
+
+def _decoded(data_col: Column):
+    """LoRaWAN PHY decode (op 13) without session keys."""
+    return decode_phypayload(data_col, F.lit(None), F.lit(None))
+
+
+_PARSE_FIELDS = [
+    "m_type", "major", "mic", "join_eui", "dev_eui", "dev_nonce", "dev_addr",
+    "adr", "ack", "adr_ack_req", "f_pending", "class_b", "f_count", "f_opts",
+    "f_port", "error",
+]
+
+
+def _explode_parsed(df: DataFrame, prefer_topic_dev_eui: Column | None = None) -> DataFrame:
+    """Lift the decode struct into the packet columns. The codec UDF is
+    referenced once, so the plan evaluates it once per row."""
+    df = df.withColumn("_p", _decoded(F.col("data")))
+    for f in _PARSE_FIELDS:
+        if f == "dev_eui" and prefer_topic_dev_eui is not None:
+            df = df.withColumn(f, F.coalesce(F.col("_p")[f], prefer_topic_dev_eui))
+        else:
+            df = df.withColumn(f, F.col("_p")[f])
+    return df.drop("_p")
+
+
+# --- op 1 pipeline: generic packet-forwarder MQTT ------------------------
+
+
+def normalize_mqtt_forwarder(raw: DataFrame) -> DataFrame:
+    """GenericMqttCollector.py:104-176: JSON body -> radio metadata +
+    padded base64 PHY decode; dev_eui recoverable from the
+    ``lora/<dev-eui>/up`` topic (op 19, :188-195); ``datr``
+    "SF7BW125" -> JSON {spread_factor, bandwidth} (op 20, :197-205)."""
+    j = F.from_json("value", MQTT_FORWARDER_SCHEMA)
+    df = (
+        _with_passthrough(raw)
+        .withColumn("_j", j)
+        # op 30: no 'data' -> drop (:122-125).
+        .filter(F.col("_j.data").isNotNull())
+        .select(
+            "*",
+            _b64_pad(F.col("_j.data")).alias("data"),
+            F.col("_j.chan").alias("chan"),
+            F.col("_j.stat").alias("stat"),
+            F.col("_j.lsnr").alias("lsnr"),
+            F.col("_j.rssi").alias("rssi"),
+            F.col("_j.tmst").cast("double").alias("tmst"),
+            F.col("_j.rfch").alias("rfch"),
+            F.col("_j.freq").alias("freq"),
+            F.col("_j.modu").alias("modu"),
+            F.col("_j.codr").alias("codr"),
+            F.col("_j.size").alias("size"),
+            F.col("_j.seqn").alias("seqn"),
+            F.col("_j.opts").alias("opts"),
+            F.col("_j.port").alias("port"),
+            # op 20: SFxBWy -> JSON string.
+            F.when(
+                F.col("_j.datr").rlike("SF(.*)BW(.*)"),
+                F.to_json(
+                    F.struct(
+                        F.regexp_extract("_j.datr", r"SF(\d+)BW", 1).alias(
+                            "spread_factor"
+                        ),
+                        F.regexp_extract("_j.datr", r"BW(\d+)", 1).alias("bandwidth"),
+                    )
+                ),
+            )
+            .otherwise(F.col("_j.datr"))
+            .alias("datr"),
+            F.timestamp_seconds(F.col("ts")).alias("date"),
+        )
+    )
+    topic_eui = F.nullif(
+        F.regexp_replace(F.regexp_extract("topic", r"lora/(.*)/", 1), "-", ""),
+        F.lit(""),
+    )
+    return _finish(_explode_parsed(df, prefer_topic_dev_eui=topic_eui))
+
+
+# --- op 2 pipeline: ChirpStack MQTT --------------------------------------
+
+
+def normalize_chirpstack(raw: DataFrame) -> DataFrame:
+    """LoraServerIOCollector.py:225-500. Three topic routes (op 21,
+    :171-184): gateway rx|tx|up frames (JSON or protobuf-as-JSON
+    layouts, op 17 :321-360), application device messages
+    (:402-448), and /join registrations (:285-304). Output is the
+    union of the three shapes — the stateful layer then applies the
+    devices_map / prev-packet semantics (ops 34-35)."""
+    base = _with_passthrough(raw)
+
+    is_gw = F.col("topic").rlike("^gateway/.+/(rx|tx|up)$")
+    is_app = F.col("topic").rlike("application/.+/(device|node)/.+/(rx|up)$")
+    is_join = F.col("topic").rlike("/join$")
+
+    # -- gateway route ----------------------------------------------------
+    g = base.filter(is_gw).withColumn(
+        "_j", F.from_json("value", CHIRPSTACK_GATEWAY_SCHEMA)
+    )
+    is_tx = F.col("topic").rlike("/tx$")
+    info = F.when(is_tx, F.col("_j.txInfo")).otherwise(F.col("_j.rxInfo"))
+    g = g.withColumn("_i", info)
+    # Protobuf-as-JSON variant carries base64 gatewayID + nested
+    # loRaModulationInfo (:324, :335-338); plain JSON carries mac +
+    # dataRate (:321-334).
+    gw_hex = F.lower(F.hex(F.unbase64(F.col("_i.gatewayID"))))
+    sf_col = F.coalesce(
+        F.col("_i.dataRate.spreadFactor"), F.col("_i.loRaModulationInfo.spreadingFactor")
+    )
+    bw_col = F.coalesce(
+        F.col("_i.dataRate.bandwidth"), F.col("_i.loRaModulationInfo.bandwidth")
+    )
+    g = (
+        g
+        # op 31: PHYPayload size guard (:312-315).
+        .filter(F.col("_j.phyPayload").isNotNull() & (F.length("_j.phyPayload") <= 300))
+        .select(
+            "*",
+            F.col("_j.phyPayload").alias("data"),
+            F.when(F.col("_i.gatewayID").isNotNull(), gw_hex)
+            .otherwise(F.col("_i.mac"))
+            .alias("gateway"),
+            F.col("_i.channel").alias("chan"),
+            F.col("_i.rfChain").alias("rfch"),
+            F.col("_i.crcStatus").alias("stat"),
+            F.coalesce(F.col("_i.codeRate"), F.col("_i.loRaModulationInfo.codeRate")).alias("codr"),
+            F.col("_i.rssi").alias("rssi"),
+            F.col("_i.loRaSNR").alias("lsnr"),
+            F.col("_i.size").alias("size"),
+            F.col("_i.timestamp").cast("double").alias("tmst"),
+            # op 24: Hz -> MHz (:334,354).
+            (F.col("_i.frequency") / F.lit(1000000.0)).alias("freq"),
+            F.coalesce(F.col("_i.dataRate.modulation"), F.lit("LORA")).alias("modu"),
+            F.when(
+                sf_col.isNotNull(),
+                F.to_json(
+                    F.struct(
+                        sf_col.cast("string").alias("spread_factor"),
+                        bw_col.cast("string").alias("bandwidth"),
+                    )
+                ),
+            ).alias("datr"),
+            F.timestamp_seconds(F.col("ts")).alias("date"),
+        )
+    )
+    g = _explode_parsed(g).drop("_j", "_i")
+
+    # -- application route ------------------------------------------------
+    a = base.filter(is_app & ~is_gw).withColumn(
+        "_j", F.from_json("value", CHIRPSTACK_APPLICATION_SCHEMA)
+    )
+    a = a.select(
+        "*",
+        F.col("_j.fCnt").alias("f_count"),
+        F.col("_j.applicationName").alias("app_name"),
+        F.col("_j.deviceName").alias("dev_name"),
+        F.col("_j.devEUI").alias("dev_eui"),
+        F.col("_j.rxInfo")[0]["name"].alias("gw_name"),
+        F.col("_j.rxInfo")[0]["location"]["latitude"].alias("latitude"),
+        F.col("_j.rxInfo")[0]["location"]["longitude"].alias("longitude"),
+        F.col("_j.rxInfo")[0]["location"]["altitude"].alias("altitude"),
+        F.timestamp_seconds(F.col("ts")).alias("date"),
+    ).drop("_j")
+
+    # -- join route -------------------------------------------------------
+    jn = base.filter(is_join & ~is_gw & ~is_app).withColumn(
+        "_j", F.from_json("value", CHIRPSTACK_JOIN_SCHEMA)
+    )
+    jn = jn.select(
+        "*",
+        F.col("_j.devAddr").alias("dev_addr"),
+        F.col("_j.devEUI").alias("dev_eui"),
+        F.lit("JoinNotification").alias("m_type"),
+        F.timestamp_seconds(F.col("ts")).alias("date"),
+    ).drop("_j")
+
+    return _finish(g).unionByName(_finish(a)).unionByName(_finish(jn))
+
+
+# --- op 3 pipeline: TTN v2 WebSocket -------------------------------------
+
+
+def normalize_ttn_v2(raw: DataFrame) -> DataFrame:
+    """TTNCollector.py:160-262. Keepalive 'h' frames dropped by the
+    length>1 filter (op 29, :164-166); frames routed by substring
+    markers then sliced down to their JSON body (op 22, :181-192);
+    gateway-status frames carry a location that the stateful layer
+    attaches to the next packet (op 36, :202-211). The WS connection is
+    per-gateway, so the transport stores the gateway id in ``topic``;
+    the 'eui-' prefix is stripped (:253)."""
+    base = _with_passthrough(raw).filter(F.length("value") > 1)
+
+    mk = F.col("value")
+    is_status = mk.contains("gateway status")
+    is_frame = (
+        mk.contains("gateway uplink")
+        | mk.contains("gateway downlink")
+        | mk.contains("join request")
+        | mk.contains("join accept")
+    )
+    # The reference slices fixed offsets per marker (:181-192); the
+    # equivalent robust form extracts the embedded JSON object.
+    body = F.regexp_extract("value", r"(\{.*\})", 1)
+    gateway = F.regexp_replace("topic", "^eui-", "")
+
+    fr = (
+        base.filter(is_frame & ~is_status)
+        .withColumn("_j", F.from_json(body, TTN_V2_PAYLOAD_SCHEMA))
+        .filter(F.col("_j.payload").isNotNull())
+        .select(
+            "*",
+            _b64_pad(F.col("_j.payload")).alias("data"),
+            F.col("_j.snr").alias("lsnr"),
+            F.col("_j.rssi").alias("rssi"),
+            # op 24: ISO -> epoch ms (:232).
+            (F.unix_micros(F.to_timestamp("_j.timestamp")) / F.lit(1000.0)).alias(
+                "tmst"
+            ),
+            F.col("_j.rfch").alias("rfch"),
+            F.col("_j.frequency").alias("freq"),
+            F.col("_j.coding_rate").alias("codr"),
+            gateway.alias("gateway"),
+            F.timestamp_seconds(F.col("ts")).alias("date"),
+        )
+    )
+    topic_eui = F.nullif(F.regexp_replace(F.col("_j.dev_eui"), "-", ""), F.lit(""))
+    fr = _explode_parsed(fr, prefer_topic_dev_eui=topic_eui).drop("_j")
+
+    st = (
+        base.filter(is_status)
+        .withColumn("_j", F.from_json(body, TTN_V2_STATUS_SCHEMA))
+        .select(
+            "*",
+            F.lit("GatewayStatus").alias("m_type"),
+            gateway.alias("gateway"),
+            F.col("_j.status.location.latitude").alias("latitude"),
+            F.col("_j.status.location.longitude").alias("longitude"),
+            F.col("_j.status.location.altitude").alias("altitude"),
+            F.timestamp_seconds(F.col("ts")).alias("date"),
+        )
+        .drop("_j")
+    )
+    return _finish(fr).unionByName(_finish(st))
+
+
+# --- op 4 pipeline: TTN v3 SSE -------------------------------------------
+
+
+def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
+    """TTNv3Collector.py:205-330. Event-name routing (op 23,
+    :214-229): gs.up.receive / gs.down.send are frames,
+    gs.status.receive carries antenna locations, events.stream.start
+    is dropped. Uplink freq from settings, downlink from
+    request.rx1_frequency (op 18, :277-288); epoch seconds from the
+    ISO event time (:269-270)."""
+    base = _with_passthrough(raw).withColumn(
+        "_j", F.from_json("value", TTN_V3_EVENT_SCHEMA)
+    )
+    name = F.col("_j.name")
+    gw = F.lower(
+        F.coalesce(
+            F.col("_j.identifiers")[0]["gateway_ids"]["eui"],
+            F.col("_j.identifiers")[0]["gateway_ids"]["gateway_id"],
+        )
+    )
+
+    fr = (
+        base.filter(name.isin("gs.up.receive", "gs.down.send"))
+        .filter(F.col("_j.data.raw_payload").isNotNull())
+        .select(
+            "*",
+            _b64_pad(F.col("_j.data.raw_payload")).alias("data"),
+            F.col("_j.data.rx_metadata")[0]["snr"].alias("lsnr"),
+            F.col("_j.data.rx_metadata")[0]["rssi"].alias("rssi"),
+            F.when(
+                name == "gs.up.receive",
+                F.col("_j.data.settings.frequency").cast("double") / 1000000.0,
+            )
+            .otherwise(
+                F.col("_j.data.request.rx1_frequency").cast("double") / 1000000.0
+            )
+            .alias("freq"),
+            F.col("_j.data.settings.coding_rate").alias("codr"),
+            # op 24: ISO -> epoch seconds (:269-270).
+            (F.unix_micros(F.to_timestamp("_j.time")) / F.lit(1000000.0)).alias("tmst"),
+            gw.alias("gateway"),
+            F.timestamp_seconds(F.col("ts")).alias("date"),
+        )
+    )
+    fr = _explode_parsed(fr).drop("_j")
+
+    st = (
+        base.filter(name == "gs.status.receive")
+        .filter(F.col("_j.data.antenna_locations").isNotNull())
+        .select(
+            "*",
+            F.lit("GatewayStatus").alias("m_type"),
+            gw.alias("gateway"),
+            F.col("_j.data.antenna_locations")[0]["latitude"].alias("latitude"),
+            F.col("_j.data.antenna_locations")[0]["longitude"].alias("longitude"),
+            F.col("_j.data.antenna_locations")[0]["altitude"].alias("altitude"),
+            F.timestamp_seconds(F.col("ts")).alias("date"),
+        )
+        .drop("_j")
+    )
+    return _finish(fr).unionByName(_finish(st))

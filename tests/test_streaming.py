@@ -1,0 +1,597 @@
+"""Streaming layer tests: custom DataSources, normalize pipelines,
+stateful operators (vs their oracle-checked batch shadows), envelope
+sink, and the control-plane orchestrator."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rolaguard_data_collectors_spark.catalog import load_table
+from rolaguard_data_collectors_spark.operators import stateful as batch_shadows
+from rolaguard_data_collectors_spark.schemas import PACKET_COLUMNS
+from rolaguard_data_collectors_spark.sources import register_sources
+from rolaguard_data_collectors_spark.streaming import (
+    normalize_chirpstack,
+    normalize_mqtt_forwarder,
+    normalize_ttn_v2,
+    normalize_ttn_v3,
+)
+from rolaguard_data_collectors_spark.streaming import stateful as live
+from rolaguard_data_collectors_spark.streaming.orchestrator import (
+    CollectorConfig,
+    CollectorManager,
+)
+from rolaguard_data_collectors_spark.streaming.sink import (
+    QueueFileSink,
+    start_envelope_queue_sink,
+    to_envelope_json,
+)
+
+RAW_COLS = ["seq", "ts", "topic", "value", "data_collector_id", "organization_id"]
+RAW_SCHEMA = "seq long, ts long, topic string, value string, data_collector_id long, organization_id long"
+
+
+def _raw_df(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in RAW_COLS) for r in rows], RAW_SCHEMA
+    )
+
+
+def _drain(query, timeout_s=120):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout_s)
+
+
+# --- sources --------------------------------------------------------------
+
+
+def test_replay_source_multibatch(spark, tmp_path):
+    register_sources(spark)
+    d = tmp_path / "feeds"
+    d.mkdir()
+    for cid in (1, 2):
+        with open(d / f"collector_{cid}.jsonl", "w") as fh:
+            for i in range(23):
+                fh.write(
+                    json.dumps(
+                        {"topic": f"gateway/g{cid}/rx", "value": "{}", "ts": 1700000000 + i}
+                    )
+                    + "\n"
+                )
+    df = (
+        spark.readStream.format("lorawan_replay")
+        .option("path", str(d))
+        .option("batchSize", 5)
+        .load()
+    )
+    q = df.writeStream.format("memory").queryName("replay_t").outputMode("append").start()
+    _drain(q)
+    got = {
+        (r["data_collector_id"], r["n"], r["mn"], r["mx"])
+        for r in spark.sql(
+            "select data_collector_id, count(*) n, min(seq) mn, max(seq) mx "
+            "from replay_t group by 1"
+        ).collect()
+    }
+    assert got == {(1, 23, 0, 22), (2, 23, 0, 22)}
+
+
+def test_live_source_fake_transport(spark):
+    register_sources(spark)
+    df = (
+        spark.readStream.format("lorawan_live")
+        .option("transport", "fake")
+        .option("total", "40")
+        .option("batchSize", "15")
+        .option("dataCollectorId", "7")
+        .load()
+    )
+    q = df.writeStream.format("memory").queryName("live_t").outputMode("append").start()
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        q.processAllAvailable()
+        if spark.sql("select count(*) c from live_t").collect()[0][0] >= 40:
+            break
+        time.sleep(0.2)
+    q.stop()
+    rows = spark.sql(
+        "select count(*) c, min(seq) mn, max(seq) mx, min(data_collector_id) cid "
+        "from live_t"
+    ).collect()[0]
+    assert (rows["c"], rows["mn"], rows["mx"], rows["cid"]) == (40, 0, 39, 7)
+
+
+# --- normalize pipelines --------------------------------------------------
+
+# A real UnconfirmedDataUp frame (devAddr=017fc1c4, fCnt=17, fPort=93,
+# mic=7934d552) — codec vector from reference jsonUnmarshaler.go:16.
+DATA_UP_B64 = "QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI="
+
+
+def test_normalize_mqtt_forwarder(spark):
+    body = {
+        "data": DATA_UP_B64.rstrip("="),  # unpadded on the wire
+        "chan": 2,
+        "stat": 1,
+        "lsnr": 9.5,
+        "rssi": -45.0,
+        "tmst": 445402671,
+        "rfch": 0,
+        "freq": 868.3,
+        "modu": "LORA",
+        "datr": "SF7BW125",
+        "codr": "4/5",
+        "size": 23,
+    }
+    raw = _raw_df(
+        spark,
+        [
+            {
+                "seq": 0,
+                "ts": 1700000000,
+                "topic": "lora/00-b8-27-eb-89-1c-f5-00/up",
+                "value": json.dumps(body),
+                "data_collector_id": 3,
+                "organization_id": 1,
+            },
+            # op 30: no 'data' field -> dropped
+            {
+                "seq": 1,
+                "ts": 1700000001,
+                "topic": "lora/x/up",
+                "value": "{}",
+                "data_collector_id": 3,
+                "organization_id": 1,
+            },
+        ],
+    )
+    out = normalize_mqtt_forwarder(raw).collect()
+    assert len(out) == 1
+    p = out[0].asDict()
+    assert p["m_type"] == "UnconfirmedDataUp"
+    assert p["dev_addr"] == "017fc1c4"
+    assert p["f_count"] == 17
+    assert p["f_port"] == 93
+    assert p["mic"] == "74c540a2"
+    assert json.loads(p["datr"]) == {"spread_factor": "7", "bandwidth": "125"}
+    assert p["freq"] == 868.3 and p["chan"] == 2 and p["stat"] == 1
+    assert p["data"] == DATA_UP_B64  # repadded
+    assert p["data_collector_id"] == 3 and p["organization_id"] == 1
+    for c in PACKET_COLUMNS:
+        assert c in p
+
+
+def test_normalize_chirpstack_routes(spark):
+    gw_json = {
+        "phyPayload": DATA_UP_B64,
+        "rxInfo": {
+            "channel": 1,
+            "rfChain": 0,
+            "crcStatus": 1,
+            "codeRate": "4/5",
+            "rssi": -60.0,
+            "loRaSNR": 7.0,
+            "size": 23,
+            "timestamp": 123456,
+            "frequency": 868100000,
+            "mac": "aabbccddeeff0011",
+            "dataRate": {"modulation": "LORA", "spreadFactor": 7, "bandwidth": 125},
+        },
+    }
+    # protobuf-as-JSON variant: base64 gatewayID, loRaModulationInfo
+    gw_pb = {
+        "phyPayload": DATA_UP_B64,
+        "rxInfo": {
+            "gatewayID": "qrvM3e7/ABE=",  # aabbccddeeff0011
+            "rssi": -61.0,
+            "loRaSNR": 6.5,
+            "frequency": 868300000,
+            "loRaModulationInfo": {
+                "spreadingFactor": 9,
+                "bandwidth": 125,
+                "codeRate": "4/5",
+            },
+        },
+    }
+    app_json = {
+        "fCnt": 17,
+        "applicationName": "app-a",
+        "deviceName": "dev-a",
+        "devEUI": "b827eb891cf50003",
+        "rxInfo": [
+            {
+                "name": "gw-name-1",
+                "location": {"latitude": 1.5, "longitude": 2.5, "altitude": 10.0},
+            }
+        ],
+    }
+    join_json = {"devAddr": "017fc1c4", "devEUI": "b827eb891cf50003"}
+    rows = [
+        {"seq": 0, "ts": 1700000000, "topic": "gateway/aabb/rx", "value": json.dumps(gw_json), "data_collector_id": 5, "organization_id": 1},
+        {"seq": 1, "ts": 1700000001, "topic": "gateway/aabb/up", "value": json.dumps(gw_pb), "data_collector_id": 5, "organization_id": 1},
+        {"seq": 2, "ts": 1700000002, "topic": "application/9/device/b827eb891cf50003/rx", "value": json.dumps(app_json), "data_collector_id": 5, "organization_id": 1},
+        {"seq": 3, "ts": 1700000003, "topic": "v1/join", "value": json.dumps(join_json), "data_collector_id": 5, "organization_id": 1},
+    ]
+    out = {r["_seq"]: r.asDict() for r in normalize_chirpstack(_raw_df(spark, rows)).collect()}
+    assert len(out) == 4
+    g = out[0]
+    assert g["gateway"] == "aabbccddeeff0011"
+    assert g["freq"] == 868.1 and g["stat"] == 1 and g["chan"] == 1
+    assert g["m_type"] == "UnconfirmedDataUp" and g["dev_addr"] == "017fc1c4"
+    assert json.loads(g["datr"]) == {"spread_factor": "7", "bandwidth": "125"}
+    pb = out[1]
+    assert pb["gateway"] == "aabbccddeeff0011"  # b64 -> hex (op 25)
+    assert json.loads(pb["datr"]) == {"spread_factor": "9", "bandwidth": "125"}
+    assert pb["freq"] == 868.3
+    a = out[2]
+    assert a["f_count"] == 17 and a["app_name"] == "app-a" and a["dev_name"] == "dev-a"
+    assert a["gw_name"] == "gw-name-1" and a["latitude"] == 1.5
+    j = out[3]
+    assert j["dev_addr"] == "017fc1c4" and j["m_type"] == "JoinNotification"
+
+
+def test_normalize_ttn_v2(spark):
+    payload = {
+        "payload": DATA_UP_B64,
+        "snr": 8.8,
+        "rssi": -50.0,
+        "timestamp": "2024-01-05T10:00:00Z",
+        "rfch": 1,
+        "frequency": 867.5,
+        "coding_rate": "4/5",
+        "dev_eui": "B8-27-EB-89-1C-F5-00-03",
+    }
+    status = {"status": {"location": {"latitude": 4.5, "longitude": 5.5, "altitude": 100.0}}}
+    rows = [
+        {"seq": 0, "ts": 1700000000, "topic": "eui-a1b2", "value": "h", "data_collector_id": 2, "organization_id": 1},  # keepalive
+        {"seq": 1, "ts": 1700000001, "topic": "eui-a1b2", "value": f'gateway uplink "{json.dumps(payload)}"', "data_collector_id": 2, "organization_id": 1},
+        {"seq": 2, "ts": 1700000002, "topic": "eui-a1b2", "value": f'gateway status {json.dumps(status)}', "data_collector_id": 2, "organization_id": 1},
+    ]
+    out = {r["_seq"]: r.asDict() for r in normalize_ttn_v2(_raw_df(spark, rows)).collect()}
+    assert len(out) == 2  # keepalive dropped (op 29)
+    fr = out[1]
+    assert fr["gateway"] == "a1b2"  # eui- stripped
+    assert fr["m_type"] == "UnconfirmedDataUp" and fr["dev_addr"] == "017fc1c4"
+    assert fr["lsnr"] == 8.8 and fr["codr"] == "4/5" and fr["freq"] == 867.5
+    assert fr["tmst"] == 1704448800000.0  # ISO -> epoch ms (op 24)
+    st = out[2]
+    assert st["m_type"] == "GatewayStatus" and st["latitude"] == 4.5
+
+
+def test_normalize_ttn_v3(spark):
+    up = {
+        "name": "gs.up.receive",
+        "time": "2024-01-05T10:00:00Z",
+        "identifiers": [{"gateway_ids": {"gateway_id": "my-gw", "eui": "AABBCCDDEEFF0011"}}],
+        "data": {
+            "raw_payload": DATA_UP_B64,
+            "rx_metadata": [{"snr": 7.7, "rssi": -55.0}],
+            "settings": {"frequency": "868100000", "coding_rate": "4/5"},
+        },
+    }
+    down = {
+        "name": "gs.down.send",
+        "time": "2024-01-05T10:00:01Z",
+        "identifiers": [{"gateway_ids": {"gateway_id": "my-gw"}}],
+        "data": {"raw_payload": DATA_UP_B64, "request": {"rx1_frequency": "869525000"}},
+    }
+    status = {
+        "name": "gs.status.receive",
+        "identifiers": [{"gateway_ids": {"gateway_id": "my-gw", "eui": "AABBCCDDEEFF0011"}}],
+        "data": {"antenna_locations": [{"latitude": 6.5, "longitude": 7.5, "altitude": 50.0}]},
+    }
+    start = {"name": "events.stream.start"}
+    rows = [
+        {"seq": i, "ts": 1700000000 + i, "topic": "", "value": json.dumps(v), "data_collector_id": 4, "organization_id": 1}
+        for i, v in enumerate([up, down, status, start])
+    ]
+    out = {r["_seq"]: r.asDict() for r in normalize_ttn_v3(_raw_df(spark, rows)).collect()}
+    assert len(out) == 3  # stream.start dropped (op 23)
+    u = out[0]
+    assert u["gateway"] == "aabbccddeeff0011"
+    assert u["freq"] == 868.1 and u["lsnr"] == 7.7
+    assert u["tmst"] == 1704448800.0  # ISO -> epoch s
+    assert u["m_type"] == "UnconfirmedDataUp"
+    d = out[1]
+    assert d["freq"] == 869.525  # downlink: request.rx1_frequency
+    s = out[2]
+    assert s["m_type"] == "GatewayStatus" and s["latitude"] == 6.5
+
+
+# --- stateful: streaming == oracle-checked batch shadow -------------------
+
+
+@pytest.fixture(scope="module")
+def events_stream_feed(spark, sf_dir, tmp_path_factory):
+    """The sf0.001 events table as a single-collector JSONL feed in
+    (ts, event_id) arrival order -> replay source in small batches, so
+    state spans many micro-batches."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    d = tmp_path_factory.mktemp("events_feed")
+    path = d / "collector_1.jsonl"
+    with open(path, "w") as fh:
+        for r in ev:
+            fh.write(
+                json.dumps(
+                    {
+                        "topic": "events",
+                        "value": json.dumps(
+                            {
+                                "event_id": r["event_id"],
+                                "user_id": r["user_id"],
+                                "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                                "event_type": r["event_type"],
+                                "value": r["value"],
+                                "props": r["props"],
+                            }
+                        ),
+                        "ts": int(r["ts"].timestamp()),
+                    }
+                )
+                + "\n"
+            )
+    return str(d)
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark, feed_dir, batch_size=150):
+    register_sources(spark)
+    raw = (
+        spark.readStream.format("lorawan_replay")
+        .option("path", feed_dir)
+        .option("batchSize", batch_size)
+        .load()
+    )
+    j = F.from_json("value", EVENT_SCHEMA)
+    return raw.select(
+        j["event_id"].alias("event_id"),
+        j["user_id"].alias("user_id"),
+        F.to_timestamp(j["ts"]).alias("ts"),
+        j["event_type"].alias("event_type"),
+        j["value"].alias("value"),
+        j["props"].alias("props"),
+    )
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    _drain(q)
+
+
+def _rows_set(df, cols):
+    return {tuple(str(r[c]) for c in cols) for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "stream_fn,shadow_fn,cols,mode",
+    [
+        (
+            live.prev_packet_correlation_stream,
+            batch_shadows.prev_packet_correlation,
+            ["event_id", "user_id", "f_count", "gw_value", "merged"],
+            "append",
+        ),
+        (
+            live.device_map_enrich_stream,
+            batch_shadows.device_map_enrich,
+            ["event_id", "user_id", "dev_registration"],
+            "append",
+        ),
+        (
+            live.location_propagation_stream,
+            batch_shadows.location_propagation,
+            ["event_id", "user_id", "latitude"],
+            "append",
+        ),
+        (
+            live.status_change_detection_stream,
+            batch_shadows.status_change_detection,
+            ["event_id", "user_id", "status", "prev_status"],
+            "update",
+        ),
+    ],
+)
+def test_stateful_stream_matches_batch_shadow(
+    spark, sf_dir, events_stream_feed, stream_fn, shadow_fn, cols, mode
+):
+    name = f"st_{stream_fn.__name__}"
+    _run_to_memory(stream_fn(_events_stream(spark, events_stream_feed)), name, mode)
+    got = _rows_set(spark.sql(f"select * from {name}"), cols)
+    want = _rows_set(shadow_fn(spark, sf_dir), cols)
+    assert got == want
+
+
+def test_verification_gate_stream_final_state(spark, sf_dir, events_stream_feed):
+    _run_to_memory(
+        live.verification_gate_stream(_events_stream(spark, events_stream_feed)),
+        "st_verify",
+        "update",
+    )
+    # update mode emits running counters; the final (max total) row per
+    # key must equal the batch aggregate.
+    final = spark.sql(
+        """
+        select user_id, total_packets, verified_packets, verified
+        from (select *, row_number() over (partition by user_id
+                                           order by total_packets desc) rn
+              from st_verify) where rn = 1
+        """
+    )
+    cols = ["user_id", "total_packets", "verified_packets", "verified"]
+    want = _rows_set(batch_shadows.verification_gate(spark, sf_dir), cols)
+    assert _rows_set(final, cols) == want
+
+
+def test_event_time_windows_stream(spark, sf_dir, events_stream_feed):
+    ev = _events_stream(spark, events_stream_feed, batch_size=400)
+    _run_to_memory(live.tumbling_counts_stream(ev), "st_tumble", "append")
+    got = _rows_set(
+        spark.sql("select window_start, event_type, n, total_value from st_tumble"),
+        ["window_start", "event_type", "n", "total_value"],
+    )
+    want = _rows_set(
+        batch_shadows.tumbling_window_hourly(spark, sf_dir),
+        ["window_start", "event_type", "n", "total_value"],
+    )
+    # Append mode only emits windows the watermark has closed; every
+    # emitted window must match its batch value, and most must emit.
+    assert got <= want
+    assert len(got) >= len(want) * 0.8
+
+
+def test_dedup_within_watermark_stream(spark, sf_dir, events_stream_feed):
+    ev = _events_stream(spark, events_stream_feed, batch_size=400)
+    _run_to_memory(live.dedup_within_watermark_stream(ev), "st_dedup", "append")
+    got = spark.sql("select event_id, user_id, event_type from st_dedup")
+    total = load_table(spark, sf_dir, "events").count()
+    # dropDuplicatesWithinWatermark only dedups arrivals within the
+    # watermark of a prior occurrence (later re-occurrences re-emit):
+    # duplicates must shrink, keys must cover the shadow's key set, and
+    # every first-arrival survivor must be emitted.
+    assert got.count() < total
+    want = batch_shadows.dedup_first_arrival(spark, sf_dir)
+    assert _rows_set(got.select("user_id", "event_type"), ["user_id", "event_type"]) == _rows_set(
+        want, ["user_id", "event_type"]
+    )
+    first_ids = _rows_set(want, ["event_id"])
+    assert first_ids <= _rows_set(got, ["event_id"])
+
+
+# --- sink -----------------------------------------------------------------
+
+
+def test_envelope_shape_and_cap(spark):
+    big = "x" * 5000
+    rows = [
+        {
+            "seq": 0,
+            "ts": 1700000000,
+            "topic": "gateway/aabb/rx",
+            "value": json.dumps(
+                {
+                    "phyPayload": DATA_UP_B64,
+                    "rxInfo": {"rssi": -60.0, "loRaSNR": 7.0, "frequency": 868100000,
+                               "mac": "aabbccddeeff0011", "codeRate": big[:10]},
+                }
+            ),
+            "data_collector_id": 5,
+            "organization_id": 1,
+        }
+    ]
+    packets = normalize_chirpstack(_raw_df(spark, rows))
+    env = to_envelope_json(packets).collect()
+    assert len(env) == 1
+    doc = json.loads(env[0]["envelope"])
+    assert set(doc) == {"packet", "messages", "ts"}
+    assert doc["packet"]["dev_addr"] == "017fc1c4"
+    assert doc["messages"][0]["topic"] == "gateway/aabb/rx"
+    assert doc["messages"][0]["data_collector_id"] == 5
+    assert isinstance(doc["ts"], int)
+    # 4096-char raw cap (TTNCollector.py:218)
+    rows[0]["value"] = json.dumps({"phyPayload": DATA_UP_B64, "rxInfo": {"mac": big}})
+    env2 = to_envelope_json(normalize_chirpstack(_raw_df(spark, rows))).collect()
+    assert len(json.loads(env2[0]["envelope"])["messages"][0]["message"]) == 4096
+
+
+def test_queue_sink_exactly_once(spark, tmp_path):
+    out = str(tmp_path / "queue.jsonl")
+    sink = QueueFileSink(out)
+    df = spark.createDataFrame([(1, '{"a":1}')], "collector_id long, envelope string")
+    sink(df, epoch_id=0)
+    sink(df, epoch_id=0)  # replayed epoch must be idempotent
+    sink(df, epoch_id=1)
+    with open(out) as fh:
+        assert len(fh.readlines()) == 2
+
+
+# --- orchestrator (EP2) ---------------------------------------------------
+
+
+def _write_feed(path, n, gw="aabb"):
+    with open(path, "w") as fh:
+        for i in range(n):
+            body = {
+                "phyPayload": DATA_UP_B64,
+                "rxInfo": {"rssi": -60.0, "loRaSNR": 7.0, "frequency": 868100000,
+                           "mac": "aabbccddeeff0011"},
+            }
+            fh.write(
+                json.dumps(
+                    {"topic": f"gateway/{gw}/rx", "value": json.dumps(body), "ts": 1700000000 + i}
+                )
+                + "\n"
+            )
+
+
+def test_collector_manager_lifecycle(spark, tmp_path):
+    feed = tmp_path / "feed_a"
+    feed.mkdir()
+    _write_feed(feed / "collector_11.jsonl", 12)
+    mgr = CollectorManager(spark, str(tmp_path / "out"))
+    os.makedirs(tmp_path / "out", exist_ok=True)
+    cfg = CollectorConfig(
+        id=11,
+        type="chirpstack_collector",
+        source_format="lorawan_replay",
+        source_options={"path": str(feed), "batchSize": "5"},
+    )
+    mgr.handle_event({"type": "CREATED", "config": cfg})
+    mgr.process_all()
+    mgr.handle_event({"type": "DISABLED", "id": 11})
+    qfile = tmp_path / "out" / "queue_11.jsonl"
+    with open(qfile) as fh:
+        lines = [json.loads(line) for line in fh]
+    assert len(lines) == 12
+    assert lines[0]["packet"]["dev_addr"] == "017fc1c4"
+    # change-only status events: CONNECTED then DISCONNECTED, no dups
+    assert [(e.data_collector_id, e.status) for e in mgr.status_events] == [
+        (11, "CONNECTED"),
+        (11, "DISCONNECTED"),
+    ]
+    # ENABLED restarts from the checkpoint: no new rows (feed consumed,
+    # offsets persisted) and no duplicate publishes.
+    mgr.handle_event({"type": "ENABLED", "id": 11})
+    mgr.process_all()
+    mgr.stop_all()
+    with open(qfile) as fh:
+        assert len(fh.readlines()) == 12
+
+
+def test_collector_manager_test_probe(spark, tmp_path):
+    feed = tmp_path / "feed_b"
+    feed.mkdir()
+    _write_feed(feed / "collector_21.jsonl", 3)
+    mgr = CollectorManager(spark, str(tmp_path / "out2"))
+    os.makedirs(tmp_path / "out2", exist_ok=True)
+    cfg = CollectorConfig(
+        id=21,
+        type="chirpstack_collector",
+        source_format="lorawan_replay",
+        source_options={"path": str(feed), "batchSize": "10"},
+    )
+    mgr.handle_event({"type": "TEST", "config": cfg})
+    assert [(e.status, e.type) for e in mgr.status_events] == [("TEST", "SUCCESS")]
