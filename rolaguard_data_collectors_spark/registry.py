@@ -28,6 +28,7 @@ def collect_all() -> dict[str, QuerySpec]:
     from .operators import relational, scalar, stateful
     from .functions import lorawan_queries
     from .llm import dedup, multimodal, similarity, text
+    from .streaming import pipeline_queries
 
     merged: dict[str, QuerySpec] = {}
     for mod in (
@@ -39,6 +40,7 @@ def collect_all() -> dict[str, QuerySpec]:
         text,
         multimodal,
         lorawan_queries,
+        pipeline_queries,
     ):
         for spec in mod.QUERIES:
             if spec.name in merged:

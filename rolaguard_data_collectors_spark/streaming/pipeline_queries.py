@@ -1,0 +1,391 @@
+"""Oracle-checked batch shadows of the four source-normalization
+pipelines (SURVEY.md §2A ops 1-4 + 11-33 as composed in EP1).
+
+Each query builds deterministic raw transport messages FROM the
+``events`` table in-plan (to_json over event-derived fields, with a
+fixed golden LoRaWAN frame as payload), feeds them through the real
+``streaming.normalize`` pipeline — the exact code the streaming
+queries run — and projects the result. The DuckDB oracle reproduces
+every output column directly from ``events``, so the whole
+raw-JSON -> from_json -> route -> project -> decode chain is
+value-checked end-to-end (codec fields check against the golden
+frame's known constants: devAddr=017fc1c4, fCnt=17, fPort=93,
+mic=74c540a2).
+
+Scale note: the pipelines are narrow per-row plans (no shuffle); the
+only Python is the Arrow-batched codec UDF, and the JSON build/parse
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import QuerySpec
+from .normalize import (
+    normalize_chirpstack,
+    normalize_mqtt_forwarder,
+    normalize_ttn_v2,
+    normalize_ttn_v3,
+)
+
+# Golden UnconfirmedDataUp frame (nwk_s_key 2b7e...4f3c, payload
+# "hello lorawan"): constants verified in tests/test_lorawan_codec.py.
+GOLDEN_B64 = "QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI="
+GOLDEN = {"m_type": "UnconfirmedDataUp", "dev_addr": "017fc1c4",
+          "f_count": 17, "f_port": 93, "mic": "74c540a2"}
+
+_GOLDEN_ORACLE_COLS = """
+       'UnconfirmedDataUp' AS m_type, '017fc1c4' AS dev_addr,
+       CAST(17 AS BIGINT) AS f_count, 93 AS f_port, '74c540a2' AS mic
+"""
+
+
+def _events_raw_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+def _golden_cols(df: DataFrame) -> list:
+    return [
+        F.col("m_type"),
+        F.col("dev_addr"),
+        F.col("f_count"),
+        F.col("f_port"),
+        F.col("mic"),
+    ]
+
+
+# --- op 2+ composed: ChirpStack gateway pipeline ---------------------------
+
+
+def pipeline_chirpstack_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_raw_base(spark, sf_dir)
+    mac = F.lower(F.hex("user_id"))
+    body = F.to_json(
+        F.struct(
+            F.lit(GOLDEN_B64).alias("phyPayload"),
+            F.struct(
+                (F.col("event_id") % 8).cast("int").alias("channel"),
+                (F.col("event_id") % 2).cast("int").alias("rfChain"),
+                F.when(F.col("event_type") == "error", -1).otherwise(1).alias("crcStatus"),
+                F.lit("4/5").alias("codeRate"),
+                (-F.col("value")).alias("rssi"),
+                (F.col("value") / 10).alias("loRaSNR"),
+                F.lit(23).alias("size"),
+                F.col("epoch_s").alias("timestamp"),
+                (F.lit(868100000) + (F.col("event_id") % 8) * 200000).alias("frequency"),
+                mac.alias("mac"),
+                F.struct(
+                    F.lit("LORA").alias("modulation"),
+                    (F.lit(7) + F.col("event_id") % 5).cast("int").alias("spreadFactor"),
+                    F.lit(125).alias("bandwidth"),
+                ).alias("dataRate"),
+            ).alias("rxInfo"),
+        )
+    )
+    raw = ev.select(
+        "seq",
+        F.col("epoch_s").alias("ts"),
+        F.concat(F.lit("gateway/"), mac, F.lit("/rx")).alias("topic"),
+        body.alias("value"),
+        F.lit(7).alias("data_collector_id"),
+        F.lit(1).alias("organization_id"),
+    )
+    out = normalize_chirpstack(raw)
+    return out.select(
+        F.col("_seq").alias("event_id"),
+        "topic", "gateway", "chan", "rfch", "stat", "codr", "rssi", "lsnr",
+        "size", "tmst", "freq", "modu", "datr", "date",
+        *_golden_cols(out),
+    )
+
+
+PIPELINE_CHIRPSTACK_ORACLE = f"""
+SELECT event_id,
+       'gateway/' || lower(to_hex(user_id)) || '/rx' AS topic,
+       lower(to_hex(user_id)) AS gateway,
+       CAST(event_id % 8 AS INTEGER) AS chan,
+       CAST(event_id % 2 AS INTEGER) AS rfch,
+       CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS stat,
+       '4/5' AS codr,
+       -value AS rssi,
+       value / 10 AS lsnr,
+       23 AS size,
+       CAST(floor(epoch(ts)) AS DOUBLE) AS tmst,
+       (868100000 + (event_id % 8) * 200000) / 1000000.0 AS freq,
+       'LORA' AS modu,
+       '{{"spread_factor":"' || CAST(7 + event_id % 5 AS VARCHAR)
+           || '","bandwidth":"125"}}' AS datr,
+       date_trunc('second', ts) AS "date",
+       {_GOLDEN_ORACLE_COLS}
+FROM events
+"""
+
+
+# --- op 1 composed: generic packet-forwarder pipeline ----------------------
+
+
+def pipeline_mqtt_forwarder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_raw_base(spark, sf_dir)
+    body = F.to_json(
+        F.struct(
+            F.lit(GOLDEN_B64.rstrip("=")).alias("data"),  # unpadded on the wire
+            (F.col("event_id") % 8).cast("int").alias("chan"),
+            F.lit(1).alias("stat"),
+            (F.col("value") / 10).alias("lsnr"),
+            (-F.col("value")).alias("rssi"),
+            F.col("epoch_s").alias("tmst"),
+            (F.col("event_id") % 2).cast("int").alias("rfch"),
+            ((F.lit(868100000) + (F.col("event_id") % 4) * 200000) / 1000000.0).alias("freq"),
+            F.lit("LORA").alias("modu"),
+            F.concat(F.lit("SF"), (F.lit(7) + F.col("event_id") % 5).cast("string"),
+                     F.lit("BW125")).alias("datr"),
+            F.lit("4/5").alias("codr"),
+            F.lit(23).alias("size"),
+            F.col("event_id").cast("string").alias("seqn"),
+            (F.col("event_id") % 16).cast("int").alias("port"),
+        )
+    )
+    raw = ev.select(
+        "seq",
+        F.col("epoch_s").alias("ts"),
+        F.concat(F.lit("lora/dev-"), F.col("user_id"), F.lit("/up")).alias("topic"),
+        body.alias("value"),
+        F.lit(3).alias("data_collector_id"),
+        F.lit(1).alias("organization_id"),
+    )
+    out = normalize_mqtt_forwarder(raw)
+    return out.select(
+        F.col("_seq").alias("event_id"),
+        "topic", "data", "chan", "stat", "lsnr", "rssi", "tmst", "rfch",
+        "freq", "modu", "datr", "codr", "size", "seqn", "port",
+        F.col("dev_eui"),  # from topic (op 19): dashes stripped
+        "date",
+        *_golden_cols(out),
+    )
+
+
+PIPELINE_MQTT_ORACLE = f"""
+SELECT event_id,
+       'lora/dev-' || user_id || '/up' AS topic,
+       '{GOLDEN_B64}' AS data,
+       CAST(event_id % 8 AS INTEGER) AS chan,
+       1 AS stat,
+       value / 10 AS lsnr,
+       -value AS rssi,
+       CAST(floor(epoch(ts)) AS DOUBLE) AS tmst,
+       CAST(event_id % 2 AS INTEGER) AS rfch,
+       (868100000 + (event_id % 4) * 200000) / 1000000.0 AS freq,
+       'LORA' AS modu,
+       '{{"spread_factor":"' || CAST(7 + event_id % 5 AS VARCHAR)
+           || '","bandwidth":"125"}}' AS datr,
+       '4/5' AS codr,
+       23 AS size,
+       CAST(event_id AS VARCHAR) AS seqn,
+       CAST(event_id % 16 AS INTEGER) AS port,
+       'dev' || user_id AS dev_eui,
+       date_trunc('second', ts) AS "date",
+       {_GOLDEN_ORACLE_COLS}
+FROM events
+"""
+
+
+# --- op 3 composed: TTN v2 WebSocket pipeline ------------------------------
+
+
+def pipeline_ttn_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_raw_base(spark, sf_dir)
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    payload = F.to_json(
+        F.struct(
+            F.lit(GOLDEN_B64).alias("payload"),
+            (F.col("value") / 10).alias("snr"),
+            (-F.col("value")).alias("rssi"),
+            iso.alias("timestamp"),
+            (F.col("event_id") % 2).cast("int").alias("rfch"),
+            ((F.lit(867100000) + (F.col("event_id") % 8) * 200000) / 1000000.0).alias("frequency"),
+            F.lit("4/5").alias("coding_rate"),
+            F.concat(F.lit("DE-"), F.col("user_id")).alias("dev_eui"),
+        )
+    )
+    status = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.col("value").alias("latitude"),
+                    (F.col("value") + 1).alias("longitude"),
+                    F.lit(100.0).alias("altitude"),
+                ).alias("location")
+            ).alias("status")
+        )
+    )
+    frame = (
+        F.when(F.col("event_type") == "signup", F.lit("h"))  # keepalive
+        .when(F.col("event_type") == "error", F.concat(F.lit("gateway status "), status))
+        .otherwise(F.concat(F.lit('gateway uplink "'), payload, F.lit('"')))
+    )
+    raw = ev.select(
+        "seq",
+        F.col("epoch_s").alias("ts"),
+        F.concat(F.lit("eui-"), F.col("user_id")).alias("topic"),
+        frame.alias("value"),
+        F.lit(2).alias("data_collector_id"),
+        F.lit(1).alias("organization_id"),
+    )
+    out = normalize_ttn_v2(raw)
+    return out.select(
+        F.col("_seq").alias("event_id"),
+        "gateway", "m_type", "lsnr", "rssi", "tmst", "rfch", "freq", "codr",
+        "dev_eui", "latitude", "longitude", "altitude", "date",
+    )
+
+
+PIPELINE_TTN_V2_ORACLE = """
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS gateway,
+       CASE WHEN event_type = 'error' THEN 'GatewayStatus'
+            ELSE 'UnconfirmedDataUp' END AS m_type,
+       CASE WHEN event_type <> 'error' THEN value / 10 END AS lsnr,
+       CASE WHEN event_type <> 'error' THEN -value END AS rssi,
+       CASE WHEN event_type <> 'error'
+            THEN floor(epoch(ts)) * 1000.0 END AS tmst,
+       CASE WHEN event_type <> 'error'
+            THEN CAST(event_id % 2 AS INTEGER) END AS rfch,
+       CASE WHEN event_type <> 'error'
+            THEN (867100000 + (event_id % 8) * 200000) / 1000000.0 END AS freq,
+       CASE WHEN event_type <> 'error' THEN '4/5' END AS codr,
+       CASE WHEN event_type <> 'error' THEN 'DE' || user_id END AS dev_eui,
+       CASE WHEN event_type = 'error' THEN value END AS latitude,
+       CASE WHEN event_type = 'error' THEN value + 1 END AS longitude,
+       CASE WHEN event_type = 'error' THEN 100.0 END AS altitude,
+       date_trunc('second', ts) AS "date"
+FROM events
+WHERE event_type <> 'signup'
+"""
+
+
+# --- op 4 composed: TTN v3 SSE pipeline ------------------------------------
+
+
+def pipeline_ttn_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_raw_base(spark, sf_dir)
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    idents = F.array(
+        F.struct(
+            F.struct(
+                F.concat(F.lit("gw-"), F.col("user_id")).alias("gateway_id"),
+                F.upper(F.hex("user_id")).alias("eui"),
+            ).alias("gateway_ids")
+        )
+    )
+    up = F.to_json(
+        F.struct(
+            F.lit("gs.up.receive").alias("name"),
+            iso.alias("time"),
+            idents.alias("identifiers"),
+            F.struct(
+                F.lit(GOLDEN_B64).alias("raw_payload"),
+                F.array(
+                    F.struct((F.col("value") / 10).alias("snr"), (-F.col("value")).alias("rssi"))
+                ).alias("rx_metadata"),
+                F.struct(
+                    (F.lit(868100000) + (F.col("event_id") % 8) * 200000)
+                    .cast("string")
+                    .alias("frequency"),
+                    F.lit("4/5").alias("coding_rate"),
+                ).alias("settings"),
+            ).alias("data"),
+        )
+    )
+    down = F.to_json(
+        F.struct(
+            F.lit("gs.down.send").alias("name"),
+            iso.alias("time"),
+            idents.alias("identifiers"),
+            F.struct(
+                F.lit(GOLDEN_B64).alias("raw_payload"),
+                F.struct(F.lit("869525000").alias("rx1_frequency")).alias("request"),
+            ).alias("data"),
+        )
+    )
+    status = F.to_json(
+        F.struct(
+            F.lit("gs.status.receive").alias("name"),
+            idents.alias("identifiers"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.col("value").alias("latitude"),
+                        (F.col("value") + 1).alias("longitude"),
+                        F.lit(50.0).alias("altitude"),
+                    )
+                ).alias("antenna_locations")
+            ).alias("data"),
+        )
+    )
+    start = F.to_json(F.struct(F.lit("events.stream.start").alias("name")))
+    body = (
+        F.when(F.col("event_type") == "purchase", up)
+        .when(F.col("event_type") == "view", down)
+        .when(F.col("event_type") == "error", status)
+        .otherwise(start)
+    )
+    raw = ev.select(
+        "seq",
+        F.col("epoch_s").alias("ts"),
+        F.lit("").alias("topic"),
+        body.alias("value"),
+        F.lit(4).alias("data_collector_id"),
+        F.lit(1).alias("organization_id"),
+    )
+    out = normalize_ttn_v3(raw)
+    return out.select(
+        F.col("_seq").alias("event_id"),
+        "gateway", "m_type", "lsnr", "rssi", "freq", "codr", "tmst",
+        "latitude", "longitude", "altitude", "date",
+    )
+
+
+PIPELINE_TTN_V3_ORACLE = """
+SELECT event_id,
+       lower(to_hex(user_id)) AS gateway,
+       CASE WHEN event_type = 'error' THEN 'GatewayStatus'
+            ELSE 'UnconfirmedDataUp' END AS m_type,
+       CASE WHEN event_type = 'purchase' THEN value / 10 END AS lsnr,
+       CASE WHEN event_type = 'purchase' THEN -value END AS rssi,
+       CASE WHEN event_type = 'purchase'
+                 THEN (868100000 + (event_id % 8) * 200000) / 1000000.0
+            WHEN event_type = 'view' THEN 869.525 END AS freq,
+       CASE WHEN event_type = 'purchase' THEN '4/5' END AS codr,
+       CASE WHEN event_type <> 'error'
+            THEN CAST(floor(epoch(ts)) AS DOUBLE) END AS tmst,
+       CASE WHEN event_type = 'error' THEN value END AS latitude,
+       CASE WHEN event_type = 'error' THEN value + 1 END AS longitude,
+       CASE WHEN event_type = 'error' THEN 50.0 END AS altitude,
+       date_trunc('second', ts) AS "date"
+FROM events
+WHERE event_type IN ('purchase', 'view', 'error')
+"""
+
+
+QUERIES = [
+    QuerySpec("pipeline_chirpstack_gateway", pipeline_chirpstack_gateway,
+              PIPELINE_CHIRPSTACK_ORACLE, "ops 2,11-28 composed e2e"),
+    QuerySpec("pipeline_mqtt_forwarder", pipeline_mqtt_forwarder,
+              PIPELINE_MQTT_ORACLE, "ops 1,11-20,30 composed e2e"),
+    QuerySpec("pipeline_ttn_v2", pipeline_ttn_v2,
+              PIPELINE_TTN_V2_ORACLE, "ops 3,22,24,29,36-capture composed e2e"),
+    QuerySpec("pipeline_ttn_v3", pipeline_ttn_v3,
+              PIPELINE_TTN_V3_ORACLE, "ops 4,18,23-24,26 composed e2e"),
+]
