@@ -71,6 +71,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Redistribute a narrow scan across cores when the source layout
+    under-parallelizes it (the driver testdata is one parquet file with
+    ONE row group per table, so a scan - and everything narrow above it,
+    including Arrow-UDF stages - runs in a single task). One tiny
+    round-robin shuffle unlocks full-core parallelism for expensive
+    downstream work. At production scale inputs have many splits and
+    this is a detected no-op (no shuffle added)."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, n // 2):
+        return df.repartition(n)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; return the frames.
 

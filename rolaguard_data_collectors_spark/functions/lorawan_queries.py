@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..portable_sql import hex_byte
 from ..registry import QuerySpec
 from .lorawan_udfs import (
@@ -32,7 +32,9 @@ from .lorawan_udfs import (
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+    # spread(): the codec/crypto Arrow UDFs are the expensive stage;
+    # parallelize past the single-row-group test parquet.
+    return spread(load_table(spark, sf_dir, "events"))
 
 
 # --- op 42 family: wire-format field extraction (SQL-portable) -----------

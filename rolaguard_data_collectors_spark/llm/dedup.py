@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..portable_sql import HASH_PRIME, hex32, minhash_term
 from ..registry import QuerySpec
 
@@ -31,7 +31,7 @@ BANDS = 4  # 8 hashes -> 4 bands of 2 rows each
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 # --- exact dedup ---------------------------------------------------------

@@ -20,14 +20,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import QuerySpec
 
 DECODE_AVAILABLE = False  # no PIL/ffmpeg in this environment
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..portable_sql import hex32
 from ..registry import QuerySpec
 
@@ -30,7 +30,9 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # spread(): shingle explosion / hashing parallelizes past the
+    # single-row-group test parquet (no-op on well-split inputs).
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 # --- token counting ------------------------------------------------------

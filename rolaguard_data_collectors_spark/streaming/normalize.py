@@ -157,22 +157,41 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
     """LoraServerIOCollector.py:225-500. Three topic routes (op 21,
     :171-184): gateway rx|tx|up frames (JSON or protobuf-as-JSON
     layouts, op 17 :321-360), application device messages
-    (:402-448), and /join registrations (:285-304). Output is the
-    union of the three shapes — the stateful layer then applies the
-    devices_map / prev-packet semantics (ops 34-35)."""
+    (:402-448), and /join registrations (:285-304). The stateful layer
+    then applies devices_map / prev-packet semantics (ops 34-35).
+
+    Single-pass design: one scan of the input, routes multiplexed with
+    ``when()`` — each per-route ``from_json`` sits inside its route
+    predicate, so every row pays exactly one scan + one JSON parse (a
+    3-branch union would scan the source three times: 3x I/O at
+    100 TB). The codec UDF evaluates once per row; non-gateway rows
+    pass a null payload through it at negligible cost."""
     base = _with_passthrough(raw)
 
     is_gw = F.col("topic").rlike("^gateway/.+/(rx|tx|up)$")
-    is_app = F.col("topic").rlike("application/.+/(device|node)/.+/(rx|up)$")
-    is_join = F.col("topic").rlike("/join$")
+    is_app = ~is_gw & F.col("topic").rlike("application/.+/(device|node)/.+/(rx|up)$")
+    is_join = ~is_gw & ~is_app & F.col("topic").rlike("/join$")
 
-    # -- gateway route ----------------------------------------------------
-    g = base.filter(is_gw).withColumn(
-        "_j", F.from_json("value", CHIRPSTACK_GATEWAY_SCHEMA)
+    df = base.select(
+        "*",
+        F.when(is_gw, F.from_json("value", CHIRPSTACK_GATEWAY_SCHEMA)).alias("_g"),
+        F.when(is_app, F.from_json("value", CHIRPSTACK_APPLICATION_SCHEMA)).alias("_a"),
+        F.when(is_join, F.from_json("value", CHIRPSTACK_JOIN_SCHEMA)).alias("_jn"),
+        is_gw.alias("_is_gw"),
+        is_app.alias("_is_app"),
+        is_join.alias("_is_join"),
     )
+    # op 31: PHYPayload size guard, gateway route only (:312-315).
+    gw_ok = (
+        F.col("_is_gw")
+        & F.col("_g.phyPayload").isNotNull()
+        & (F.length("_g.phyPayload") <= 300)
+    )
+    df = df.filter(gw_ok | F.col("_is_app") | F.col("_is_join"))
+
     is_tx = F.col("topic").rlike("/tx$")
-    info = F.when(is_tx, F.col("_j.txInfo")).otherwise(F.col("_j.rxInfo"))
-    g = g.withColumn("_i", info)
+    info = F.when(is_tx, F.col("_g.txInfo")).otherwise(F.col("_g.rxInfo"))
+    df = df.withColumn("_i", info)
     # Protobuf-as-JSON variant carries base64 gatewayID + nested
     # loRaModulationInfo (:324, :335-338); plain JSON carries mac +
     # dataRate (:321-334).
@@ -183,71 +202,57 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
     bw_col = F.coalesce(
         F.col("_i.dataRate.bandwidth"), F.col("_i.loRaModulationInfo.bandwidth")
     )
-    g = (
-        g
-        # op 31: PHYPayload size guard (:312-315).
-        .filter(F.col("_j.phyPayload").isNotNull() & (F.length("_j.phyPayload") <= 300))
-        .select(
-            "*",
-            F.col("_j.phyPayload").alias("data"),
-            F.when(F.col("_i.gatewayID").isNotNull(), gw_hex)
-            .otherwise(F.col("_i.mac"))
-            .alias("gateway"),
-            F.col("_i.channel").alias("chan"),
-            F.col("_i.rfChain").alias("rfch"),
-            F.col("_i.crcStatus").alias("stat"),
-            F.coalesce(F.col("_i.codeRate"), F.col("_i.loRaModulationInfo.codeRate")).alias("codr"),
-            F.col("_i.rssi").alias("rssi"),
-            F.col("_i.loRaSNR").alias("lsnr"),
-            F.col("_i.size").alias("size"),
-            F.col("_i.timestamp").cast("double").alias("tmst"),
-            # op 24: Hz -> MHz (:334,354).
-            (F.col("_i.frequency") / F.lit(1000000.0)).alias("freq"),
-            F.coalesce(F.col("_i.dataRate.modulation"), F.lit("LORA")).alias("modu"),
-            F.when(
-                sf_col.isNotNull(),
-                F.to_json(
-                    F.struct(
-                        sf_col.cast("string").alias("spread_factor"),
-                        bw_col.cast("string").alias("bandwidth"),
-                    )
-                ),
-            ).alias("datr"),
-            F.timestamp_seconds(F.col("ts")).alias("date"),
-        )
-    )
-    g = _explode_parsed(g).drop("_j", "_i")
-
-    # -- application route ------------------------------------------------
-    a = base.filter(is_app & ~is_gw).withColumn(
-        "_j", F.from_json("value", CHIRPSTACK_APPLICATION_SCHEMA)
-    )
-    a = a.select(
+    df = df.select(
         "*",
-        F.col("_j.fCnt").alias("f_count"),
-        F.col("_j.applicationName").alias("app_name"),
-        F.col("_j.deviceName").alias("dev_name"),
-        F.col("_j.devEUI").alias("dev_eui"),
-        F.col("_j.rxInfo")[0]["name"].alias("gw_name"),
-        F.col("_j.rxInfo")[0]["location"]["latitude"].alias("latitude"),
-        F.col("_j.rxInfo")[0]["location"]["longitude"].alias("longitude"),
-        F.col("_j.rxInfo")[0]["location"]["altitude"].alias("altitude"),
+        F.col("_g.phyPayload").alias("data"),  # null off the gateway route
+        F.when(F.col("_i.gatewayID").isNotNull(), gw_hex)
+        .otherwise(F.col("_i.mac"))
+        .alias("gateway"),
+        F.col("_i.channel").alias("chan"),
+        F.col("_i.rfChain").alias("rfch"),
+        F.col("_i.crcStatus").alias("stat"),
+        F.coalesce(F.col("_i.codeRate"), F.col("_i.loRaModulationInfo.codeRate")).alias("codr"),
+        F.col("_i.rssi").alias("rssi"),
+        F.col("_i.loRaSNR").alias("lsnr"),
+        F.col("_i.size").alias("size"),
+        F.col("_i.timestamp").cast("double").alias("tmst"),
+        # op 24: Hz -> MHz (:334,354).
+        (F.col("_i.frequency") / F.lit(1000000.0)).alias("freq"),
+        F.when(F.col("_is_gw"), F.coalesce(F.col("_i.dataRate.modulation"), F.lit("LORA"))).alias("modu"),
+        F.when(
+            sf_col.isNotNull(),
+            F.to_json(
+                F.struct(
+                    sf_col.cast("string").alias("spread_factor"),
+                    bw_col.cast("string").alias("bandwidth"),
+                )
+            ),
+        ).alias("datr"),
+        # application-route enrichment (:415-438); null structs give
+        # nulls off-route without per-column when()s.
+        F.col("_a.applicationName").alias("app_name"),
+        F.col("_a.deviceName").alias("dev_name"),
+        F.col("_a.rxInfo")[0]["name"].alias("gw_name"),
+        F.col("_a.rxInfo")[0]["location"]["latitude"].alias("latitude"),
+        F.col("_a.rxInfo")[0]["location"]["longitude"].alias("longitude"),
+        F.col("_a.rxInfo")[0]["location"]["altitude"].alias("altitude"),
         F.timestamp_seconds(F.col("ts")).alias("date"),
-    ).drop("_j")
-
-    # -- join route -------------------------------------------------------
-    jn = base.filter(is_join & ~is_gw & ~is_app).withColumn(
-        "_j", F.from_json("value", CHIRPSTACK_JOIN_SCHEMA)
     )
-    jn = jn.select(
+    df = df.withColumn("_p", _decoded(F.col("data")))
+    for f in _PARSE_FIELDS:
+        if f in ("m_type", "dev_eui", "dev_addr", "f_count"):
+            continue
+        df = df.withColumn(f, F.col("_p")[f])
+    df = df.select(
         "*",
-        F.col("_j.devAddr").alias("dev_addr"),
-        F.col("_j.devEUI").alias("dev_eui"),
-        F.lit("JoinNotification").alias("m_type"),
-        F.timestamp_seconds(F.col("ts")).alias("date"),
-    ).drop("_j")
-
-    return _finish(g).unionByName(_finish(a)).unionByName(_finish(jn))
+        F.when(F.col("_is_join"), F.lit("JoinNotification"))
+        .otherwise(F.col("_p.m_type"))
+        .alias("m_type"),
+        F.coalesce(F.col("_a.devEUI"), F.col("_jn.devEUI"), F.col("_p.dev_eui")).alias("dev_eui"),
+        F.coalesce(F.col("_jn.devAddr"), F.col("_p.dev_addr")).alias("dev_addr"),
+        F.coalesce(F.col("_a.fCnt"), F.col("_p.f_count")).alias("f_count"),
+    ).drop("_g", "_a", "_jn", "_i", "_p")
+    return _finish(df)
 
 
 # --- op 3 pipeline: TTN v2 WebSocket -------------------------------------
@@ -260,12 +265,16 @@ def normalize_ttn_v2(raw: DataFrame) -> DataFrame:
     gateway-status frames carry a location that the stateful layer
     attaches to the next packet (op 36, :202-211). The WS connection is
     per-gateway, so the transport stores the gateway id in ``topic``;
-    the 'eui-' prefix is stripped (:253)."""
+    the 'eui-' prefix is stripped (:253).
+
+    Single-pass: one scan, frame/status routes multiplexed with
+    ``when()`` so each row pays one JSON parse (see
+    normalize_chirpstack scale note)."""
     base = _with_passthrough(raw).filter(F.length("value") > 1)
 
     mk = F.col("value")
     is_status = mk.contains("gateway status")
-    is_frame = (
+    is_frame = ~is_status & (
         mk.contains("gateway uplink")
         | mk.contains("gateway downlink")
         | mk.contains("join request")
@@ -276,44 +285,44 @@ def normalize_ttn_v2(raw: DataFrame) -> DataFrame:
     body = F.regexp_extract("value", r"(\{.*\})", 1)
     gateway = F.regexp_replace("topic", "^eui-", "")
 
-    fr = (
-        base.filter(is_frame & ~is_status)
-        .withColumn("_j", F.from_json(body, TTN_V2_PAYLOAD_SCHEMA))
-        .filter(F.col("_j.payload").isNotNull())
-        .select(
-            "*",
-            _b64_pad(F.col("_j.payload")).alias("data"),
-            F.col("_j.snr").alias("lsnr"),
-            F.col("_j.rssi").alias("rssi"),
-            # op 24: ISO -> epoch ms (:232).
-            (F.unix_micros(F.to_timestamp("_j.timestamp")) / F.lit(1000.0)).alias(
-                "tmst"
-            ),
-            F.col("_j.rfch").alias("rfch"),
-            F.col("_j.frequency").alias("freq"),
-            F.col("_j.coding_rate").alias("codr"),
-            gateway.alias("gateway"),
-            F.timestamp_seconds(F.col("ts")).alias("date"),
-        )
+    df = base.select(
+        "*",
+        F.when(is_frame, F.from_json(body, TTN_V2_PAYLOAD_SCHEMA)).alias("_f"),
+        F.when(is_status, F.from_json(body, TTN_V2_STATUS_SCHEMA)).alias("_s"),
+        is_status.alias("_is_status"),
     )
-    topic_eui = F.nullif(F.regexp_replace(F.col("_j.dev_eui"), "-", ""), F.lit(""))
-    fr = _explode_parsed(fr, prefer_topic_dev_eui=topic_eui).drop("_j")
-
-    st = (
-        base.filter(is_status)
-        .withColumn("_j", F.from_json(body, TTN_V2_STATUS_SCHEMA))
-        .select(
-            "*",
-            F.lit("GatewayStatus").alias("m_type"),
-            gateway.alias("gateway"),
-            F.col("_j.status.location.latitude").alias("latitude"),
-            F.col("_j.status.location.longitude").alias("longitude"),
-            F.col("_j.status.location.altitude").alias("altitude"),
-            F.timestamp_seconds(F.col("ts")).alias("date"),
-        )
-        .drop("_j")
+    df = df.filter(F.col("_is_status") | F.col("_f.payload").isNotNull())
+    df = df.select(
+        "*",
+        F.when(F.col("_f.payload").isNotNull(), _b64_pad(F.col("_f.payload"))).alias("data"),
+        F.col("_f.snr").alias("lsnr"),
+        F.col("_f.rssi").alias("rssi"),
+        # op 24: ISO -> epoch ms (:232).
+        (F.unix_micros(F.to_timestamp("_f.timestamp")) / F.lit(1000.0)).alias("tmst"),
+        F.col("_f.rfch").alias("rfch"),
+        F.col("_f.frequency").alias("freq"),
+        F.col("_f.coding_rate").alias("codr"),
+        gateway.alias("gateway"),
+        F.col("_s.status.location.latitude").alias("latitude"),
+        F.col("_s.status.location.longitude").alias("longitude"),
+        F.col("_s.status.location.altitude").alias("altitude"),
+        F.timestamp_seconds(F.col("ts")).alias("date"),
     )
-    return _finish(fr).unionByName(_finish(st))
+    df = df.withColumn("_p", _decoded(F.col("data")))
+    topic_eui = F.nullif(F.regexp_replace(F.col("_f.dev_eui"), "-", ""), F.lit(""))
+    for f in _PARSE_FIELDS:
+        if f == "m_type":
+            df = df.withColumn(
+                f,
+                F.when(F.col("_is_status"), F.lit("GatewayStatus")).otherwise(
+                    F.col("_p.m_type")
+                ),
+            )
+        elif f == "dev_eui":
+            df = df.withColumn(f, F.coalesce(F.col("_p.dev_eui"), topic_eui))
+        else:
+            df = df.withColumn(f, F.col("_p")[f])
+    return _finish(df.drop("_f", "_s", "_p"))
 
 
 # --- op 4 pipeline: TTN v3 SSE -------------------------------------------
@@ -325,11 +334,16 @@ def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
     gs.status.receive carries antenna locations, events.stream.start
     is dropped. Uplink freq from settings, downlink from
     request.rx1_frequency (op 18, :277-288); epoch seconds from the
-    ISO event time (:269-270)."""
+    ISO event time (:269-270).
+
+    Single-pass: the SSE envelope is one schema, so routing is pure
+    ``when()`` over the parsed struct — one scan, one JSON parse."""
     base = _with_passthrough(raw).withColumn(
         "_j", F.from_json("value", TTN_V3_EVENT_SCHEMA)
     )
     name = F.col("_j.name")
+    is_fr = name.isin("gs.up.receive", "gs.down.send")
+    is_status = name == "gs.status.receive"
     gw = F.lower(
         F.coalesce(
             F.col("_j.identifiers")[0]["gateway_ids"]["eui"],
@@ -337,43 +351,45 @@ def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
         )
     )
 
-    fr = (
-        base.filter(name.isin("gs.up.receive", "gs.down.send"))
-        .filter(F.col("_j.data.raw_payload").isNotNull())
-        .select(
-            "*",
-            _b64_pad(F.col("_j.data.raw_payload")).alias("data"),
-            F.col("_j.data.rx_metadata")[0]["snr"].alias("lsnr"),
-            F.col("_j.data.rx_metadata")[0]["rssi"].alias("rssi"),
-            F.when(
-                name == "gs.up.receive",
-                F.col("_j.data.settings.frequency").cast("double") / 1000000.0,
-            )
-            .otherwise(
-                F.col("_j.data.request.rx1_frequency").cast("double") / 1000000.0
-            )
-            .alias("freq"),
-            F.col("_j.data.settings.coding_rate").alias("codr"),
-            # op 24: ISO -> epoch seconds (:269-270).
-            (F.unix_micros(F.to_timestamp("_j.time")) / F.lit(1000000.0)).alias("tmst"),
-            gw.alias("gateway"),
-            F.timestamp_seconds(F.col("ts")).alias("date"),
-        )
+    df = base.filter(
+        (is_fr & F.col("_j.data.raw_payload").isNotNull())
+        | (is_status & F.col("_j.data.antenna_locations").isNotNull())
     )
-    fr = _explode_parsed(fr).drop("_j")
-
-    st = (
-        base.filter(name == "gs.status.receive")
-        .filter(F.col("_j.data.antenna_locations").isNotNull())
-        .select(
-            "*",
-            F.lit("GatewayStatus").alias("m_type"),
-            gw.alias("gateway"),
-            F.col("_j.data.antenna_locations")[0]["latitude"].alias("latitude"),
-            F.col("_j.data.antenna_locations")[0]["longitude"].alias("longitude"),
-            F.col("_j.data.antenna_locations")[0]["altitude"].alias("altitude"),
-            F.timestamp_seconds(F.col("ts")).alias("date"),
+    df = df.select(
+        "*",
+        is_status.alias("_is_status"),
+        F.when(is_fr, _b64_pad(F.col("_j.data.raw_payload"))).alias("data"),
+        F.when(is_fr, F.col("_j.data.rx_metadata")[0]["snr"]).alias("lsnr"),
+        F.when(is_fr, F.col("_j.data.rx_metadata")[0]["rssi"]).alias("rssi"),
+        F.when(
+            name == "gs.up.receive",
+            F.col("_j.data.settings.frequency").cast("double") / 1000000.0,
         )
-        .drop("_j")
+        .when(
+            name == "gs.down.send",
+            F.col("_j.data.request.rx1_frequency").cast("double") / 1000000.0,
+        )
+        .alias("freq"),
+        F.when(is_fr, F.col("_j.data.settings.coding_rate")).alias("codr"),
+        # op 24: ISO -> epoch seconds (:269-270).
+        F.when(
+            is_fr, F.unix_micros(F.to_timestamp("_j.time")) / F.lit(1000000.0)
+        ).alias("tmst"),
+        gw.alias("gateway"),
+        F.col("_j.data.antenna_locations")[0]["latitude"].alias("latitude"),
+        F.col("_j.data.antenna_locations")[0]["longitude"].alias("longitude"),
+        F.col("_j.data.antenna_locations")[0]["altitude"].alias("altitude"),
+        F.timestamp_seconds(F.col("ts")).alias("date"),
     )
-    return _finish(fr).unionByName(_finish(st))
+    df = df.withColumn("_p", _decoded(F.col("data")))
+    for f in _PARSE_FIELDS:
+        if f == "m_type":
+            df = df.withColumn(
+                f,
+                F.when(F.col("_is_status"), F.lit("GatewayStatus")).otherwise(
+                    F.col("_p.m_type")
+                ),
+            )
+        else:
+            df = df.withColumn(f, F.col("_p")[f])
+    return _finish(df.drop("_j", "_p"))

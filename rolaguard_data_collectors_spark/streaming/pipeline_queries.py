@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import QuerySpec
 from .normalize import (
     normalize_chirpstack,
@@ -44,7 +44,9 @@ _GOLDEN_ORACLE_COLS = """
 
 
 def _events_raw_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # spread(): the codec UDF stage parallelizes past the
+    # single-row-group test parquet (no-op on well-split inputs).
+    ev = spread(load_table(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
         "user_id",
