@@ -9,6 +9,7 @@ are ``applyInPandasWithState`` with explicit per-collector sequence
 numbers restoring arrival order inside micro-batches.
 """
 
+from .enrich import attach_location_by_gateway, enrich_per_collector
 from .normalize import (
     normalize_chirpstack,
     normalize_mqtt_forwarder,
@@ -25,6 +26,8 @@ from .stateful import (
 )
 
 __all__ = [
+    "enrich_per_collector",
+    "attach_location_by_gateway",
     "normalize_mqtt_forwarder",
     "normalize_chirpstack",
     "normalize_ttn_v2",

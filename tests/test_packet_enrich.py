@@ -1,0 +1,117 @@
+"""Packet-level stateful enrichment (ops 34-36 on the real packet
+stream): scripted arrival sequences through replay source ->
+normalize -> applyInPandasWithState, asserting the reference's
+flush-or-merge and attach-then-reset rules."""
+
+from __future__ import annotations
+
+import json
+
+from rolaguard_data_collectors_spark.sources import register_sources
+from rolaguard_data_collectors_spark.streaming.enrich import (
+    attach_location_by_gateway,
+    enrich_per_collector,
+)
+from rolaguard_data_collectors_spark.streaming.normalize import (
+    normalize_chirpstack,
+    normalize_ttn_v2,
+)
+
+# UnconfirmedDataUp devAddr=017fc1c4 fCnt=17 (tests/test_streaming.py)
+DATA_UP_B64 = "QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI="
+
+
+def _stream_feed(spark, tmp_path, name, records, batch_size=2):
+    register_sources(spark)
+    d = tmp_path / name
+    d.mkdir()
+    with open(d / "collector_1.jsonl", "w") as fh:
+        for i, (topic, value) in enumerate(records):
+            fh.write(
+                json.dumps({"topic": topic, "value": value, "ts": 1700000000 + i})
+                + "\n"
+            )
+    return (
+        spark.readStream.format("lorawan_replay")
+        .option("path", str(d))
+        .option("batchSize", batch_size)
+        .load()
+    )
+
+
+def _drain_to(spark, df, name):
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return [r.asDict() for r in spark.sql(f"select * from {name} order by _seq").collect()]
+
+
+def test_dev_addr_merge_and_flush(spark, tmp_path):
+    gw_msg = json.dumps(
+        {"phyPayload": DATA_UP_B64,
+         "rxInfo": {"rssi": -60.0, "loRaSNR": 7.0, "frequency": 868100000,
+                    "mac": "aabbccddeeff0011"}}
+    )
+    app_match = json.dumps(
+        {"fCnt": 17, "applicationName": "app-x", "deviceName": "dev-x",
+         "devEUI": "b827eb891cf50003",
+         "rxInfo": [{"name": "gw-east",
+                     "location": {"latitude": 1.5, "longitude": 2.5, "altitude": 9.0}}]}
+    )
+    join_msg = json.dumps({"devAddr": "017fc1c4", "devEUI": "b827eb891cf50003"})
+    records = [
+        ("v1/join", join_msg),                                  # 0: map upsert
+        ("gateway/aabb/rx", gw_msg),                            # 1: buffered
+        ("application/1/device/b827eb891cf50003/rx", app_match),  # 2: merges 1
+        ("gateway/aabb/rx", gw_msg),                            # 3: buffered
+        ("gateway/aabb/rx", gw_msg),                            # 4: flushes 3, buffers
+    ]
+    raw = _stream_feed(spark, tmp_path, "feed_devaddr", records)
+    rows = _drain_to(spark, enrich_per_collector(normalize_chirpstack(raw)), "enr_dev")
+    by_seq = {r["_seq"]: r for r in rows}
+    # join row emitted with the map's dev_eui
+    assert by_seq[0]["dev_eui"] == "b827eb891cf50003" and not by_seq[0]["merged"]
+    # gateway packet 1 emitted MERGED with app names + location (op 34)
+    m = by_seq[1]
+    assert m["merged"] is True
+    assert m["app_name"] == "app-x" and m["dev_name"] == "dev-x"
+    assert m["gw_name"] == "gw-east" and m["latitude"] == 1.5
+    assert m["f_count"] == 17 and m["dev_eui"] == "b827eb891cf50003"
+    # the merging app message is absorbed into the merged packet, not
+    # emitted separately (reference :402-448 returns after the merge)
+    assert 2 not in by_seq
+    # gateway packet 3 flushed unmerged by packet 4 — but enriched from
+    # the devices_map (op 35)
+    f = by_seq[3]
+    assert f["merged"] is False and f["dev_eui"] == "b827eb891cf50003"
+    assert f["app_name"] == "app-x" and f["latitude"] is None
+    # packet 4 still buffered at query end (reference behavior: the
+    # buffer flushes on the NEXT arrival)
+    assert 4 not in by_seq
+
+
+def test_location_attach_and_reset(spark, tmp_path):
+    up = json.dumps(
+        {"payload": DATA_UP_B64, "snr": 8.0, "rssi": -50.0,
+         "timestamp": "2024-01-05T10:00:00Z", "rfch": 0, "frequency": 867.5,
+         "coding_rate": "4/5", "dev_eui": "B827EB891CF50003"}
+    )
+    status = json.dumps(
+        {"status": {"location": {"latitude": 44.5, "longitude": 11.3, "altitude": 80.0}}}
+    )
+    records = [
+        ("eui-a1b2", f'gateway uplink "{up}"'),     # 0: no location yet
+        ("eui-a1b2", f"gateway status {status}"),    # 1: captured, consumed
+        ("eui-a1b2", f'gateway uplink "{up}"'),     # 2: gets the location
+        ("eui-a1b2", f'gateway uplink "{up}"'),     # 3: reset -> none
+    ]
+    raw = _stream_feed(spark, tmp_path, "feed_loc", records)
+    rows = _drain_to(
+        spark, attach_location_by_gateway(normalize_ttn_v2(raw)), "enr_loc"
+    )
+    by_seq = {r["_seq"]: r for r in rows}
+    assert set(by_seq) == {0, 2, 3}  # status row consumed, not emitted
+    assert by_seq[0]["latitude"] is None
+    assert by_seq[2]["latitude"] == 44.5 and by_seq[2]["longitude"] == 11.3
+    assert by_seq[3]["latitude"] is None  # attach-then-reset
+    assert all(r["gateway"] == "a1b2" for r in rows)
