@@ -167,6 +167,26 @@ class CollectorManager:
                 q.stop()
                 self._last_status.pop(cfg.id, None)
 
+    def handle_event_rows(self, rows) -> None:
+        """Dispatch parsed control events (sources.control
+        .control_event_stream rows): the EP2 loop fed from a queue."""
+        for r in rows:
+            cfg_row = r["config"]
+            event: dict[str, Any] = {"type": r["type"]}
+            if cfg_row is not None and cfg_row["id"] is not None:
+                # File-backed deployment: config.ip carries the feed
+                # location (the reference's ip/port point at brokers).
+                event["config"] = CollectorConfig(
+                    id=cfg_row["id"],
+                    type=cfg_row["type"]["type"],
+                    organization_id=cfg_row["organization_id"] or 0,
+                    source_format="lorawan_replay",
+                    source_options={"path": cfg_row["ip"]},
+                    enabled=cfg_row["status"] != "DISABLED",
+                )
+                event["id"] = cfg_row["id"]
+            self.handle_event(event)
+
     # -- lifecycle ---------------------------------------------------------
 
     def process_all(self) -> None:

@@ -463,6 +463,42 @@ def test_event_time_windows_stream(spark, sf_dir, events_stream_feed):
     assert len(got) >= len(want) * 0.8
 
 
+def test_session_and_sliding_windows_stream(spark, sf_dir, events_stream_feed):
+    ev = _events_stream(spark, events_stream_feed, batch_size=400)
+    _run_to_memory(live.session_windows_stream(ev), "st_sess", "append")
+    # session_window.end = last event + gap; the batch shadow's
+    # session_end is the last event time — subtract the gap to align.
+    got = spark.sql(
+        "select user_id, session_start, "
+        "session_end - INTERVAL 30 MINUTES as session_end, "
+        "n_events, session_value from st_sess"
+    )
+    # closed sessions must appear verbatim in the batch shadow (the
+    # shadow's lag-gap formulation produces the same session bounds)
+    want = _rows_set(
+        batch_shadows.sessionize_gap30m(spark, sf_dir),
+        ["user_id", "session_start", "session_end", "n_events", "session_value"],
+    )
+    got_set = _rows_set(
+        got, ["user_id", "session_start", "session_end", "n_events", "session_value"]
+    )
+    assert got_set <= want
+    assert len(got_set) >= len(want) * 0.8  # only watermark-open tail missing
+
+    ev2 = _events_stream(spark, events_stream_feed, batch_size=400)
+    _run_to_memory(live.sliding_counts_stream(ev2), "st_slide", "append")
+    want_slide = _rows_set(
+        batch_shadows.sliding_window_2h_1h(spark, sf_dir),
+        ["window_start", "n", "total_value"],
+    )
+    got_slide = _rows_set(
+        spark.sql("select window_start, n, total_value from st_slide"),
+        ["window_start", "n", "total_value"],
+    )
+    assert got_slide <= want_slide
+    assert len(got_slide) >= len(want_slide) * 0.8
+
+
 def test_dedup_within_watermark_stream(spark, sf_dir, events_stream_feed):
     ev = _events_stream(spark, events_stream_feed, batch_size=400)
     _run_to_memory(live.dedup_within_watermark_stream(ev), "st_dedup", "append")
