@@ -173,13 +173,30 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "data")
     )
-    decoys = spark.range(48).select(
-        F.md5(F.concat(F.lit("decoy-"), F.col("id"))).alias("cand_key")
+    # Structured keyspaces, generated in-plan like the reference's
+    # three ~65k-key families (lorawanWrapper.go:279-360): (a) keys
+    # with a repeated byte pattern, (b) keys embedding a counter in the
+    # low bytes, (c) vendor-prefix + counter. Scaled down (16 each) so
+    # the Python CMAC check stays bench-friendly; the plan shape — a
+    # spark.range -> key-expression relation broadcast against frames —
+    # is the 100 TB design (the keyspace side is always the small side).
+    rpt = spark.range(16).select(
+        F.lower(F.conv(F.col("id").cast("string"), 10, 16)).alias("b")
+    ).select(F.expr("repeat(lpad(b, 2, '0'), 16)").alias("cand_key"))
+    ctr = spark.range(16).select(
+        F.concat(F.lit("0" * 24), F.lpad(F.lower(F.hex("id")), 8, "0")).alias("cand_key")
+    )
+    vendor = spark.range(16).select(
+        F.concat(F.lit("b827eb" + "0" * 18), F.lpad(F.lower(F.hex("id")), 8, "0")).alias(
+            "cand_key"
+        )
     )
     true_keys = frames.select(
         F.md5(F.format_string("dev-%d", F.col("user_id"))).alias("cand_key")
     ).distinct()
-    candidates = decoys.unionByName(true_keys).distinct()
+    candidates = (
+        rpt.unionByName(ctr).unionByName(vendor).unionByName(true_keys).distinct()
+    )
     tested = frames.crossJoin(F.broadcast(candidates)).withColumn(
         "ok", validate_mic("data", "cand_key")
     )

@@ -223,9 +223,72 @@ GROUP BY d.vec_id, d.label
 """
 
 
+# --- embedding-cosine near-duplicate pairs --------------------------------
+
+NEAR_DUP_THRESHOLD = 0.4  # testdata embeddings are random unit vectors
+# (max blocked-pair cosine ~0.51); production near-dup uses ~0.9+ — the
+# operator (blocked self-join + cosine + threshold) is identical.
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: candidate pairs blocked by
+    the sign-bit LSH bucket (same 4-bit hyperplane sketch as
+    lsh_bucket_topk), cosine computed only inside blocks, thresholded.
+    Scale: the self-join shuffles both sides on the bucket id — O(sum
+    of squared block sizes) instead of N^2; more hyperplane bits shrink
+    blocks geometrically."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _signbit_bucket("embedding").alias("bucket")
+    )
+    a = emb.alias("a")
+    b = (
+        emb.select(
+            F.col("vec_id").alias("b_vec_id"),
+            F.col("embedding").alias("b_embedding"),
+            F.col("bucket").alias("b_bucket"),
+        )
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b_bucket"))
+        & (F.col("a.vec_id") < F.col("b_vec_id")),
+    )
+    cos = F.round(
+        _dot("embedding", "b_embedding") / (_norm("embedding") * _norm("b_embedding")),
+        6,
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b_vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+_DOT_AB_SQL = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
+    " (x, y) -> x + y)"
+)
+
+NEAR_DUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST({_BUCKET_SQL_A} AS INTEGER) AS bucket,
+       round({_DOT_AB_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON ({_BUCKET_SQL_A}) = ({_BUCKET_SQL_B}) AND a.vec_id < b.vec_id
+WHERE round({_DOT_AB_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
 QUERIES = [
     QuerySpec("cosine_topk_bruteforce", cosine_topk_bruteforce, COSINE_TOPK_ORACLE,
               "brute-force cosine top-k"),
+    QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, NEAR_DUP_ORACLE,
+              "LSH-blocked embedding-cosine near-dup pairs"),
     QuerySpec("lsh_bucket_topk", lsh_bucket_topk, LSH_BUCKET_TOPK_ORACLE,
               "sign-bit LSH bucketed ANN"),
     QuerySpec("ivf_label_topk", ivf_label_topk, IVF_LABEL_TOPK_ORACLE,

@@ -203,9 +203,78 @@ FROM sh GROUP BY doc_id
 """
 
 
+# --- TF-IDF top terms (SURVEY.md §2B text analysis) -----------------------
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 terms. Tokenize (lowercase, strip
+    non-alpha), tf per (doc, term), df via countDistinct, idf =
+    ln(N/df), rank inside each doc. All JVM-side: explode + two hash
+    aggregates + a broadcast join (df table is vocabulary-sized) + one
+    window — the exact shape HashingTF/IDF materializes, kept explicit
+    so the oracle can check values."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(split(regexp_replace(lower(text), '[^a-z]', ' '), ' +'),"
+                " x -> x != '')"
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' +'),
+           x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 QUERIES = [
     QuerySpec("token_counts", token_counts, TOKEN_COUNTS_ORACLE,
               "whitespace + BPE-ish token counting"),
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE,
+              "TF-IDF top-3 terms per document"),
     QuerySpec("quality_scores", quality_scores, QUALITY_SCORES_ORACLE,
               "C4-style quality heuristics"),
     QuerySpec("language_id", language_id, LANGUAGE_ID_ORACLE,
