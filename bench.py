@@ -43,9 +43,28 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     specs = collect_all()
 
-    # Warm-up: JVM classloading + first codegen, not billed to any query.
+    # Ship the package to executors BEFORE the UDF warm-up — queries do
+    # this lazily via load_table, but the warm-up UDF runs first.
+    from rolaguard_data_collectors_spark.bootstrap import ensure_executor_pythonpath
+
+    ensure_executor_pythonpath(spark)
+
+    # Warm-up: JVM classloading, first codegen, and the Arrow Python
+    # runner (worker pool spin-up + package import), so fixed startup
+    # cost isn't billed to whichever query happens to run first.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
         1000
+    ).write.format("noop").mode("overwrite").save()
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.functions.lorawan_udfs import (
+        decode_phypayload,
+    )
+
+    spark.range(256).select(
+        decode_phypayload(
+            F.lit("QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI="), F.lit(None), F.lit(None)
+        )
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
