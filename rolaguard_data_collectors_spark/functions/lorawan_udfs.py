@@ -47,15 +47,22 @@ def decode_phypayload(
     data_b64: pd.Series, app_s_key: pd.Series, nwk_s_key: pd.Series
 ) -> pd.DataFrame:
     """printPHYPayload equivalent (op 41): base64 frame -> parsed
-    struct, optional FRMPayload decrypt when keys are provided."""
-    rows = []
+    struct, optional FRMPayload decrypt when keys are provided.
+
+    Columnar batch build (dict of per-field lists, not list of row
+    dicts): this UDF sits on the hot path of every normalize pipeline,
+    and the row-oriented construction dominated its profile."""
+    cols: dict[str, list] = {f: [] for f in _FIELDS}
+    appends = [cols[f].append for f in _FIELDS]
     for b64, ak, nk in zip(data_b64, app_s_key, nwk_s_key):
         if b64 is None:
-            rows.append(dict.fromkeys(_FIELDS))
+            for ap in appends:
+                ap(None)
             continue
         p = lc.parse_phypayload_b64(b64, ak or None, nk or None)
-        rows.append({f: getattr(p, f) for f in _FIELDS})
-    return pd.DataFrame(rows, columns=_FIELDS)
+        for f, ap in zip(_FIELDS, appends):
+            ap(getattr(p, f))
+    return pd.DataFrame(cols, columns=_FIELDS)
 
 
 @F.pandas_udf(T.StringType())

@@ -90,6 +90,69 @@ def test_dev_addr_merge_and_flush(spark, tmp_path):
     assert 4 not in by_seq
 
 
+def test_multi_collector_concurrent_lifecycle(spark, tmp_path):
+    """Three collectors of different source types running concurrently
+    under one CollectorManager; an UPDATED event rebuilds one of them
+    mid-run without disturbing the others (EP2, Orchestrator.py:185-219)."""
+    from rolaguard_data_collectors_spark.streaming.orchestrator import (
+        CollectorConfig,
+        CollectorManager,
+    )
+
+    register_sources(spark)
+    out = tmp_path / "out"
+    out.mkdir()
+    feeds = {}
+    chirp = json.dumps(
+        {"phyPayload": DATA_UP_B64,
+         "rxInfo": {"rssi": -60.0, "mac": "aabbccddeeff0011"}}
+    )
+    ttn3 = json.dumps(
+        {"name": "gs.up.receive", "time": "2024-01-05T10:00:00Z",
+         "identifiers": [{"gateway_ids": {"gateway_id": "g", "eui": "AA"}}],
+         "data": {"raw_payload": DATA_UP_B64,
+                  "rx_metadata": [{"snr": 7.0, "rssi": -50.0}],
+                  "settings": {"frequency": "868100000", "coding_rate": "4/5"}}}
+    )
+    mqtt = json.dumps({"data": DATA_UP_B64, "freq": 868.3, "datr": "SF7BW125"})
+    for cid, (ctype, topic, value) in {
+        41: ("chirpstack_collector", "gateway/aabb/rx", chirp),
+        42: ("ttn_v3_collector", "", ttn3),
+        43: ("generic_mqtt_collector", "lora/dev-1/up", mqtt),
+    }.items():
+        d = tmp_path / f"feed_{cid}"
+        d.mkdir()
+        with open(d / f"collector_{cid}.jsonl", "w") as fh:
+            for i in range(6):
+                fh.write(json.dumps(
+                    {"topic": topic, "value": value, "ts": 1700000000 + i}) + "\n")
+        feeds[cid] = (ctype, str(d))
+
+    mgr = CollectorManager(spark, str(out))
+    for cid, (ctype, path) in feeds.items():
+        mgr.handle_event({"type": "CREATED", "config": CollectorConfig(
+            id=cid, type=ctype, source_format="lorawan_replay",
+            source_options={"path": path, "batchSize": "3"})})
+    assert len(mgr.queries) == 3
+    mgr.process_all()
+    # UPDATED: rebuild collector 42 in place (stop -> new query)
+    mgr.handle_event({"type": "UPDATED", "config": CollectorConfig(
+        id=42, type="ttn_v3_collector", source_format="lorawan_replay",
+        source_options={"path": feeds[42][1], "batchSize": "3"})})
+    assert len(mgr.queries) == 3
+    mgr.process_all()
+    mgr.stop_all()
+    for cid in feeds:
+        with open(out / f"queue_{cid}.jsonl") as fh:
+            lines = [json.loads(line) for line in fh]
+        assert len(lines) == 6, f"collector {cid}: {len(lines)} envelopes"
+        assert lines[0]["packet"]["dev_addr"] == "017fc1c4"
+    # status history: three CONNECTED, 42's DISCONNECTED+CONNECTED from
+    # the update, three DISCONNECTED from stop_all — change-only per id
+    evs = [(e.data_collector_id, e.status) for e in mgr.status_events]
+    assert evs.count((42, "CONNECTED")) == 2 and evs.count((42, "DISCONNECTED")) == 2
+
+
 def test_location_attach_and_reset(spark, tmp_path):
     up = json.dumps(
         {"payload": DATA_UP_B64, "snr": 8.0, "rssi": -50.0,
