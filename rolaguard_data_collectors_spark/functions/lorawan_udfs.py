@@ -113,6 +113,31 @@ def validate_mic(data_b64: pd.Series, key_hex: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.StringType())
+def pb_uplink_to_json(value: pd.Series) -> pd.Series:
+    """Op 15 (LoraServerIOCollector.py:253-263): when a gateway uplink
+    body isn't JSON, try base64-encoded gw.UplinkFrame protobuf and
+    render the MessageToJson shape the JSON path consumes. Non-base64
+    input (every normal JSON body) fails the strict decode in ~1us and
+    yields null, so the fallback costs nothing on the JSON path."""
+    import json as _json
+
+    from . import protobuf_codec as pbc
+
+    out = []
+    for v in value:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            raw = base64.b64decode(v, validate=True)
+            doc = pbc.decode_uplink_frame(raw)
+            out.append(_json.dumps(doc) if doc.get("phyPayload") else None)
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 SESSION_KEYS_SCHEMA = T.StructType(
     [
         T.StructField("nwk_s_key", T.StringType()),

@@ -132,8 +132,10 @@ def from_protobuf_uplink(
         raise NotImplementedError(
             "from_protobuf_uplink needs a compiled descriptor set for "
             "gw.UplinkFrame (protoc --descriptor_set_out=gw.desc gw.proto); "
-            "pass descriptor_path=... — the protobuf-as-JSON path in "
-            "normalize_chirpstack covers these frames without it"
+            "pass descriptor_path=... — without it, raw frames are handled "
+            "by the pure-Python wire codec (functions.protobuf_codec via "
+            "pb_uplink_to_json, wired into normalize_chirpstack) and "
+            "MessageToJson-shaped frames by the JSON path"
         )
     from pyspark.sql.protobuf.functions import from_protobuf
 

@@ -172,6 +172,21 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
     is_app = ~is_gw & F.col("topic").rlike("application/.+/(device|node)/.+/(rx|up)$")
     is_join = ~is_gw & ~is_app & F.col("topic").rlike("/join$")
 
+    # Op 15: gateway uplinks whose body isn't JSON may be raw
+    # gw.UplinkFrame protobuf (base64 over the string transport);
+    # decode to the MessageToJson shape and fall through to the same
+    # JSON handling (LoraServerIOCollector.py:253-263). The UDF is a
+    # near-free no-op for JSON bodies ('{' fails strict base64).
+    from ..functions.lorawan_udfs import pb_uplink_to_json
+
+    pb_cond = is_gw & F.col("topic").rlike("/up$") & ~F.col("value").startswith("{")
+    base = base.withColumn(
+        "value",
+        F.when(
+            pb_cond, F.coalesce(pb_uplink_to_json(F.col("value")), F.col("value"))
+        ).otherwise(F.col("value")),
+    )
+
     df = base.select(
         "*",
         F.when(is_gw, F.from_json("value", CHIRPSTACK_GATEWAY_SCHEMA)).alias("_g"),
