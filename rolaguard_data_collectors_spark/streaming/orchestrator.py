@@ -61,6 +61,31 @@ class StatusEvent:
     message: str | None = None
 
 
+class QueryStatusListener:
+    """StreamingQueryListener emitting change-only lifecycle events —
+    the listener-based analog of op 38 / the orchestrator's 5 s status
+    poll (Orchestrator.py:88-135). Attach with
+    ``spark.streams.addListener(QueryStatusListener(manager))``."""
+
+    def __new__(cls, manager: "CollectorManager"):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Impl(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                manager.on_query_status(event.name or str(event.id), "CONNECTED")
+
+            def onQueryProgress(self, event):
+                pass  # progress is throughput telemetry, not status
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                manager.on_query_status(str(event.id), "DISCONNECTED")
+
+        return _Impl()
+
+
 class CollectorManager:
     """EP2 control loop over named StreamingQuery instances."""
 
@@ -115,6 +140,14 @@ class CollectorManager:
         if self._last_status.get(collector_id) != status:
             self._last_status[collector_id] = status
             self.status_events.append(StatusEvent(collector_id, status))
+
+    def on_query_status(self, query_key: str, status: str) -> None:
+        """Listener hook (QueryStatusListener): change-only tracking
+        keyed by query name/id for queries not started by this manager."""
+        prev = self._last_status.get(query_key)
+        if prev != status:
+            self._last_status[query_key] = status
+            self.status_events.append(StatusEvent(-1, status, type=query_key))
 
     # -- EP2 event dispatch (Orchestrator.py:138-231) ----------------------
 
