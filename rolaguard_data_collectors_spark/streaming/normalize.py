@@ -247,10 +247,10 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
         # nulls off-route without per-column when()s.
         F.col("_a.applicationName").alias("app_name"),
         F.col("_a.deviceName").alias("dev_name"),
-        F.col("_a.rxInfo")[0]["name"].alias("gw_name"),
-        F.col("_a.rxInfo")[0]["location"]["latitude"].alias("latitude"),
-        F.col("_a.rxInfo")[0]["location"]["longitude"].alias("longitude"),
-        F.col("_a.rxInfo")[0]["location"]["altitude"].alias("altitude"),
+        F.get(F.col("_a.rxInfo"), 0)["name"].alias("gw_name"),
+        F.get(F.col("_a.rxInfo"), 0)["location"]["latitude"].alias("latitude"),
+        F.get(F.col("_a.rxInfo"), 0)["location"]["longitude"].alias("longitude"),
+        F.get(F.col("_a.rxInfo"), 0)["location"]["altitude"].alias("altitude"),
         F.timestamp_seconds(F.col("ts")).alias("date"),
     )
     df = df.withColumn("_p", _decoded(F.col("data")))
@@ -361,8 +361,8 @@ def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
     is_status = name == "gs.status.receive"
     gw = F.lower(
         F.coalesce(
-            F.col("_j.identifiers")[0]["gateway_ids"]["eui"],
-            F.col("_j.identifiers")[0]["gateway_ids"]["gateway_id"],
+            F.get(F.col("_j.identifiers"), 0)["gateway_ids"]["eui"],
+            F.get(F.col("_j.identifiers"), 0)["gateway_ids"]["gateway_id"],
         )
     )
 
@@ -374,8 +374,8 @@ def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
         "*",
         is_status.alias("_is_status"),
         F.when(is_fr, _b64_pad(F.col("_j.data.raw_payload"))).alias("data"),
-        F.when(is_fr, F.col("_j.data.rx_metadata")[0]["snr"]).alias("lsnr"),
-        F.when(is_fr, F.col("_j.data.rx_metadata")[0]["rssi"]).alias("rssi"),
+        F.when(is_fr, F.get(F.col("_j.data.rx_metadata"), 0)["snr"]).alias("lsnr"),
+        F.when(is_fr, F.get(F.col("_j.data.rx_metadata"), 0)["rssi"]).alias("rssi"),
         F.when(
             name == "gs.up.receive",
             F.col("_j.data.settings.frequency").cast("double") / 1000000.0,
@@ -391,9 +391,9 @@ def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
             is_fr, F.unix_micros(F.to_timestamp("_j.time")) / F.lit(1000000.0)
         ).alias("tmst"),
         gw.alias("gateway"),
-        F.col("_j.data.antenna_locations")[0]["latitude"].alias("latitude"),
-        F.col("_j.data.antenna_locations")[0]["longitude"].alias("longitude"),
-        F.col("_j.data.antenna_locations")[0]["altitude"].alias("altitude"),
+        F.get(F.col("_j.data.antenna_locations"), 0)["latitude"].alias("latitude"),
+        F.get(F.col("_j.data.antenna_locations"), 0)["longitude"].alias("longitude"),
+        F.get(F.col("_j.data.antenna_locations"), 0)["altitude"].alias("altitude"),
         F.timestamp_seconds(F.col("ts")).alias("date"),
     )
     df = df.withColumn("_p", _decoded(F.col("data")))
