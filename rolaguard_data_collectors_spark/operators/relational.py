@@ -493,10 +493,22 @@ FROM orders
 
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    # One percentile aggregate with an array of fractions: a single
+    # per-group value buffer instead of three (3x less agg memory and
+    # sort work — matters when the group payload is 100 TB / n_groups).
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+            ).alias("_p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("p25"),
+            F.round(F.col("_p")[1], 4).alias("p50"),
+            F.round(F.col("_p")[2], 4).alias("p75"),
+        )
     )
 
 
