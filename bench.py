@@ -61,7 +61,8 @@ def main() -> None:
         decode_phypayload,
     )
 
-    spark.range(256).select(
+    n_workers = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.range(256).repartition(n_workers).select(
         decode_phypayload(
             F.lit("QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI="), F.lit(None), F.lit(None)
         )
