@@ -536,7 +536,68 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- as-of join (guide-named custom operator Spark lacks natively) --------
+
+
+def asof_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, its latest lineitem shipped at or
+    before o_orderdate + 90 days (key equi-join + range predicate +
+    top-1 per key). Spark has no native ASOF JOIN; the scalable
+    expansion is the equi-join on the key (co-locates per-key data —
+    bucketing/broadcast applies as for any equi-join) with the range
+    filter in the join condition, then a bounded per-key sort. Ties
+    broken deterministically by line number."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linenumber", "l_extendedprice"
+    )
+    j = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left",
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc_nulls_last("l_shipdate"),
+        F.desc_nulls_last("l_linenumber"),
+        F.desc_nulls_last("l_extendedprice"),  # synthetic data can repeat line numbers
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("l_shipdate").alias("asof_shipdate"),
+            F.col("l_linenumber").alias("asof_linenumber"),
+            F.round("l_extendedprice", 2).alias("asof_price"),
+        )
+    )
+
+
+ASOF_JOIN_ORACLE = """
+SELECT o_orderkey, o_orderdate, l_shipdate AS asof_shipdate,
+       l_linenumber AS asof_linenumber,
+       round(l_extendedprice, 2) AS asof_price
+FROM (
+  SELECT o.o_orderkey, o.o_orderdate, l.l_shipdate, l.l_linenumber,
+         l.l_extendedprice,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY l.l_shipdate DESC NULLS LAST,
+                    l.l_linenumber DESC NULLS LAST,
+                    l.l_extendedprice DESC NULLS LAST) AS rn
+  FROM orders o LEFT JOIN lineitem l
+    ON o.o_orderkey = l.l_orderkey
+   AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+)
+WHERE rn = 1
+"""
+
+
 QUERIES = [
+    QuerySpec("asof_join_orders_lineitem", asof_join_orders_lineitem,
+              ASOF_JOIN_ORACLE, "as-of join: key + range + top-1 per key"),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, "TPC-H Q1 hash agg"),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "join+agg+topk"),
     QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_ORACLE, "5-way join"),
