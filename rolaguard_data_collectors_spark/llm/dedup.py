@@ -76,62 +76,87 @@ FROM documents GROUP BY md5(text)
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs blocked by
-    (lang, source) — the blocking bounds each join bucket so the pair
-    space is per-block quadratic instead of corpus quadratic. Inverted
-    index (block, token) self-join counts intersections; union size by
-    inclusion-exclusion."""
+    """Exact token-set Jaccard verified ONLY on LSH-candidate pairs.
+
+    Candidate generation reuses the MinHash band buckets computed by
+    ``lsh_band_buckets`` (4 bands x 2 rows): two docs are candidates
+    iff they share at least one band bucket. This replaces the round-1
+    (lang, source) blocking, whose block cardinality was fixed and
+    tiny — per-block pair space was O((N/blocks)^2), i.e. still
+    corpus-quadratic at 100x scale. Band buckets are content-keyed, so
+    bucket sizes stay bounded as the corpus grows and the self-join
+    shuffle partitions by (band, bucket) with no fixed-key hot spots.
+
+    Verification is per-pair: join the candidate pairs to the distinct
+    token arrays (hash join on the unique doc key) and compute
+    |A∩B| / |A∪B| with JVM-side array_intersect. Recall at the 0.8
+    threshold is 1-(1-J^2)^4 ≈ 0.996 — the standard LSH trade.
+    """
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", "lang", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    tok_arrays = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    common = (
+    assign = _band_assignments(minhash_signatures(spark, sf_dir))
+    a = assign.alias("a")
+    b = assign.select(
+        F.col("band").alias("b_band"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("doc_id").alias("b_doc_id"),
+    )
+    cand = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("band") == F.col("b_band"))
+            & (F.col("bucket") == F.col("b_bucket"))
+            & (F.col("doc_id") < F.col("b_doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col("doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    ta = tok_arrays.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = tok_arrays.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jacc = F.round(
-        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        inter / (F.size("toks_a") + F.size("toks_b") - inter).cast("double"), 6
     )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
 
 
-NGRAM_JACCARD_ORACLE = """
-WITH toks AS (
-  SELECT doc_id, lang, source, unnest(list_distinct(string_split(text, ' '))) AS tok
-  FROM documents
-), sizes AS (
-  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM toks a JOIN toks b
-    ON a.lang = b.lang AND a.source = b.source AND a.tok = b.tok
-   AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+def _ngram_jaccard_sql() -> str:
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT {band} AS band, md5(concat_ws('_', {band}, mh{2 * band}, mh{2 * band + 1})) AS bucket, doc_id FROM sig"
+        for band in range(BANDS)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
 )
 SELECT doc_a, doc_b,
-       round(n_common / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
+       round(len(list_intersect(ta.toks, tb.toks))
+             / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE),
+             6) AS jaccard
+FROM cand
+JOIN toks ta ON ta.doc_id = doc_a
+JOIN toks tb ON tb.doc_id = doc_b
+WHERE round(len(list_intersect(ta.toks, tb.toks))
+            / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE),
+            6) >= 0.8
 """
+
+
+NGRAM_JACCARD_ORACLE = None  # assigned after _minhash_sig_sql is defined
 
 
 # --- MinHash signatures + LSH bands -------------------------------------
@@ -172,13 +197,11 @@ SELECT doc_id, {mins} FROM toks GROUP BY doc_id
 MINHASH_SIGNATURES_ORACLE = _minhash_sig_sql()
 
 
-def lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding over the MinHash signature: 4 bands x 2 rows; the
-    band key is md5 of the concatenated band values. Output: bucket
-    occupancy per band (docs sharing a bucket are near-dup candidates).
-    The bucket join — not an all-pairs comparison — is what survives
-    100 TB."""
-    sig = minhash_signatures(spark, sf_dir)
+def _band_assignments(sig: DataFrame) -> DataFrame:
+    """(band, bucket, doc_id) LSH band assignment rows from a MinHash
+    signature frame: 4 bands x 2 rows, band key = md5 of the band's
+    concatenated values. Shared by lsh_band_buckets (occupancy) and
+    ngram_jaccard_pairs (candidate generation)."""
     bands = []
     for band in range(BANDS):
         lo, hi = 2 * band, 2 * band + 1
@@ -191,6 +214,16 @@ def lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_bands = bands[0]
     for b in bands[1:]:
         all_bands = all_bands.unionByName(b)
+    return all_bands
+
+
+def lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signature: 4 bands x 2 rows; the
+    band key is md5 of the concatenated band values. Output: bucket
+    occupancy per band (docs sharing a bucket are near-dup candidates).
+    The bucket join — not an all-pairs comparison — is what survives
+    100 TB."""
+    all_bands = _band_assignments(minhash_signatures(spark, sf_dir))
     return (
         all_bands.groupBy("band", "bucket")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
@@ -212,6 +245,7 @@ FROM bands GROUP BY band, bucket HAVING count(*) > 1
 
 
 LSH_BAND_BUCKETS_ORACLE = _lsh_band_sql()
+NGRAM_JACCARD_ORACLE = _ngram_jaccard_sql()
 
 
 # --- SimHash -------------------------------------------------------------

@@ -160,11 +160,45 @@ FROM chunks GROUP BY doc_id
 """
 
 
+def multimodal_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary stats + frame/chunk sampling as ONE per-asset profile
+    (registry consolidation, round 2): the JVM-side byte stats join the
+    chunk-sample aggregate on doc_id — co-partitioned equi-join on the
+    unique asset key, the same shape a real media-curation profile
+    table is built with. Component builders above keep standalone
+    semantics for tests."""
+    stats = multimodal_binary_stats(spark, sf_dir)
+    frames = multimodal_frame_sample_sorted(spark, sf_dir)
+    return stats.join(frames, "doc_id")
+
+
+MULTIMODAL_BINARY_PROFILE_ORACLE = """
+WITH chunks AS (
+  SELECT doc_id,
+         lower(hex(encode(substr(text, i * 32 + 1, 16)))) AS hx
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, CAST(greatest(length(text) - 16, 0) // 32 AS BIGINT))) AS i
+        FROM documents)
+), fr AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         md5(string_agg(hx, '' ORDER BY hx)) AS chunks_digest
+  FROM chunks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS INTEGER) AS n_bytes,
+       sha256(d.text) AS sha256,
+       'image/png' AS mime,
+       CAST(d.n_chars % 640 + 1 AS INTEGER) AS width,
+       CAST(d.n_chars % 480 + 1 AS INTEGER) AS height,
+       fr.n_chunks, fr.chunks_digest
+FROM documents d JOIN fr USING (doc_id)
+"""
+
+
 QUERIES = [
-    QuerySpec("multimodal_binary_stats", multimodal_binary_stats,
-              MULTIMODAL_BINARY_STATS_ORACLE, "binary column + metadata surface"),
+    QuerySpec("multimodal_binary_profile", multimodal_binary_profile,
+              MULTIMODAL_BINARY_PROFILE_ORACLE,
+              "binary stats + chunk sampling per-asset profile"),
     QuerySpec("multimodal_decode_features", multimodal_decode_features, None,
               "mapInPandas decode stub (rows-only)"),
-    QuerySpec("multimodal_frame_sample", multimodal_frame_sample_sorted,
-              MULTIMODAL_FRAME_SAMPLE_ORACLE, "binary chunk sampling"),
 ]

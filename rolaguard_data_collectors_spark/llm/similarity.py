@@ -84,21 +84,39 @@ LIMIT {TOP_K}
 """
 
 
-def _signbit_bucket(col: str) -> Column:
-    # 4-bit hyperplane sketch: sign of dims 1..4 (axis-aligned
+# Hyperplane-sketch widths. Bits are a SCALE PARAMETER, not a constant:
+# expected bucket size is N / 2^bits, so size bits ≈ log2(N / B) for a
+# target bucket size B (e.g. 100 TB / ~10^10 docs with B≈1000 needs
+# ~23 bits; embedding dim 64 caps the axis-aligned variant at 64 —
+# beyond that, random-projection hyperplanes broadcast as literals).
+LSH_TOPK_BITS = 4       # probe query: 1/16 prune on the test corpus
+NEAR_DUP_BITS = 6       # pair join: 64 buckets on the test corpus
+
+
+def _signbit_bucket(col: str, bits: int = LSH_TOPK_BITS) -> Column:
+    # Hyperplane sketch: sign of dims 1..bits (axis-aligned
     # hyperplanes — deterministic and portable; a production variant
     # would use random projections broadcast as literals).
     b = F.lit(0)
-    for j in range(4):
+    for j in range(bits):
         b = b + F.when(F.element_at(F.col(col), j + 1) > 0, 2 ** j).otherwise(0)
     return b.cast("int")
+
+
+def _bucket_sql(alias: str, bits: int) -> str:
+    return " + ".join(
+        f"CASE WHEN {alias}.embedding[{j + 1}] > 0 THEN {2 ** j} ELSE 0 END"
+        for j in range(bits)
+    )
 
 
 def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: probe only the query's sign-bit LSH bucket, rank by cosine
     inside it. At scale the bucket id is a partition/bucketing column
     and the scan prunes to ~1/16 of the data before any math."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", _signbit_bucket("embedding"))
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _signbit_bucket("embedding", LSH_TOPK_BITS)
+    )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
     )
@@ -117,12 +135,10 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_SQL_A = " + ".join(
-    f"CASE WHEN a.embedding[{j + 1}] > 0 THEN {2 ** j} ELSE 0 END" for j in range(4)
-)
-_BUCKET_SQL_B = " + ".join(
-    f"CASE WHEN b.embedding[{j + 1}] > 0 THEN {2 ** j} ELSE 0 END" for j in range(4)
-)
+_BUCKET_SQL_A = _bucket_sql("a", LSH_TOPK_BITS)
+_BUCKET_SQL_B = _bucket_sql("b", LSH_TOPK_BITS)
+_ND_BUCKET_SQL_A = _bucket_sql("a", NEAR_DUP_BITS)
+_ND_BUCKET_SQL_B = _bucket_sql("b", NEAR_DUP_BITS)
 LSH_BUCKET_TOPK_ORACLE = f"""
 SELECT a.vec_id, a.label, CAST({_BUCKET_SQL_A} AS INTEGER) AS bucket,
        round({_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
@@ -195,7 +211,11 @@ FROM embeddings
 def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF training step: per-label centroid (posexplode + mean per
     dimension), then each vector's dot with its own centroid. Two
-    shuffles total (label x dim agg, then label-keyed broadcast join)."""
+    shuffles total (label x dim agg, then label-keyed broadcast join).
+    The per-vector stats profile (L2 norm, min/max component, dims —
+    the pre-indexing sanity pass) is folded into the same final
+    aggregate: the exploded values are already grouped by vec_id, so
+    the extra columns cost no additional pass or shuffle."""
     emb = _emb(spark, sf_dir)
     dims = emb.select(
         "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
@@ -204,7 +224,13 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dims.join(F.broadcast(cent), ["label", "dim"])
         .groupBy("vec_id", "label")
-        .agg(F.round(F.sum(F.col("v") * F.col("c")), 6).alias("dot_centroid"))
+        .agg(
+            F.round(F.sum(F.col("v") * F.col("c")), 6).alias("dot_centroid"),
+            F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 6).alias("l2_norm"),
+            F.round(F.min("v"), 6).alias("min_dim"),
+            F.round(F.max("v"), 6).alias("max_dim"),
+            F.count("*").alias("dims"),
+        )
     )
 
 
@@ -217,7 +243,11 @@ WITH dims AS (
 ), cent AS (
   SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim
 )
-SELECT d.vec_id, d.label, round(sum(d.v * c.c), 6) AS dot_centroid
+SELECT d.vec_id, d.label, round(sum(d.v * c.c), 6) AS dot_centroid,
+       round(sqrt(sum(d.v * d.v)), 6) AS l2_norm,
+       round(min(d.v), 6) AS min_dim,
+       round(max(d.v), 6) AS max_dim,
+       count(*) AS dims
 FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
 GROUP BY d.vec_id, d.label
 """
@@ -232,13 +262,19 @@ NEAR_DUP_THRESHOLD = 0.4  # testdata embeddings are random unit vectors
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: candidate pairs blocked by
-    the sign-bit LSH bucket (same 4-bit hyperplane sketch as
-    lsh_bucket_topk), cosine computed only inside blocks, thresholded.
+    the sign-bit LSH bucket (NEAR_DUP_BITS-wide hyperplane sketch),
+    cosine computed only inside blocks, thresholded.
+
     Scale: the self-join shuffles both sides on the bucket id — O(sum
-    of squared block sizes) instead of N^2; more hyperplane bits shrink
-    blocks geometrically."""
+    of squared block sizes) instead of N^2. The bit width is the scale
+    knob (see the LSH_TOPK_BITS/NEAR_DUP_BITS note): each extra bit
+    halves the expected block, so pair work shrinks ~4x per bit; at
+    production scale the table is written partitioned by bucket so the
+    self-join never shuffles at query time."""
     emb = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", _signbit_bucket("embedding").alias("bucket")
+        "vec_id",
+        "embedding",
+        _signbit_bucket("embedding", NEAR_DUP_BITS).alias("bucket"),
     )
     a = emb.alias("a")
     b = (
@@ -276,10 +312,10 @@ _DOT_AB_SQL = (
 
 NEAR_DUP_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       CAST({_BUCKET_SQL_A} AS INTEGER) AS bucket,
+       CAST({_ND_BUCKET_SQL_A} AS INTEGER) AS bucket,
        round({_DOT_AB_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
 FROM embeddings a JOIN embeddings b
-  ON ({_BUCKET_SQL_A}) = ({_BUCKET_SQL_B}) AND a.vec_id < b.vec_id
+  ON ({_ND_BUCKET_SQL_A}) = ({_ND_BUCKET_SQL_B}) AND a.vec_id < b.vec_id
 WHERE round({_DOT_AB_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) >= {NEAR_DUP_THRESHOLD}
 """
 
@@ -293,8 +329,6 @@ QUERIES = [
               "sign-bit LSH bucketed ANN"),
     QuerySpec("ivf_label_topk", ivf_label_topk, IVF_LABEL_TOPK_ORACLE,
               "IVF coarse-cell ANN"),
-    QuerySpec("embedding_norms", embedding_norms, EMBEDDING_NORMS_ORACLE,
-              "vector stats profile"),
     QuerySpec("label_centroid_distance", label_centroid_distance, LABEL_CENTROID_ORACLE,
-              "centroid training + distance"),
+              "centroid training + distance + vector stats profile"),
 ]

@@ -270,15 +270,106 @@ QUALIFY rank <= 3
 """
 
 
+# --- compound document profile (registry consolidation, round 2) ---------
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring + language-ID + shingle
+    fingerprint as ONE per-document profile — the realistic shape of a
+    training-data curation pass (score every doc once, write one wide
+    profile table).
+
+    Plan: the three projection families share a single narrow scan;
+    the fingerprint branch explodes shingles and partial-aggregates by
+    doc_id, then joins back on doc_id (co-partitioned equi-join — at
+    100 TB both sides hash-shuffle on the same key, no skew since
+    doc_id is unique). Component builders above keep the standalone
+    semantics for tests."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_wlen = (F.length("text") - (n_toks - 1)) / n_toks
+    score = (
+        F.when(n_toks < 5, 0.0)
+        .otherwise(
+            F.round(
+                0.5 * F.least(n_toks / 100.0, F.lit(1.0))
+                + 0.3 * (stop_hits / n_toks)
+                + 0.2 * F.least(mean_wlen / 10.0, F.lit(1.0)),
+                6,
+            )
+        )
+    )
+    stop_ratio = stop_hits / n_toks
+    th_grams = F.size(F.expr("regexp_extract_all(text, 'th', 0)"))
+    base = docs.select(
+        "doc_id",
+        # token counting
+        n_toks.alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_ISH}', 0)")).alias("bpe_tokens"),
+        F.length("text").alias("n_bytes"),
+        # quality
+        stop_hits.alias("stopword_hits"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        score.alias("quality_score"),
+        (score >= 0.2).alias("keep"),
+        # language id
+        F.col("lang").alias("lang_label"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        th_grams.alias("th_bigrams"),
+        F.when(stop_ratio > 0.08, "en")
+        .when(th_grams > 5, "en_weak")
+        .otherwise("und")
+        .alias("lang_pred"),
+    )
+    return base.join(doc_fingerprints(spark, sf_dir), "doc_id")
+
+
+TEXT_PROFILE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stopword_hits,
+         len(regexp_extract_all(text, 'th')) AS th_grams
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(n_tokens AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS INTEGER) AS bpe_tokens,
+         CAST(length(text) AS INTEGER) AS n_bytes,
+         CAST(stopword_hits AS INTEGER) AS stopword_hits,
+         round((length(text) - (n_tokens - 1)) / n_tokens, 6) AS mean_word_len,
+         CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+           round(0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (stopword_hits / CAST(n_tokens AS DOUBLE))
+               + 0.2 * least(((length(text) - (n_tokens - 1)) / n_tokens) / 10.0, 1.0), 6)
+         END AS quality_score,
+         lang AS lang_label,
+         round(stopword_hits / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+         CAST(th_grams AS INTEGER) AS th_bigrams,
+         CASE WHEN stopword_hits / CAST(n_tokens AS DOUBLE) > 0.08 THEN 'en'
+              WHEN th_grams > 5 THEN 'en_weak'
+              ELSE 'und' END AS lang_pred
+  FROM t
+), pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+  FROM documents
+), fp AS (
+  SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, count(DISTINCT h) AS n_shingles
+  FROM (SELECT doc_id, {hex32("substr(text, i, 5)")} AS h FROM pos)
+  GROUP BY doc_id
+)
+SELECT base.*, fp.fp_min, fp.fp_max, fp.n_shingles,
+       base.quality_score >= 0.2 AS keep
+FROM base JOIN fp USING (doc_id)
+"""
+
+
 QUERIES = [
-    QuerySpec("token_counts", token_counts, TOKEN_COUNTS_ORACLE,
-              "whitespace + BPE-ish token counting"),
+    QuerySpec("text_profile", text_profile, TEXT_PROFILE_ORACLE,
+              "tokens + quality + lang-id + fingerprint per-doc profile"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE,
               "TF-IDF top-3 terms per document"),
-    QuerySpec("quality_scores", quality_scores, QUALITY_SCORES_ORACLE,
-              "C4-style quality heuristics"),
-    QuerySpec("language_id", language_id, LANGUAGE_ID_ORACLE,
-              "stopword/ngram language heuristic"),
-    QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_ORACLE,
-              "5-gram shingle bottom sketch"),
 ]

@@ -595,39 +595,219 @@ WHERE rn = 1
 """
 
 
+# --- compound queries (registry consolidation, round 2) ------------------
+#
+# The driver's correctness gate checks a bounded window of registry
+# entries; the fine-grained single-operator demos above are registered
+# as tagged unions / joined compounds so every physical operator class
+# still gets a driver-checked row. Component builders stay exported
+# for tests and .explain audits.
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) in one tagged
+    union. Both sides probe orders with no row multiplication."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    orders = _t(spark, sf_dir, "orders")
+    semi = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .withColumn("op", F.lit("semi"))
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .withColumn("op", F.lit("anti"))
+    )
+    return semi.unionByName(anti)
+
+
+JOIN_SEMI_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment, 'semi' AS op
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, 'anti' AS op
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS in one tagged union (each branch
+    is its own partial-aggregating expand+hash-agg; the union is
+    plan-level concatenation, no extra shuffle)."""
+    roll = rollup_returnflag_status(spark, sf_dir).select(
+        F.lit("rollup").alias("gset"),
+        F.col("l_returnflag").alias("key1"),
+        F.col("l_linestatus").alias("key2"),
+        "n",
+        F.col("sum_qty").alias("agg_val"),
+    )
+    cube = cube_status_priority(spark, sf_dir).select(
+        F.lit("cube").alias("gset"),
+        F.col("o_orderstatus").alias("key1"),
+        F.col("o_orderpriority").alias("key2"),
+        "n",
+        F.col("total").alias("agg_val"),
+    )
+    gsets = grouping_sets_mixed(spark, sf_dir).select(
+        F.lit("gsets").alias("gset"),
+        F.col("l_returnflag").alias("key1"),
+        F.col("l_linestatus").alias("key2"),
+        "n",
+        F.lit(None).cast("double").alias("agg_val"),
+    )
+    return roll.unionByName(cube).unionByName(gsets)
+
+
+GROUPING_ANALYTICS_ORACLE = """
+SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
+       count(*) AS n, round(sum(l_quantity), 2) AS agg_val
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS gset, o_orderstatus AS key1, o_orderpriority AS key2,
+       count(*) AS n, round(sum(o_totalprice), 2) AS agg_val
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'gsets' AS gset, l_returnflag AS key1, l_linestatus AS key2,
+       count(*) AS n, CAST(NULL AS DOUBLE) AS agg_val
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+def window_functions_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ranking, lag delta, and a running rows-frame sum over
+    orders in one pass — one partitionBy(o_custkey) hash shuffle feeds
+    all three window specs (Catalyst groups same-partitioning windows
+    into adjacent Window nodes; no second shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_rank).alias("rn"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w_seq), 2).alias(
+            "price_delta"
+        ),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+    )
+
+
+WINDOW_COMBO_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn,
+       round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey), 2) AS price_delta,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def pivot_distinct_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot() and multi-distinct aggregates joined on the group key
+    (two tiny agg outputs, broadcast join)."""
+    piv = pivot_linestatus(spark, sf_dir)
+    dc = distinct_counts(spark, sf_dir)
+    return piv.join(F.broadcast(dc), "l_returnflag")
+
+
+PIVOT_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/date builtin surface in one projection over orders
+    (all JVM-side Catalyst expressions, whole-stage codegen'd).
+    Supersedes the separate part-table string demo + orders date demo;
+    part-specific expressions keep their unit coverage via
+    scalar_function_showcase in tests."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_head"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        (F.col("o_orderkey") % 5).alias("key_mod"),
+        F.abs(F.col("o_totalprice") - 100000).alias("price_dist"),
+        # *2 is exact in binary floating point; *1.1 lands on half-way
+        # rounding cases where Spark (HALF_UP) and other engines differ
+        F.round(F.col("o_totalprice") * 2, 2).alias("price_up"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("price_floor"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("closed")).alias(
+            "status_or_closed"
+        ),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+    )
+
+
+FUNCTION_SHOWCASE_ORACLE = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+       substr(o_orderpriority, 1, 1) AS prio_head,
+       concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+       trim('  x  ') AS trimmed,
+       o_orderkey % 5 AS key_mod,
+       abs(o_totalprice - 100000) AS price_dist,
+       round(o_totalprice * 2, 2) AS price_up,
+       greatest(o_totalprice, 50000.0) AS price_floor,
+       coalesce(nullif(o_orderstatus, 'O'), 'closed') AS status_or_closed,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(day(o_orderdate) AS INTEGER) AS d,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS plus30
+FROM orders
+"""
+
+
 QUERIES = [
     QuerySpec("asof_join_orders_lineitem", asof_join_orders_lineitem,
               ASOF_JOIN_ORACLE, "as-of join: key + range + top-1 per key"),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, "TPC-H Q1 hash agg"),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "join+agg+topk"),
     QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_ORACLE, "5-way join"),
-    QuerySpec("join_semi_customers_with_orders", join_semi_customers_with_orders,
-              JOIN_SEMI_ORACLE, "left semi (EXISTS)"),
-    QuerySpec("join_anti_customers_without_orders", join_anti_customers_without_orders,
-              JOIN_ANTI_ORACLE, "left anti (NOT EXISTS)"),
+    QuerySpec("join_semi_anti", join_semi_anti, JOIN_SEMI_ANTI_ORACLE,
+              "left semi + left anti (tagged union)"),
     QuerySpec("join_left_outer_order_counts", join_left_outer_order_counts,
               JOIN_LEFT_OUTER_ORACLE, "left outer + null-safe count"),
     QuerySpec("broadcast_part_join", broadcast_part_join, BROADCAST_PART_ORACLE,
               "broadcast dim join"),
-    QuerySpec("rollup_returnflag_status", rollup_returnflag_status, ROLLUP_ORACLE, "rollup"),
-    QuerySpec("cube_status_priority", cube_status_priority, CUBE_ORACLE, "cube"),
-    QuerySpec("grouping_sets_mixed", grouping_sets_mixed, GROUPING_SETS_ORACLE,
-              "grouping sets"),
-    QuerySpec("window_topk_orders_per_customer", window_topk_orders_per_customer,
-              WINDOW_TOPK_ORACLE, "row_number topk per group"),
-    QuerySpec("window_lag_price_delta", window_lag_price_delta, WINDOW_LAG_ORACLE, "lag"),
-    QuerySpec("window_running_supplier_qty", window_running_supplier_qty,
-              WINDOW_RUNNING_ORACLE, "running frame sum"),
+    QuerySpec("grouping_analytics", grouping_analytics, GROUPING_ANALYTICS_ORACLE,
+              "rollup + cube + grouping sets (tagged union)"),
+    QuerySpec("window_functions_combo", window_functions_combo, WINDOW_COMBO_ORACLE,
+              "row_number + lag + running frame in one pass"),
     QuerySpec("topk_global_orders", topk_global_orders, TOPK_GLOBAL_ORACLE,
               "global top-k"),
     QuerySpec("set_ops_nations", set_ops_nations, SET_OPS_ORACLE, "union/intersect/except"),
-    QuerySpec("distinct_counts", distinct_counts, DISTINCT_COUNTS_ORACLE,
-              "multi distinct agg"),
-    QuerySpec("pivot_linestatus", pivot_linestatus, PIVOT_ORACLE, "pivot"),
-    QuerySpec("scalar_function_showcase", scalar_function_showcase, SCALAR_SHOWCASE_ORACLE,
-              "string/math builtins"),
-    QuerySpec("date_function_showcase", date_function_showcase, DATE_SHOWCASE_ORACLE,
-              "date builtins"),
+    QuerySpec("pivot_distinct_summary", pivot_distinct_summary, PIVOT_DISTINCT_ORACLE,
+              "pivot + multi distinct agg"),
+    QuerySpec("function_showcase", function_showcase, FUNCTION_SHOWCASE_ORACLE,
+              "string/math/date builtins"),
     QuerySpec("exact_percentiles", exact_percentiles, EXACT_PERCENTILES_ORACLE,
               "exact quantiles"),
     QuerySpec("approx_aggregates", approx_aggregates, None,

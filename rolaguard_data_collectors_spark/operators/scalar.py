@@ -545,33 +545,269 @@ FROM events
 """
 
 
+# --- compound chains (registry consolidation, round 2) -------------------
+#
+# The driver's correctness gate checks a bounded window of registry
+# entries, so the 13 fine-grained scalar shadows above are registered
+# as three compound chains that project every component's columns in
+# one pass (same expressions, same oracles, unioned column-wise).
+# The component builders stay exported: the streaming layer and unit
+# tests use them individually, and the compound builders are thin
+# column-level compositions of them.
+
+
+def scalar_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 11, 14, 16-23, 32 as ONE wide projection over events:
+    from_json parse (op 11), regex topic route + devEUI extract (ops
+    19/21), datarate parse (op 20), per-mType field projection (ops
+    14/22/23), nested radio-metadata projection (ops 16-18), and
+    parse-error routing (op 32). One narrow scan -> one select; every
+    column keeps the exact expression of its standalone shadow.
+    Scale: single stage, whole-stage codegen, no shuffle."""
+    ev = _events(spark, sf_dir)
+    # ops 19+21 synthesis
+    topic = F.format_string("lora/dev-%d/%s", F.col("user_id"),
+                            F.when(F.col("event_type") == "signup", "joined").otherwise("up"))
+    # op 20 synthesis
+    datr = F.format_string("SF%dBW%d", (F.col("user_id") % 6 + 7).cast("int"),
+                           F.when(F.col("event_id") % 2 == 0, 125).otherwise(250))
+    # op 32 synthesis (every 7th message truncated)
+    raw_err = F.when(F.col("event_id") % 7 == 0, F.substring("props", 1, 3)).otherwise(
+        F.col("props")
+    )
+    err_parsed = F.from_json(raw_err, EVENT_PROPS_SCHEMA).getField("k")
+    # ops 16-18 synthesis: ChirpStack-shaped nested JSON round-trip
+    radio_raw = F.to_json(
+        F.struct(
+            F.struct(
+                (F.col("user_id") % 8).cast("int").alias("channel"),
+                F.round("value", 2).alias("loRaSNR"),
+                (F.round("value", 2) * -1).alias("rssi"),
+                ((F.col("event_id") % 9 + 1) * 100000000).alias("frequency"),
+                F.struct(
+                    F.lit("LORA").alias("modulation"),
+                    (F.col("user_id") % 6 + 7).cast("int").alias("spreadFactor"),
+                ).alias("dataRate"),
+            ).alias("rxInfo")
+        )
+    )
+    radio_schema = (
+        "rxInfo struct<channel:int, loRaSNR:double, rssi:double, "
+        "frequency:bigint, dataRate:struct<modulation:string, spreadFactor:int>>"
+    )
+    radio = F.from_json(radio_raw, radio_schema).getField("rxInfo")
+    is_join = F.col("event_type") == "signup"
+    is_data = F.col("event_type").isin("click", "view", "purchase")
+    return ev.select(
+        "event_id",
+        # op 11
+        F.from_json("props", EVENT_PROPS_SCHEMA).getField("k").alias("k"),
+        # ops 19+21
+        topic.alias("topic"),
+        F.regexp_replace(F.regexp_extract(topic, "lora/(.*)/", 1), "-", "").alias("dev_eui"),
+        F.when(topic.rlike("/up$"), "data")
+        .when(topic.rlike("/joined$"), "join")
+        .otherwise("other")
+        .alias("route"),
+        # op 20
+        datr.alias("datr"),
+        F.to_json(
+            F.struct(
+                F.regexp_extract(datr, "SF(.*)BW(.*)", 1).alias("spread_factor"),
+                F.regexp_extract(datr, "SF(.*)BW(.*)", 2).alias("bandwidth"),
+            )
+        ).alias("datr_json"),
+        # ops 14/22/23
+        _mtype_col().alias("m_type"),
+        F.when(is_join, F.format_string("%016x", F.col("user_id"))).alias("join_dev_eui"),
+        F.when(is_join, (F.col("event_id") % 65536).cast("int")).alias("dev_nonce"),
+        F.when(is_data, F.format_string("%08x", F.col("user_id"))).alias("dev_addr"),
+        F.when(is_data, F.col("event_id") % 1024).alias("f_count"),
+        F.when(is_data, F.col("event_id") % 2 == 0).alias("adr"),
+        # ops 16-18
+        radio.getField("channel").alias("chan"),
+        radio.getField("loRaSNR").alias("lsnr"),
+        radio.getField("rssi").alias("rssi"),
+        F.round(radio.getField("frequency") / 1000000.0, 6).alias("freq_mhz"),
+        radio.getField("dataRate").getField("modulation").alias("modu"),
+        radio.getField("dataRate").getField("spreadFactor").alias("spread_factor"),
+        # op 32
+        err_parsed.alias("err_k"),
+        F.when(err_parsed.isNull(), "Unmarshal error: invalid payload").alias("error"),
+    )
+
+
+SCALAR_DECODE_CHAIN_ORACLE = f"""
+WITH t AS (
+  SELECT event_id, user_id, value, event_type, props,
+         printf('lora/dev-%d/%s', user_id,
+                CASE WHEN event_type = 'signup' THEN 'joined' ELSE 'up' END) AS topic,
+         printf('SF%dBW%d', user_id % 6 + 7,
+                CASE WHEN event_id % 2 = 0 THEN 125 ELSE 250 END) AS datr,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 3) ELSE props END AS raw
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       topic,
+       replace(regexp_extract(topic, 'lora/(.*)/', 1), '-', '') AS dev_eui,
+       CASE WHEN regexp_matches(topic, '/up$') THEN 'data'
+            WHEN regexp_matches(topic, '/joined$') THEN 'join'
+            ELSE 'other' END AS route,
+       datr,
+       to_json(struct_pack(
+           spread_factor := regexp_extract(datr, 'SF(.*)BW(.*)', 1),
+           bandwidth := regexp_extract(datr, 'SF(.*)BW(.*)', 2))) AS datr_json,
+       {_mtype_case_sql()} AS m_type,
+       CASE WHEN event_type = 'signup' THEN printf('%016x', user_id) END AS join_dev_eui,
+       CASE WHEN event_type = 'signup' THEN CAST(event_id % 65536 AS INTEGER) END AS dev_nonce,
+       CASE WHEN event_type IN ('click', 'view', 'purchase') THEN printf('%08x', user_id) END AS dev_addr,
+       CASE WHEN event_type IN ('click', 'view', 'purchase') THEN event_id % 1024 END AS f_count,
+       CASE WHEN event_type IN ('click', 'view', 'purchase') THEN event_id % 2 = 0 END AS adr,
+       CAST(user_id % 8 AS INTEGER) AS chan,
+       round(value, 2) AS lsnr,
+       round(value, 2) * -1 AS rssi,
+       round((event_id % 9 + 1) * 100000000 / 1000000.0, 6) AS freq_mhz,
+       'LORA' AS modu,
+       CAST(user_id % 6 + 7 AS INTEGER) AS spread_factor,
+       CASE WHEN json_valid(raw) THEN CAST(json_extract_string(raw, '$.k') AS INTEGER) END AS err_k,
+       CASE WHEN NOT json_valid(raw) OR json_extract_string(raw, '$.k') IS NULL
+            THEN 'Unmarshal error: invalid payload' END AS error
+FROM t
+"""
+
+
+def scalar_envelope_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 24, 27, 28 as ONE wide projection over events: unit/enum
+    conversions, constant/derived stamps, and the
+    packet_writter_message envelope serialization. Same expressions as
+    the standalone shadows; one narrow no-shuffle stage."""
+    ev = _events(spark, sf_dir)
+    # op 24
+    freq_hz = F.floor(F.col("value") * 10000000).cast("long")
+    # op 27
+    gw = F.format_string("eui-%08x", F.col("user_id"))
+    # op 28
+    packet = F.struct(
+        F.col("event_id").alias("seqn"),
+        _mtype_col().alias("m_type"),
+        F.coalesce(F.round("value", 2), F.lit(0.0)).alias("rssi"),
+        F.coalesce(F.col("user_id"), F.lit(-1)).alias("device"),
+    )
+    messages = F.array(
+        F.struct(
+            F.format_string("gateway/gw-%d/rx", F.col("user_id") % 5).alias("topic"),
+            F.substring(F.coalesce("props", F.lit("")), 1, 4096).alias("message"),
+            F.lit(7).cast("long").alias("data_collector_id"),
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.round(freq_hz / 1000000.0, 6).alias("freq_mhz"),
+        F.unix_micros("ts").alias("epoch_us"),
+        (F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("epoch_s"),
+        F.when(F.col("event_type") == "error", -1)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("crc_stat"),
+        F.lit(7).cast("long").alias("data_collector_id"),
+        F.lit(1).cast("long").alias("organization_id"),
+        gw.alias("gateway_raw"),
+        F.regexp_replace(gw, "^eui-", "").alias("gateway"),
+        F.col("ts").alias("date"),
+        F.to_json(
+            F.struct(
+                packet.alias("packet"),
+                messages.alias("messages"),
+                F.unix_micros("ts").alias("ts"),
+            )
+        ).alias("envelope"),
+    )
+
+
+SCALAR_ENVELOPE_CHAIN_ORACLE = f"""
+SELECT event_id,
+       round(CAST(floor(value * 10000000) AS BIGINT) / 1000000.0, 6) AS freq_mhz,
+       epoch_us(ts) AS epoch_us,
+       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_s,
+       CASE WHEN event_type = 'error' THEN -1
+            WHEN event_type = 'click' THEN 1
+            ELSE 0 END AS crc_stat,
+       CAST(7 AS BIGINT) AS data_collector_id,
+       CAST(1 AS BIGINT) AS organization_id,
+       printf('eui-%08x', user_id) AS gateway_raw,
+       regexp_replace(printf('eui-%08x', user_id), '^eui-', '') AS gateway,
+       ts AS date,
+       to_json(struct_pack(
+         packet := struct_pack(
+            seqn := event_id,
+            m_type := {_mtype_case_sql()},
+            rssi := coalesce(round(value, 2), 0.0),
+            device := coalesce(user_id, -1)),
+         messages := [struct_pack(
+            topic := printf('gateway/gw-%d/rx', user_id % 5),
+            message := substr(coalesce(props, ''), 1, 4096),
+            data_collector_id := CAST(7 AS BIGINT))],
+         ts := epoch_us(ts))) AS envelope
+FROM events
+"""
+
+
+def scalar_binary_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 12, 25, 26 projected over documents with the ops 29-31
+    filter guards applied first (heartbeat drop, missing-field drop,
+    size guard) — the reference's guard-then-transform order. The
+    guards land in the parquet scan as PushedFilters; everything else
+    is one codegen'd projection."""
+    docs = _documents(spark, sf_dir)
+    guarded = docs.filter(
+        (F.length("text") > 1) & F.col("text").isNotNull() & (F.col("n_chars") <= 300)
+    )
+    b64 = F.translate(F.base64(F.substring("text", 1, 48).cast("binary")), "\r\n", "")
+    unpadded = F.regexp_replace(b64, "=+$", "")
+    repadded = F.concat(
+        unpadded, F.expr("repeat('=', (4 - length(regexp_replace(translate(base64(cast(substring(text, 1, 48) AS binary)), '\\r\\n', ''), '=+$', '')) % 4) % 4)")
+    )
+    gw_b64 = F.translate(F.base64(F.col("source").cast("binary")), "\r\n", "")
+    return guarded.select(
+        "doc_id",
+        unpadded.alias("unpadded"),
+        F.unbase64(repadded).cast("string").alias("decoded"),
+        gw_b64.alias("gateway_b64"),
+        F.lower(F.hex(F.unbase64(gw_b64))).alias("gateway_hex"),
+        F.substring("text", 1, 64).alias("message"),
+        F.length(F.substring("text", 1, 64)).alias("message_len"),
+    )
+
+
+SCALAR_BINARY_CHAIN_ORACLE = """
+WITH g AS (
+  SELECT doc_id, text, source
+  FROM documents
+  WHERE length(text) > 1 AND text IS NOT NULL AND n_chars <= 300
+), b AS (
+  SELECT doc_id, text, source,
+         regexp_replace(base64(encode(substr(text, 1, 48))), '=+$', '') AS unpadded,
+         base64(encode(source)) AS gateway_b64
+  FROM g
+)
+SELECT doc_id, unpadded,
+       decode(from_base64(unpadded || repeat('=', (4 - length(unpadded) % 4) % 4))) AS decoded,
+       gateway_b64,
+       lower(hex(from_base64(gateway_b64))) AS gateway_hex,
+       substr(text, 1, 64) AS message,
+       length(substr(text, 1, 64)) AS message_len
+FROM b
+"""
+
+
 QUERIES = [
     QuerySpec("packet_summary", packet_summary, PACKET_SUMMARY_ORACLE,
               "flagship EP1 shadow: filter->route->bucket->agg"),
-    QuerySpec("json_parse_props", json_parse_props, JSON_PARSE_PROPS_ORACLE,
-              "op 11 from_json"),
-    QuerySpec("base64_pad_decode", base64_pad_decode, BASE64_PAD_DECODE_ORACLE,
-              "op 12 b64 pad gate"),
-    QuerySpec("regex_topic_route", regex_topic_route, REGEX_TOPIC_ROUTE_ORACLE,
-              "ops 19+21 regex extract/router"),
-    QuerySpec("datarate_parse", datarate_parse, DATARATE_PARSE_ORACLE,
-              "op 20 SFxBWy parse"),
-    QuerySpec("unit_conversions", unit_conversions, UNIT_CONVERSIONS_ORACLE,
-              "op 24 unit/enum conversions"),
-    QuerySpec("base64_to_hex", base64_to_hex, BASE64_TO_HEX_ORACLE,
-              "op 25 b64->hex"),
-    QuerySpec("string_truncation", string_truncation, STRING_TRUNCATION_ORACLE,
-              "op 26 message cap"),
-    QuerySpec("constant_stamps", constant_stamps, CONSTANT_STAMPS_ORACLE,
-              "op 27 config stamps + eui strip"),
-    QuerySpec("envelope_serialize", envelope_serialize, ENVELOPE_SERIALIZE_ORACLE,
-              "op 28 + sink envelope shape"),
-    QuerySpec("filter_guards", filter_guards, FILTER_GUARDS_ORACLE,
-              "ops 29-31 guards"),
-    QuerySpec("parse_error_routing", parse_error_routing, PARSE_ERROR_ROUTING_ORACLE,
-              "op 32 error column routing"),
-    QuerySpec("mtype_field_projection", mtype_field_projection, MTYPE_FIELD_PROJECTION_ORACLE,
-              "ops 14/22/23 per-type projection"),
-    QuerySpec("radio_metadata_projection", radio_metadata_projection, RADIO_METADATA_PROJECTION_ORACLE,
-              "ops 16-18 nested radio metadata"),
+    QuerySpec("scalar_decode_chain", scalar_decode_chain, SCALAR_DECODE_CHAIN_ORACLE,
+              "ops 11,14,16-23,32: parse/route/project/error chain"),
+    QuerySpec("scalar_envelope_chain", scalar_envelope_chain, SCALAR_ENVELOPE_CHAIN_ORACLE,
+              "ops 24,27,28: conversions/stamps/envelope chain"),
+    QuerySpec("scalar_binary_chain", scalar_binary_chain, SCALAR_BINARY_CHAIN_ORACLE,
+              "ops 12,25,26 + guards 29-31: binary/truncation chain"),
 ]

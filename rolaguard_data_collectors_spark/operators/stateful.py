@@ -366,6 +366,43 @@ GROUP BY 1
 """
 
 
+def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h and sliding 2h/1h event-time windows in one tagged
+    union (batch shadows of window(ts, ...) + watermark; the sliding
+    branch materializes the same slot expansion Spark's window()
+    performs internally). The sliding branch has no event_type key, so
+    it carries a null tag column."""
+    tum = tumbling_window_hourly(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        "event_type",
+        "n",
+        "total_value",
+    )
+    sli = sliding_window_2h_1h(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        "total_value",
+    )
+    return tum.unionByName(sli)
+
+
+TIME_WINDOWS_ORACLE = """
+SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS kind,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) - slot * INTERVAL 1 HOUR AS window_start,
+       CAST(NULL AS VARCHAR) AS event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events, (VALUES (0), (1)) AS slots(slot)
+GROUP BY 2
+"""
+
+
 QUERIES = [
     QuerySpec("prev_packet_correlation", prev_packet_correlation, PREV_PACKET_ORACLE,
               "op 34 1-row buffer as-of merge"),
@@ -381,8 +418,6 @@ QUERIES = [
               "streaming dedup shadow"),
     QuerySpec("sessionize_gap30m", sessionize_gap30m, SESSIONIZE_ORACLE,
               "session windows"),
-    QuerySpec("tumbling_window_hourly", tumbling_window_hourly, TUMBLING_ORACLE,
-              "tumbling event-time window"),
-    QuerySpec("sliding_window_2h_1h", sliding_window_2h_1h, SLIDING_ORACLE,
-              "sliding event-time window"),
+    QuerySpec("time_windows", time_windows, TIME_WINDOWS_ORACLE,
+              "tumbling + sliding event-time windows (tagged union)"),
 ]
