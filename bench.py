@@ -79,7 +79,29 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
+    # DuckDB oracle wall-times over the same parquet at the same SF —
+    # the single-node baseline each Spark time is judged against
+    # (fully materialized via fetchall; skipped for rows-only queries).
+    duck: dict[str, float] = {}
+    try:
+        from rolaguard_data_collectors_spark.oracle import duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+        for name, spec in specs.items():
+            if spec.oracle is None:
+                continue
+            t0 = time.perf_counter()
+            try:
+                con.execute(spec.oracle).fetchall()
+                duck[name] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:
+                duck[name] = -1.0
+                print(f"bench: oracle {name} FAILED: {exc}", file=sys.stderr)
+    except Exception as exc:
+        print(f"bench: oracle timing skipped: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    duck_total = round(sum(t for t in duck.values() if t >= 0), 4)
     print(
         json.dumps(
             {
@@ -87,6 +109,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "oracle_queries": duck,
+                "oracle_total": duck_total,
                 "sf": _sf_of(sf_dir),
             }
         )

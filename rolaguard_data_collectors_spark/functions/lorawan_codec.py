@@ -25,7 +25,6 @@ import base64
 import json
 from dataclasses import dataclass
 
-from cryptography.hazmat.primitives import cmac as _cmac
 from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
 
 MTYPES = [
@@ -74,22 +73,74 @@ MAC_CMDS_DOWN = {
 
 
 # --- primitives ----------------------------------------------------------
+#
+# Per-key context cache: constructing a Cipher/CMAC object per call
+# costs more than the AES block operation itself, and the UDF layer
+# calls these once per row (or per 16-byte block in frm_crypt). An ECB
+# encryptor is stateless per block, so one cached encryptor serves
+# every operation under that key; CMAC is computed per RFC 4493 over
+# the same cached encryptor with the two subkeys derived once per key.
+# The cache is capped so structured brute-force sweeps (op 46, ~65k
+# candidate keys) can't grow it without bound.
+
+_CTX_MAX = 8192
+_ENC_CTX: dict[bytes, tuple] = {}  # key -> (encryptor, K1, K2)
+_DEC_CTX: dict[bytes, object] = {}  # key -> decryptor
+
+
+def _dbl(b: bytes) -> bytes:
+    """GF(2^128) doubling for CMAC subkey derivation (RFC 4493)."""
+    n = int.from_bytes(b, "big") << 1
+    if b[0] & 0x80:
+        n ^= 0x87
+    return (n & ((1 << 128) - 1)).to_bytes(16, "big")
+
+
+def _enc_ctx(key: bytes) -> tuple:
+    ctx = _ENC_CTX.get(key)
+    if ctx is None:
+        if len(_ENC_CTX) >= _CTX_MAX:
+            _ENC_CTX.clear()
+        enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+        k1 = _dbl(enc.update(b"\x00" * 16))
+        ctx = (enc, k1, _dbl(k1))
+        _ENC_CTX[key] = ctx
+    return ctx
 
 
 def aes128_encrypt(key: bytes, block: bytes) -> bytes:
-    enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
-    return enc.update(block) + enc.finalize()
+    return _enc_ctx(key)[0].update(block)
 
 
 def aes128_decrypt(key: bytes, block: bytes) -> bytes:
-    dec = Cipher(algorithms.AES(key), modes.ECB()).decryptor()
-    return dec.update(block) + dec.finalize()
+    dec = _DEC_CTX.get(key)
+    if dec is None:
+        if len(_DEC_CTX) >= _CTX_MAX:
+            _DEC_CTX.clear()
+        dec = Cipher(algorithms.AES(key), modes.ECB()).decryptor()
+        _DEC_CTX[key] = dec
+    return dec.update(block)
 
 
 def aes_cmac(key: bytes, data: bytes) -> bytes:
-    c = _cmac.CMAC(algorithms.AES(key))
-    c.update(data)
-    return c.finalize()
+    """AES-CMAC (RFC 4493) over the cached per-key ECB context.
+    Equivalent to cryptography's CMAC primitive (pinned against it in
+    tests/test_lorawan_codec.py) but without per-message object
+    construction — the dominant cost for the short LoRaWAN MIC
+    messages (1-3 blocks)."""
+    enc, k1, k2 = _enc_ctx(key)
+    n = len(data)
+    if n and n % 16 == 0:
+        head, last = data[:-16], data[-16:]
+        last = bytes(a ^ b for a, b in zip(last, k1))
+    else:
+        head, tail = data[: n - n % 16], data[n - n % 16 :]
+        padded = tail + b"\x80" + b"\x00" * (15 - len(tail))
+        last = bytes(a ^ b for a, b in zip(padded, k2))
+    x = b"\x00" * 16
+    for i in range(0, len(head), 16):
+        x = enc.update(bytes(a ^ b for a, b in zip(x, head[i : i + 16])))
+    return enc.update(bytes(a ^ b for a, b in zip(x, last)))
 
 
 def _le(b: bytes) -> str:
@@ -216,6 +267,7 @@ class ParsedFrame:
     f_opts: str | None = None
     f_port: int | None = None
     frm_payload: str | None = None  # hex; decrypted when a key is given
+    mic_ok: bool | None = None  # validated in-parse when a key is given
     error: str | None = None
 
 
@@ -239,6 +291,8 @@ def parse_phypayload(
             out.join_eui = _le(body[0:8])
             out.dev_eui = _le(body[8:16])
             out.dev_nonce = int.from_bytes(body[16:18], "little")
+            if app_s_key is not None:  # slot doubles as AppKey here
+                out.mic_ok = mic_join_request(app_s_key, raw[:-4]) == raw[-4:]
         elif out.m_type == "JoinAccept":
             # still encrypted at parse time; expose raw bytes
             out.frm_payload = body.hex()
@@ -261,6 +315,14 @@ def parse_phypayload(
                 out.class_b = False
             f_opts_len = fctrl & 0x0F
             out.f_count = int.from_bytes(body[5:7], "little")
+            if nwk_s_key is not None:
+                # MIC validated in-parse: the B0 CMAC reuses the same
+                # cached key context, so this folds what was a second
+                # full UDF pass (validate_mic) into the decode
+                out.mic_ok = (
+                    mic_data(nwk_s_key, dev_addr_le, out.f_count, uplink, raw[:-4])
+                    == raw[-4:]
+                )
             f_opts = body[7 : 7 + f_opts_len]
             rest = body[7 + f_opts_len :]
             if f_opts:

@@ -106,9 +106,10 @@ def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "data",
         encode_data_frame_b64("key_hex", "dev_addr", "f_cnt", "payload_text", "f_port"),
     )
-    parsed = framed.withColumn(
-        "p", decode_phypayload("data", "key_hex", "key_hex")
-    ).withColumn("mic_ok", validate_mic("data", "key_hex"))
+    # MIC validation happens inside the decode UDF (p.mic_ok) — one
+    # Arrow pass instead of two, and the per-key cipher/CMAC contexts
+    # are cached across rows in the codec layer.
+    parsed = framed.withColumn("p", decode_phypayload("data", "key_hex", "key_hex"))
     return parsed.select(
         "event_id",
         F.col("p.m_type").alias("m_type"),
@@ -117,7 +118,7 @@ def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.f_port").alias("f_port"),
         # decrypted payload back to text proves the crypt round trip
         F.expr("cast(unhex(p.frm_payload) AS string)").alias("payload_text"),
-        "mic_ok",
+        F.col("p.mic_ok").alias("mic_ok"),
         F.col("p.error").alias("error"),
     )
 
@@ -138,14 +139,17 @@ def lorawan_join_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed = ev.withColumn(
         "jr_b64", encode_join_request_b64("app_key", "join_eui", "dev_eui", "dev_nonce")
     )
+    # app_key in the app_s_key slot: for JoinRequest frames the decode
+    # UDF uses it as the AppKey to validate the MIC in-parse (no
+    # second validate_mic pass)
     parsed = framed.withColumn(
-        "p", decode_phypayload("jr_b64", F.lit(None).cast("string"), F.lit(None).cast("string"))
+        "p", decode_phypayload("jr_b64", "app_key", F.lit(None).cast("string"))
     ).withColumn(
         "keys",
         derive_session_keys(
             "app_key", F.lit("010203"), F.lit("130000"), "dev_nonce"
         ),
-    ).withColumn("mic_ok", validate_mic("jr_b64", "app_key"))
+    )
     return parsed.select(
         "event_id",
         F.col("p.m_type").alias("m_type"),
@@ -154,7 +158,7 @@ def lorawan_join_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.dev_nonce").alias("dev_nonce"),
         F.col("keys.nwk_s_key").alias("nwk_s_key"),
         F.col("keys.app_s_key").alias("app_s_key"),
-        "mic_ok",
+        F.col("p.mic_ok").alias("mic_ok"),
     )
 
 

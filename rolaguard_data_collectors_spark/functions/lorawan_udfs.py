@@ -35,6 +35,7 @@ PARSED_FRAME_SCHEMA = T.StructType(
         T.StructField("f_opts", T.StringType()),
         T.StructField("f_port", T.IntegerType()),
         T.StructField("frm_payload", T.StringType()),
+        T.StructField("mic_ok", T.BooleanType()),
         T.StructField("error", T.StringType()),
     ]
 )

@@ -4,9 +4,10 @@ Jaccard near-dup, MinHash signatures + LSH band bucketing, SimHash.
 Design for 100 TB:
 - exact dedup is one hash shuffle on md5(text) with map-side partial
   aggregation;
-- near-dup NEVER does an unblocked cross join: candidate generation is
-  (a) blocking keys (lang, source) or (b) LSH band buckets, both of
-  which turn the quadratic pair space into per-bucket joins;
+- near-dup NEVER does an unblocked cross join — and never an
+  emit-all-pairs join either (quadratic in its own output on a
+  dup-heavy corpus): candidates come from LSH band buckets and exact
+  verification runs only doc-vs-bucket-representative, O(N) verifies;
 - all hashes use the portable md5-based h32 (portable_sql) so every
   signature and bucket is bit-identical in the DuckDB oracle.
 """
@@ -75,54 +76,50 @@ FROM documents GROUP BY md5(text)
 # --- blocked n-gram Jaccard near-dup ------------------------------------
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard verified ONLY on LSH-candidate pairs.
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dedup, verified against the LSH
+    bucket REPRESENTATIVE — O(N) verifications, never O(pairs).
 
-    Candidate generation reuses the MinHash band buckets computed by
-    ``lsh_band_buckets`` (4 bands x 2 rows): two docs are candidates
-    iff they share at least one band bucket. This replaces the round-1
-    (lang, source) blocking, whose block cardinality was fixed and
-    tiny — per-block pair space was O((N/blocks)^2), i.e. still
-    corpus-quadratic at 100x scale. Band buckets are content-keyed, so
-    bucket sizes stay bounded as the corpus grows and the self-join
-    shuffle partitions by (band, bucket) with no fixed-key hot spots.
+    Round-1 history: the first version blocked on (lang, source) —
+    fixed-cardinality blocks, corpus-quadratic at scale. Listing all
+    candidate pairs from LSH buckets is no better on a dup-heavy
+    corpus: the testdata has ~30% of ALL pairs above J=0.8, so any
+    emit-all-pairs operator is Θ(N²) in its own output. The shape that
+    survives 100 TB is the production MinHash-dedup recipe: elect one
+    representative per band bucket (min doc_id), point every other
+    bucket member at its smallest representative, and run the exact
+    Jaccard verify only on those (doc, rep) edges — at most one verify
+    per doc, each against a deterministic partner.
 
-    Verification is per-pair: join the candidate pairs to the distinct
-    token arrays (hash join on the unique doc key) and compute
-    |A∩B| / |A∪B| with JVM-side array_intersect. Recall at the 0.8
-    threshold is 1-(1-J^2)^4 ≈ 0.996 — the standard LSH trade.
-    """
+    Emits one row per non-representative doc that VERIFIES (J >= 0.8)
+    against its representative: (doc_id, rep_id, jaccard) — the drop
+    list of the dedup pass. Recall per band is J^2; across 4 bands
+    1-(1-J^2)^4 ≈ 0.996 at the threshold; a doc whose smallest rep
+    fails the verify is kept (conservative, deterministic)."""
     docs = _docs(spark, sf_dir)
     tok_arrays = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     assign = _band_assignments(minhash_signatures(spark, sf_dir))
-    a = assign.alias("a")
-    b = assign.select(
-        F.col("band").alias("b_band"),
-        F.col("bucket").alias("b_bucket"),
-        F.col("doc_id").alias("b_doc_id"),
-    )
+    reps = assign.groupBy("band", "bucket").agg(F.min("doc_id").alias("rep"))
     cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("b_band"))
-            & (F.col("bucket") == F.col("b_bucket"))
-            & (F.col("doc_id") < F.col("b_doc_id")),
-        )
-        .select(F.col("doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b"))
-        .distinct()
+        assign.join(reps, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("rep_id"))
     )
-    ta = tok_arrays.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = tok_arrays.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    ta = tok_arrays.select(F.col("doc_id"), F.col("toks").alias("toks_doc"))
+    tb = tok_arrays.select(
+        F.col("doc_id").alias("rep_id"), F.col("toks").alias("toks_rep")
+    )
+    inter = F.size(F.array_intersect("toks_doc", "toks_rep"))
     jacc = F.round(
-        inter / (F.size("toks_a") + F.size("toks_b") - inter).cast("double"), 6
+        inter / (F.size("toks_doc") + F.size("toks_rep") - inter).cast("double"), 6
     )
     return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        cand.join(ta, "doc_id")
+        .join(tb, "rep_id")
+        .select("doc_id", "rep_id", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
 
@@ -135,21 +132,25 @@ def _ngram_jaccard_sql() -> str:
     return f"""
 WITH sig AS ({_minhash_sig_sql()}),
 bands AS ({bands_sql}),
+reps AS (
+  SELECT band, bucket, min(doc_id) AS rep FROM bands GROUP BY band, bucket
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  SELECT b.doc_id, min(r.rep) AS rep_id
+  FROM bands b JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
+  WHERE b.doc_id != r.rep
+  GROUP BY b.doc_id
 ),
 toks AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
 )
-SELECT doc_a, doc_b,
+SELECT c.doc_id, c.rep_id,
        round(len(list_intersect(ta.toks, tb.toks))
              / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE),
              6) AS jaccard
-FROM cand
-JOIN toks ta ON ta.doc_id = doc_a
-JOIN toks tb ON tb.doc_id = doc_b
+FROM cand c
+JOIN toks ta ON ta.doc_id = c.doc_id
+JOIN toks tb ON tb.doc_id = c.rep_id
 WHERE round(len(list_intersect(ta.toks, tb.toks))
             / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE),
             6) >= 0.8
@@ -201,7 +202,7 @@ def _band_assignments(sig: DataFrame) -> DataFrame:
     """(band, bucket, doc_id) LSH band assignment rows from a MinHash
     signature frame: 4 bands x 2 rows, band key = md5 of the band's
     concatenated values. Shared by lsh_band_buckets (occupancy) and
-    ngram_jaccard_pairs (candidate generation)."""
+    ngram_jaccard_dedup (candidate generation)."""
     bands = []
     for band in range(BANDS):
         lo, hi = 2 * band, 2 * band + 1
@@ -305,8 +306,8 @@ QUERIES = [
               "exact dup groups by content hash"),
     QuerySpec("dedup_exact_survivors", dedup_exact_survivors, DEDUP_EXACT_SURVIVORS_ORACLE,
               "deduplicated corpus"),
-    QuerySpec("ngram_jaccard_pairs", ngram_jaccard_pairs, NGRAM_JACCARD_ORACLE,
-              "blocked exact Jaccard near-dup"),
+    QuerySpec("ngram_jaccard_dedup", ngram_jaccard_dedup, NGRAM_JACCARD_ORACLE,
+              "LSH-rep-verified exact Jaccard near-dedup"),
     QuerySpec("minhash_signatures", minhash_signatures, MINHASH_SIGNATURES_ORACLE,
               "8-perm MinHash signatures"),
     QuerySpec("lsh_band_buckets", lsh_band_buckets, LSH_BAND_BUCKETS_ORACLE,

@@ -670,8 +670,8 @@ SELECT event_id,
        round((event_id % 9 + 1) * 100000000 / 1000000.0, 6) AS freq_mhz,
        'LORA' AS modu,
        CAST(user_id % 6 + 7 AS INTEGER) AS spread_factor,
-       CASE WHEN json_valid(raw) THEN CAST(json_extract_string(raw, '$.k') AS INTEGER) END AS err_k,
-       CASE WHEN NOT json_valid(raw) OR json_extract_string(raw, '$.k') IS NULL
+       CAST(json_extract_string(TRY_CAST(raw AS JSON), '$.k') AS INTEGER) AS err_k,
+       CASE WHEN json_extract_string(TRY_CAST(raw AS JSON), '$.k') IS NULL
             THEN 'Unmarshal error: invalid payload' END AS error
 FROM t
 """

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,35 +55,100 @@ def to_envelope_json(packets: DataFrame) -> DataFrame:
     )
 
 
+def _publish_partition(epoch_dir: str):
+    """Executor-side publish body: each partition writes its envelopes
+    to its own file under the epoch directory, via temp-file + atomic
+    rename so a retried partition task simply overwrites its output
+    (idempotent). In production this same closure holds the broker
+    producer (RabbitMQ/Kafka) — one connection per partition, publish
+    throughput scales with partitions, never through the driver."""
+
+    def publish(rows) -> None:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        tmp = os.path.join(epoch_dir, f".part-{pid:05d}.tmp")
+        final = os.path.join(epoch_dir, f"part-{pid:05d}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(r["envelope"] + "\n")
+        os.replace(tmp, final)  # atomic on POSIX
+
+    return publish
+
+
 class QueueFileSink:
     """File-backed stand-in for the RabbitMQ ``collectors_queue``: one
-    JSON line per envelope, with a per-epoch commit log giving
-    exactly-once across query restarts (a replayed epoch is skipped).
+    JSON line per envelope, exactly-once across query restarts AND
+    across crashes inside the publish itself.
 
-    In production the same ``foreachBatch`` body publishes to RabbitMQ/
-    Kafka per partition; the commit-log pattern is the standard
-    idempotent-sink recipe for non-transactional targets.
+    Epoch protocol (the standard idempotent-sink recipe for
+    non-transactional targets):
+
+    1. executors write per-partition envelope files under
+       ``<out>.epochs/epoch=N/`` (``foreachPartition``, temp+rename —
+       distributed, nothing is collected to the driver);
+    2. the driver truncates the queue file back to the last COMMITTED
+       end offset (discarding any torn bytes from a crash mid-append),
+       appends the partition files, fsyncs;
+    3. the commit log records ``epoch,end_offset`` — an epoch is
+       replayed unless its commit record exists, and step 2 makes the
+       replay idempotent, closing the crash window between the data
+       append and the commit append.
     """
 
     def __init__(self, out_path: str):
         self.out_path = out_path
         self.commit_path = out_path + ".commits"
+        self.epoch_root = out_path + ".epochs"
 
-    def _committed(self) -> set[int]:
+    def _commits(self) -> dict[int, int]:
+        """epoch -> end offset after that epoch's append. A torn final
+        line (crash mid-commit-write) parses as absent: the epoch will
+        re-publish idempotently."""
+        commits: dict[int, int] = {}
         if not os.path.exists(self.commit_path):
-            return set()
+            return commits
         with open(self.commit_path, encoding="utf-8") as fh:
-            return {int(line) for line in fh if line.strip()}
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    epoch_s, end_s = line.split(",", 1)
+                    commits[int(epoch_s)] = int(end_s)
+                except ValueError:
+                    continue  # torn write: treat as uncommitted
+        return commits
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in self._committed():
+        commits = self._commits()
+        if epoch_id in commits:
             return  # replayed micro-batch: already published
-        rows = batch_df.collect()  # envelopes are small JSON strings
-        with open(self.out_path, "a", encoding="utf-8") as fh:
-            for r in rows:
-                fh.write(r["envelope"] + "\n")
+        epoch_dir = os.path.join(self.epoch_root, f"epoch={epoch_id}")
+        os.makedirs(epoch_dir, exist_ok=True)
+        batch_df.select("envelope").foreachPartition(_publish_partition(epoch_dir))
+
+        base = max(commits.values(), default=0)
+        # ensure the queue file exists, then recover + append atomically
+        with open(self.out_path, "ab"):
+            pass
+        with open(self.out_path, "r+b") as fh:
+            fh.truncate(base)  # drop torn bytes from any crashed epoch
+            fh.seek(base)
+            for name in sorted(os.listdir(epoch_dir)):
+                if name.startswith("part-"):
+                    with open(os.path.join(epoch_dir, name), "rb") as pf:
+                        shutil.copyfileobj(pf, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+            end = fh.tell()
         with open(self.commit_path, "a", encoding="utf-8") as fh:
-            fh.write(f"{epoch_id}\n")
+            fh.write(f"{epoch_id},{end}\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        shutil.rmtree(epoch_dir, ignore_errors=True)
 
 
 def start_envelope_queue_sink(

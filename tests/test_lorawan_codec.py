@@ -106,6 +106,48 @@ def test_fopts_mac_commands_reference_shape():
     assert p.f_port is None
 
 
+def test_aes_cmac_rfc4493_vectors_and_library_parity():
+    """The cached-context CMAC must equal (a) the published RFC 4493
+    vectors and (b) the cryptography library primitive on arbitrary
+    lengths (including the 0-block and exact-block edge cases)."""
+    from cryptography.hazmat.primitives import cmac as _cmac
+    from cryptography.hazmat.primitives.ciphers import algorithms
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    msg = bytes.fromhex(
+        "6bc1bee22e409f96e93d7e117393172a"
+        "ae2d8a571e03ac9c9eb76fac45af8e51"
+        "30c81c46a35ce411e5fbc1191a0a52ef"
+        "f69f2445df4f9b17ad2b417be66c3710"
+    )
+    vectors = [
+        (b"", "bb1d6929e95937287fa37d129b756746"),
+        (msg[:16], "070a16b46b4d4144f79bdd9dd04a287c"),
+        (msg[:40], "dfa66747de9ae63030ca32611497c827"),
+        (msg, "51f0bebf7e3b9d92fc49741779363cfe"),
+    ]
+    for data, want in vectors:
+        assert lc.aes_cmac(key, data).hex() == want
+    for n in (1, 15, 16, 17, 31, 32, 33, 48):
+        data = bytes(range(n % 256)) * (n // max(n % 256, 1) + 1)
+        data = data[:n]
+        ref = _cmac.CMAC(algorithms.AES(key))
+        ref.update(data)
+        assert lc.aes_cmac(key, data) == ref.finalize()
+
+
+def test_mic_ok_in_parse():
+    """MIC validation folded into parse: correct key -> True, wrong
+    key -> False, no key -> None."""
+    raw = bytes.fromhex(PUBLIC_FRAME_HEX)
+    assert lc.parse_phypayload(raw, nwk_s_key=PUBLIC_NWK_S_KEY).mic_ok is True
+    assert lc.parse_phypayload(raw, nwk_s_key=b"\x00" * 16).mic_ok is False
+    assert lc.parse_phypayload(raw).mic_ok is None
+    jr = lc.encode_join_request(b"\x01" * 16, "00" * 8, "11" * 8, 7)
+    assert lc.parse_phypayload(jr, app_s_key=b"\x01" * 16).mic_ok is True
+    assert lc.parse_phypayload(jr, app_s_key=b"\x02" * 16).mic_ok is False
+
+
 def test_parse_error_routing():
     p = lc.parse_phypayload(b"\x40\x01")
     assert p.error and "Unmarshal error" in p.error

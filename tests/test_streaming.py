@@ -564,6 +564,43 @@ def test_queue_sink_exactly_once(spark, tmp_path):
         assert len(fh.readlines()) == 2
 
 
+def test_queue_sink_multi_partition_and_crash_window(spark, tmp_path):
+    """Executor-side publish: a multi-partition micro-batch lands every
+    row exactly once, and a crash BETWEEN the data append and the
+    commit append (the non-atomic window ADVICE flagged) does not
+    duplicate rows on replay."""
+    import json as _json
+
+    out = str(tmp_path / "queue.jsonl")
+    sink = QueueFileSink(out)
+    rows = [(1, _json.dumps({"i": i})) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "collector_id long, envelope string"
+    ).repartition(8)
+    sink(df, epoch_id=0)
+    with open(out) as fh:
+        got = sorted(_json.loads(line)["i"] for line in fh)
+    assert got == list(range(40))
+
+    # simulate crash after data append, before commit: wipe the commit
+    # record for epoch 1 and replay it
+    df2 = spark.createDataFrame(
+        [(1, _json.dumps({"i": 100 + i})) for i in range(10)],
+        "collector_id long, envelope string",
+    ).repartition(4)
+    sink(df2, epoch_id=1)
+    with open(out + ".commits") as fh:
+        commit_lines = fh.readlines()
+    with open(out + ".commits", "w") as fh:
+        fh.writelines(commit_lines[:-1])  # drop epoch 1's commit
+    sink(df2, epoch_id=1)  # replay: must truncate + re-append, not duplicate
+    with open(out) as fh:
+        got = sorted(_json.loads(line)["i"] for line in fh)
+    assert got == list(range(40)) + list(range(100, 110))
+    # epoch scratch dirs are cleaned up after commit
+    assert os.listdir(out + ".epochs") == []
+
+
 # --- orchestrator (EP2) ---------------------------------------------------
 
 
