@@ -8,11 +8,14 @@ Two keyed stages over the normalized packet frame:
    the reference's per-connection state (one collector = one MQTT
    connection): a ``devices_map`` dev_addr -> {dev_eui, app_name,
    dev_name} (op 35, :83) and the one-row ``prev_packet`` buffer
-   (op 34, :79). A gateway packet is enriched from the map, buffered,
+   (op 34, :79). A gateway packet whose dev_addr IS in the map is
+   enriched and emitted immediately; an UNKNOWN dev_addr is buffered
    and only emitted when the NEXT message arrives — if that message is
-   an application packet with an equal ``f_count``, the buffered packet
-   is emitted merged with the application's names/location, else it
-   flushes unchanged (:368-448). Like the reference, the final buffered
+   an application /rx with an equal ``f_count``, the devices_map entry
+   is replaced from the app message and the buffered packet is emitted
+   merged with the app's names/location; otherwise it flushes as
+   buffered, with no upsert (:368-448). Application-route rows are
+   never emitted as packets. Like the reference, the final buffered
    packet waits for a next arrival.
 2. ``attach_location_by_gateway`` — keyed by ``gateway``; a
    GatewayStatus row stores its location, the next data packet for
@@ -82,7 +85,9 @@ _DEV_STATE = T.StructType(
 )
 
 _GW_RE = re.compile(r"^gateway/.+/(rx|tx|up)$")
-_APP_RE = re.compile(r"application/.+/(device|node)/.+/(rx|up)$")
+# reference matches ONLY application/*/device|node/*/rx
+# (LoraServerIOCollector.py:404-405) — /up is not an app route there
+_APP_RE = re.compile(r"application/.+?/(device|node)/.+/rx$")
 
 
 def _nn(v):
@@ -104,20 +109,26 @@ def _collector_fn(
     out: list[dict] = []
 
     def flush(merged_from=None):
-        """Emit the buffered gateway packet: enriched from devices_map,
-        plus the merging application row's names/location if given."""
+        """Emit the buffered gateway packet. Unmerged flush emits it
+        AS BUFFERED (no map re-consult — the reference saves
+        prev_packet verbatim, :370-377). A merged flush reads the
+        just-upserted map entry plus the app row's names/location
+        (:443-448)."""
         nonlocal has_buf
         if not has_buf:
             return
-        entry = dmap.get(b_addr or "", [None, None, None])
         row = {
             "_seq": b_seq, "data_collector_id": key[0], "topic": b_topic,
-            "dev_addr": b_addr, "dev_eui": entry[0], "m_type": b_mtype,
-            "f_count": b_fcnt, "app_name": entry[1], "dev_name": entry[2],
+            "dev_addr": b_addr, "dev_eui": None, "m_type": b_mtype,
+            "f_count": b_fcnt, "app_name": None, "dev_name": None,
             "gw_name": None, "latitude": None, "longitude": None,
             "altitude": None, "merged": merged_from is not None,
         }
         if merged_from is not None:
+            entry = dmap.get(b_addr or "", [None, None, None])
+            row["dev_eui"] = entry[0]
+            row["app_name"] = entry[1]
+            row["dev_name"] = entry[2]
             row["gw_name"] = _nn(merged_from["gw_name"])
             row["latitude"] = _nn(merged_from["latitude"])
             row["longitude"] = _nn(merged_from["longitude"])
@@ -129,35 +140,61 @@ def _collector_fn(
         topic = r["topic"] or ""
         fcnt = None if pd.isna(r["f_count"]) else int(r["f_count"])
         if _APP_RE.search(topic):
-            # devices_map upsert against the buffered packet's dev_addr
-            # (:436-446); merge iff frame counters match (:415).
-            if has_buf and b_addr:
-                entry = dmap.get(b_addr, [None, None, None])
-                entry = [
-                    _nn(r["dev_eui"]) or entry[0],
-                    _nn(r["app_name"]) or entry[1],
-                    _nn(r["dev_name"]) or entry[2],
-                ]
-                dmap[b_addr] = entry
-            if has_buf and b_fcnt == fcnt:
-                flush(merged_from=r)
+            # App route (:402-448): only ever acts on a buffered
+            # packet; the app message itself is NEVER emitted as a
+            # packet row. Merge iff frame counters match (:415), and
+            # ONLY then is devices_map upserted — the reference
+            # REPLACES the entry with the app message's values
+            # (:438-441), it does not coalesce.
+            if has_buf:
+                if b_fcnt == fcnt:
+                    if b_addr:
+                        dmap[b_addr] = [
+                            _nn(r["dev_eui"]), _nn(r["app_name"]), _nn(r["dev_name"])
+                        ]
+                    flush(merged_from=r)
+                else:
+                    flush()  # emit buffered unmerged; no upsert
+        elif _GW_RE.match(topic):
+            flush()
+            addr = _nn(r["dev_addr"])
+            if addr and addr in dmap:
+                # known device: enrich from the map and emit
+                # IMMEDIATELY — the reference only buffers packets
+                # whose dev_addr is NOT in devices_map (:382-399)
+                entry = dmap[addr]
+                d = {c: _nn(r[c]) for c in _DEV_COLS}
+                d["dev_eui"] = entry[0]
+                d["app_name"] = entry[1]
+                d["dev_name"] = entry[2]
+                d["merged"] = False
+                out.append(d)
+            elif addr:
+                # unknown device: buffer until the next arrival
+                b_seq, b_topic, b_addr, b_mtype, b_fcnt, has_buf = (
+                    int(r["_seq"]), topic, addr, _nn(r["m_type"]), fcnt, True,
+                )
             else:
-                flush()
+                # no dev_addr: nothing to correlate, emit as-is (:477)
                 d = {c: _nn(r[c]) for c in _DEV_COLS}
                 d["merged"] = False
                 out.append(d)
-        elif _GW_RE.match(topic):
-            flush()
-            b_seq, b_topic, b_addr, b_mtype, b_fcnt, has_buf = (
-                int(r["_seq"]), topic, _nn(r["dev_addr"]), _nn(r["m_type"]),
-                fcnt, True,
-            )
-        else:
-            # join route (:285-304): dev_addr -> dev_eui registration.
+        elif topic.endswith("/join"):
+            # join route (:287-304): devices_map entry REPLACED with a
+            # dev_eui-only record (names reset until the next app msg).
+            # The reference returns early here — the prev_packet buffer
+            # is NOT flushed by a join message.
             addr, eui = _nn(r["dev_addr"]), _nn(r["dev_eui"])
             if addr and eui:
-                entry = dmap.get(addr, [None, None, None])
-                dmap[addr] = [eui, entry[1], entry[2]]
+                dmap[addr] = [eui, None, None]
+            d = {c: _nn(r[c]) for c in _DEV_COLS}
+            d["merged"] = False
+            out.append(d)
+        else:
+            # any other topic (:457-472): flushes the buffered packet
+            # first (reference saves prev_packet when standard_packet
+            # stays empty), then records the skipped message.
+            flush()
             d = {c: _nn(r[c]) for c in _DEV_COLS}
             d["merged"] = False
             out.append(d)

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 GW_TOPIC = "^gateway/.+/(rx|tx|up)$"
-APP_TOPIC = "application/.+/(device|node)/.+/(rx|up)$"
+# reference app route is /rx only (LoraServerIOCollector.py:404-405)
+APP_TOPIC = "application/.+?/(device|node)/.+/rx$"
 
 
 def correlate_gateway_app_join(

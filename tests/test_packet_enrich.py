@@ -60,34 +60,76 @@ def test_dev_addr_merge_and_flush(spark, tmp_path):
     )
     join_msg = json.dumps({"devAddr": "017fc1c4", "devEUI": "b827eb891cf50003"})
     records = [
-        ("v1/join", join_msg),                                  # 0: map upsert
-        ("gateway/aabb/rx", gw_msg),                            # 1: buffered
-        ("application/1/device/b827eb891cf50003/rx", app_match),  # 2: merges 1
-        ("gateway/aabb/rx", gw_msg),                            # 3: buffered
-        ("gateway/aabb/rx", gw_msg),                            # 4: flushes 3, buffers
+        ("gateway/aabb/rx", gw_msg),                              # 0: unknown -> buffered
+        ("application/1/device/b827eb891cf50003/rx", app_match),  # 1: merges 0, upserts map
+        ("gateway/aabb/rx", gw_msg),                              # 2: known -> immediate
+        ("v1/join", join_msg),                                    # 3: map reset to eui-only
+        ("gateway/aabb/rx", gw_msg),                              # 4: known (eui-only) -> immediate
     ]
     raw = _stream_feed(spark, tmp_path, "feed_devaddr", records)
     rows = _drain_to(spark, enrich_per_collector(normalize_chirpstack(raw)), "enr_dev")
     by_seq = {r["_seq"]: r for r in rows}
-    # join row emitted with the map's dev_eui
-    assert by_seq[0]["dev_eui"] == "b827eb891cf50003" and not by_seq[0]["merged"]
-    # gateway packet 1 emitted MERGED with app names + location (op 34)
-    m = by_seq[1]
+    # gateway packet 0 (unknown dev_addr) emitted MERGED with app names
+    # + location when the matching fCnt app message arrives (op 34)
+    m = by_seq[0]
     assert m["merged"] is True
     assert m["app_name"] == "app-x" and m["dev_name"] == "dev-x"
     assert m["gw_name"] == "gw-east" and m["latitude"] == 1.5
     assert m["f_count"] == 17 and m["dev_eui"] == "b827eb891cf50003"
     # the merging app message is absorbed into the merged packet, not
-    # emitted separately (reference :402-448 returns after the merge)
-    assert 2 not in by_seq
-    # gateway packet 3 flushed unmerged by packet 4 — but enriched from
-    # the devices_map (op 35)
-    f = by_seq[3]
-    assert f["merged"] is False and f["dev_eui"] == "b827eb891cf50003"
-    assert f["app_name"] == "app-x" and f["latitude"] is None
-    # packet 4 still buffered at query end (reference behavior: the
-    # buffer flushes on the NEXT arrival)
-    assert 4 not in by_seq
+    # emitted separately (reference :402-448 never emits app rows)
+    assert 1 not in by_seq
+    # packet 2: dev_addr now KNOWN -> enriched + emitted immediately,
+    # no buffering (reference :382-391)
+    k = by_seq[2]
+    assert k["merged"] is False and k["dev_eui"] == "b827eb891cf50003"
+    assert k["app_name"] == "app-x" and k["dev_name"] == "dev-x"
+    # join row emitted as-is; it RESETS the map entry to dev_eui only
+    # (reference :287-289 replaces the dict)
+    assert by_seq[3]["dev_eui"] == "b827eb891cf50003"
+    # packet 4: still known (eui-only entry) -> immediate, names gone
+    k4 = by_seq[4]
+    assert k4["merged"] is False and k4["dev_eui"] == "b827eb891cf50003"
+    assert k4["app_name"] is None and k4["dev_name"] is None
+
+
+def test_unmatched_fcnt_flush_no_upsert(spark, tmp_path):
+    """An app message whose fCnt does NOT match the buffered packet
+    flushes the buffer unmerged, performs NO devices_map upsert, and is
+    itself dropped (reference :415 merge guard; :477 save)."""
+    gw_msg = json.dumps(
+        {"phyPayload": DATA_UP_B64,
+         "rxInfo": {"rssi": -60.0, "loRaSNR": 7.0, "frequency": 868100000,
+                    "mac": "aabbccddeeff0011"}}
+    )
+    app_nomatch = json.dumps(
+        {"fCnt": 99, "applicationName": "app-x", "deviceName": "dev-x",
+         "devEUI": "b827eb891cf50003",
+         "rxInfo": [{"name": "gw-east",
+                     "location": {"latitude": 1.5, "longitude": 2.5, "altitude": 9.0}}]}
+    )
+    app_up = json.dumps({"fCnt": 17, "devEUI": "b827eb891cf50003"})
+    records = [
+        ("gateway/aabb/rx", gw_msg),                                # 0: buffered
+        ("application/1/device/b827eb891cf50003/rx", app_nomatch),  # 1: flush 0 unmerged
+        ("gateway/aabb/rx", gw_msg),                                # 2: STILL unknown -> buffered
+        ("application/1/device/b827eb891cf50003/up", app_up),       # 3: /up is NOT an app route
+    ]
+    raw = _stream_feed(spark, tmp_path, "feed_nomatch", records)
+    rows = _drain_to(spark, enrich_per_collector(normalize_chirpstack(raw)), "enr_nm")
+    by_seq = {r["_seq"]: r for r in rows}
+    # buffered packet flushed unmerged, not enriched (no upsert happened)
+    f = by_seq[0]
+    assert f["merged"] is False and f["dev_eui"] is None and f["app_name"] is None
+    # the unmatched app message itself is never emitted
+    assert 1 not in by_seq
+    # packet 2 buffered again (dev_addr still unknown, since no upsert
+    # happened); the /up topic is NOT an application route under the
+    # reference's regex — it lands in the OTHER branch, which flushes
+    # the buffer unmerged and emits the skipped row itself
+    f2 = by_seq[2]
+    assert f2["merged"] is False and f2["dev_eui"] is None
+    assert 3 in by_seq
 
 
 def test_multi_collector_concurrent_lifecycle(spark, tmp_path):
