@@ -106,9 +106,15 @@ def _int32(v: int) -> int:
 #                  | 3 rx_info UplinkRXInfo
 # UplinkTXInfo:    1 frequency uint32 | 3 lora_modulation_info
 # LoRaModulationInfo: 1 bandwidth | 2 spreading_factor | 3 code_rate
-# UplinkRXInfo:    1 gateway_id bytes | 3 timestamp uint32 | 5 rssi int32
-#                  | 6 lora_snr double | 7 channel | 8 rf_chain
-#                  | 17 crc_status enum (OK=1)
+# UplinkRXInfo:    1 gateway_id bytes
+#                  | 2 time google.protobuf.Timestamp (wire 2, skipped)
+#                  | 3 time_since_gps_epoch google.protobuf.Duration
+#                    (wire 2 — NOT a scalar; GPS-equipped gateways set
+#                    it, and the reference's protobuf branch never
+#                    derives tmst from it, so bytes here are skipped
+#                    and only a legacy wire-0 scalar is surfaced)
+#                  | 5 rssi int32 | 6 lora_snr double | 7 channel
+#                  | 8 rf_chain | 17 crc_status enum (OK=1)
 
 
 def decode_uplink_frame(raw: bytes) -> dict:
@@ -123,7 +129,10 @@ def decode_uplink_frame(raw: bytes) -> dict:
         m = parse_message(top[3][-1])
         if 1 in m:
             rx["gatewayID"] = base64.b64encode(m[1][-1]).decode()
-        if 3 in m:
+        if 3 in m and isinstance(m[3][-1], int):
+            # only a legacy scalar; a Duration submessage parses as
+            # bytes and must not leak into the JSON (json.dumps would
+            # throw and drop the whole frame)
             rx["timestamp"] = m[3][-1]
         if 5 in m:
             rx["rssi"] = float(_int32(m[5][-1]))
@@ -156,7 +165,26 @@ def decode_uplink_frame(raw: bytes) -> dict:
         out["rxInfo"] = rx
     if tx:
         out["txInfo"] = tx
-    return out
+    return _json_safe(out)
+
+
+def _json_safe(doc):
+    """Drop any value json.dumps cannot serialize (e.g. raw bytes from
+    an unexpected submessage) instead of letting one field discard the
+    whole frame downstream."""
+    if isinstance(doc, dict):
+        return {
+            k: _json_safe(v)
+            for k, v in doc.items()
+            if isinstance(v, (str, int, float, bool, dict, list)) or v is None
+        }
+    if isinstance(doc, list):
+        return [
+            _json_safe(v)
+            for v in doc
+            if isinstance(v, (str, int, float, bool, dict, list)) or v is None
+        ]
+    return doc
 
 
 def _field(fno: int, wire: int) -> bytes:

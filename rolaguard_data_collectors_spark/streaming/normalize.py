@@ -211,11 +211,20 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
     # loRaModulationInfo (:324, :335-338); plain JSON carries mac +
     # dataRate (:321-334).
     gw_hex = F.lower(F.hex(F.unbase64(F.col("_i.gatewayID"))))
+    # MessageToJson-shaped uplink bodies (and the reference's protobuf
+    # branch, :330-340) carry frequency/loRaModulationInfo under
+    # txInfo even for uplinks — coalesce the rx-side fields with their
+    # txInfo counterparts so such bodies don't yield null radio
+    # metadata.
     sf_col = F.coalesce(
-        F.col("_i.dataRate.spreadFactor"), F.col("_i.loRaModulationInfo.spreadingFactor")
+        F.col("_i.dataRate.spreadFactor"),
+        F.col("_i.loRaModulationInfo.spreadingFactor"),
+        F.col("_g.txInfo.loRaModulationInfo.spreadingFactor"),
     )
     bw_col = F.coalesce(
-        F.col("_i.dataRate.bandwidth"), F.col("_i.loRaModulationInfo.bandwidth")
+        F.col("_i.dataRate.bandwidth"),
+        F.col("_i.loRaModulationInfo.bandwidth"),
+        F.col("_g.txInfo.loRaModulationInfo.bandwidth"),
     )
     df = df.select(
         "*",
@@ -226,13 +235,21 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
         F.col("_i.channel").alias("chan"),
         F.col("_i.rfChain").alias("rfch"),
         F.col("_i.crcStatus").alias("stat"),
-        F.coalesce(F.col("_i.codeRate"), F.col("_i.loRaModulationInfo.codeRate")).alias("codr"),
+        F.coalesce(
+            F.col("_i.codeRate"),
+            F.col("_i.loRaModulationInfo.codeRate"),
+            F.col("_g.txInfo.loRaModulationInfo.codeRate"),
+        ).alias("codr"),
         F.col("_i.rssi").alias("rssi"),
         F.col("_i.loRaSNR").alias("lsnr"),
         F.col("_i.size").alias("size"),
         F.col("_i.timestamp").cast("double").alias("tmst"),
-        # op 24: Hz -> MHz (:334,354).
-        (F.col("_i.frequency") / F.lit(1000000.0)).alias("freq"),
+        # op 24: Hz -> MHz (:334,354); uplink bodies may carry the
+        # frequency under txInfo (see coalesce note above).
+        (
+            F.coalesce(F.col("_i.frequency"), F.col("_g.txInfo.frequency"))
+            / F.lit(1000000.0)
+        ).alias("freq"),
         F.when(F.col("_is_gw"), F.coalesce(F.col("_i.dataRate.modulation"), F.lit("LORA"))).alias("modu"),
         F.when(
             sf_col.isNotNull(),

@@ -48,6 +48,30 @@ def test_unknown_fields_skipped():
     assert base64.b64decode(pbc.decode_uplink_frame(extra)["phyPayload"]) == phy
 
 
+def test_duration_field3_skipped_and_json_safe():
+    """chirpstack-api v3 UplinkRXInfo field 3 is time_since_gps_epoch,
+    a google.protobuf.Duration SUBMESSAGE (wire type 2) — it must not
+    surface as a bytes 'timestamp' (json.dumps would throw and the
+    frame would silently drop)."""
+    import json as _json
+
+    phy = base64.b64decode(DATA_UP_B64)
+    base = pbc.encode_uplink_frame(phy_payload=phy, rssi=-61, lora_snr=6.5)
+    # rebuild rx_info with field 3 as a Duration submessage {seconds=90}
+    duration = pbc._field(1, 0) + pbc._write_varint(90)
+    rx = (
+        pbc._len_field(1, bytes.fromhex("aabbccddeeff0011"))
+        + pbc._len_field(3, duration)  # wire type 2, NOT a scalar
+        + pbc._field(5, 0) + pbc._write_varint((-61) & ((1 << 64) - 1))
+    )
+    frame = pbc._len_field(1, phy) + pbc._len_field(3, rx)
+    doc = pbc.decode_uplink_frame(frame)
+    assert "timestamp" not in doc["rxInfo"]
+    _json.dumps(doc)  # must not raise
+    # legacy wire-0 scalar still surfaces
+    assert pbc.decode_uplink_frame(base)["rxInfo"]["timestamp"] == 0
+
+
 def test_normalize_chirpstack_protobuf_fallback(spark):
     from tests.test_streaming import _raw_df
     from rolaguard_data_collectors_spark.streaming.normalize import (
