@@ -122,20 +122,46 @@ def from_protobuf_uplink(
     data_col: Column, descriptor_path: str | None = None
 ) -> Column:
     """gw.UplinkFrame protobuf decode (LoraServerIOCollector.py:253-263)
-    via pyspark.sql.protobuf. Requires a compiled FileDescriptorSet for
-    the ChirpStack gw.proto (protoc --descriptor_set_out); this
-    container has no protoc, so callers without a descriptor get a
-    clear error. The MessageToJson representation of the same frames is
-    handled natively by normalize_chirpstack (protobuf-as-JSON branch).
+    via pyspark.sql.protobuf.
+
+    The compiled FileDescriptorSet is self-hosted: when no
+    ``descriptor_path`` is given, ``functions.gw_descriptor`` serializes
+    gw.desc with the repo's own wire codec (descriptor.proto is itself
+    protobuf, so no protoc needed). The spark-protobuf connector is a
+    separate jar not bundled with pyspark; when it is absent the call
+    raises with the generated descriptor path so the caller can add the
+    jar (--packages org.apache.spark:spark-protobuf_2.13:<ver>). Raw
+    frames are meanwhile handled by the pure-Python wire codec
+    (pb_uplink_to_json inside normalize_chirpstack) and
+    MessageToJson-shaped frames by the JSON path.
     """
-    if descriptor_path is None or not os.path.exists(descriptor_path):
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    if descriptor_path is None:
+        from ..functions.gw_descriptor import write_descriptor
+
+        descriptor_path = write_descriptor(
+            os.path.join(tempfile.gettempdir(), "gw.desc")
+        )
+    spark = SparkSession.getActiveSession()
+    connector_ok = False
+    if spark is not None:
+        try:
+            spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+                "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+            )
+            connector_ok = True
+        except Exception:
+            connector_ok = False
+    if not connector_ok:
         raise NotImplementedError(
-            "from_protobuf_uplink needs a compiled descriptor set for "
-            "gw.UplinkFrame (protoc --descriptor_set_out=gw.desc gw.proto); "
-            "pass descriptor_path=... — without it, raw frames are handled "
-            "by the pure-Python wire codec (functions.protobuf_codec via "
-            "pb_uplink_to_json, wired into normalize_chirpstack) and "
-            "MessageToJson-shaped frames by the JSON path"
+            "spark-protobuf connector jar not on the classpath; the "
+            f"compiled descriptor is ready at {descriptor_path} — add "
+            "org.apache.spark:spark-protobuf_2.13 and call again. Raw "
+            "frames are handled by the pure-Python wire codec "
+            "(pb_uplink_to_json in normalize_chirpstack) meanwhile"
         )
     from pyspark.sql.protobuf.functions import from_protobuf
 
