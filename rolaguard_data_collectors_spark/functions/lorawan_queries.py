@@ -16,6 +16,8 @@ tests/test_lorawan_udfs.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -162,12 +164,54 @@ def lorawan_join_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reference_keyspaces(spark: SparkSession, per_family: int = 65536) -> DataFrame:
+    """The reference's three structured brute-force key families
+    (lorawanWrapper.go:283-358), generated in-plan — byte-for-byte the
+    keys its (i, j) double loop constructs, as (family, cand_key hex):
+
+    - key1: byte0 = i, bytes1..15 = j
+    - key2: even byte positions = i, odd positions = j
+    - key3: bytes0..13 = 0, byte14 = i, byte15 = j
+
+    ``per_family`` walks the same (i outer, j inner) order the Go loop
+    does: id = i*256 + j, so per_family=65536 is the full keyspace and
+    smaller values are exact prefixes of the reference enumeration.
+    The reference early-exits on the first hit; a set engine computes
+    the (tiny broadcast) relation once and filters — same keys tested,
+    different control flow."""
+    r = spark.range(per_family)
+    i_hex = F.lpad(F.lower(F.hex(F.shiftright(F.col("id"), 8))), 2, "0")
+    j_hex = F.lpad(F.lower(F.hex(F.col("id") % 256)), 2, "0")
+    k1 = r.select(
+        F.lit(1).alias("family"),
+        F.concat(i_hex, F.repeat(j_hex, 15)).alias("cand_key"),
+    )
+    k2 = r.select(
+        F.lit(2).alias("family"),
+        F.repeat(F.concat(i_hex, j_hex), 8).alias("cand_key"),
+    )
+    k3 = r.select(
+        F.lit(3).alias("family"),
+        F.concat(F.lit("00" * 14), i_hex, j_hex).alias("cand_key"),
+    )
+    return k1.unionByName(k2).unionByName(k3)
+
+
+# Bench-friendly default; the full reference sweep is 65536/family
+# (set SPARK_GRAFT_BRUTE_KEYS=65536 — the Python CMAC kernel makes
+# that a multi-minute run on local[32], the reference's cgo loop took
+# seconds; at cluster scale the keyspace broadcast + per-frame fanout
+# is the same plan either way).
+BRUTE_KEYS_PER_FAMILY = int(os.environ.get("SPARK_GRAFT_BRUTE_KEYS", "16"))
+
+
 def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op 46 shape: candidate keyspace as a generated DataFrame
-    (spark.range -> key construction expr), cross-joined against a
+    """op 46: the reference's structured keyspaces (exact byte
+    construction, see reference_keyspaces) cross-joined against a
     bounded frame sample, MIC-checked per pair, survivors kept. The
-    true per-device key is planted in the candidate set; at 100 TB the
-    keyspace side is the small broadcast relation. Rows-only."""
+    true per-device key is planted in the candidate set so the query
+    provably cracks; at 100 TB the keyspace side is the small
+    broadcast relation. Rows-only."""
     frames = (
         _keyed_events(spark, sf_dir)
         .filter(F.col("event_id") % 97 == 0)  # bounded sample of frames
@@ -177,29 +221,14 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "data")
     )
-    # Structured keyspaces, generated in-plan like the reference's
-    # three ~65k-key families (lorawanWrapper.go:279-360): (a) keys
-    # with a repeated byte pattern, (b) keys embedding a counter in the
-    # low bytes, (c) vendor-prefix + counter. Scaled down (16 each) so
-    # the Python CMAC check stays bench-friendly; the plan shape — a
-    # spark.range -> key-expression relation broadcast against frames —
-    # is the 100 TB design (the keyspace side is always the small side).
-    rpt = spark.range(16).select(
-        F.lower(F.conv(F.col("id").cast("string"), 10, 16)).alias("b")
-    ).select(F.expr("repeat(lpad(b, 2, '0'), 16)").alias("cand_key"))
-    ctr = spark.range(16).select(
-        F.concat(F.lit("0" * 24), F.lpad(F.lower(F.hex("id")), 8, "0")).alias("cand_key")
-    )
-    vendor = spark.range(16).select(
-        F.concat(F.lit("b827eb" + "0" * 18), F.lpad(F.lower(F.hex("id")), 8, "0")).alias(
-            "cand_key"
-        )
-    )
     true_keys = frames.select(
         F.md5(F.format_string("dev-%d", F.col("user_id"))).alias("cand_key")
     ).distinct()
     candidates = (
-        rpt.unionByName(ctr).unionByName(vendor).unionByName(true_keys).distinct()
+        reference_keyspaces(spark, BRUTE_KEYS_PER_FAMILY)
+        .select("cand_key")
+        .unionByName(true_keys)
+        .distinct()
     )
     tested = frames.crossJoin(F.broadcast(candidates)).withColumn(
         "ok", validate_mic("data", "cand_key")

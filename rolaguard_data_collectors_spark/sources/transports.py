@@ -177,6 +177,7 @@ class MqttTransport(Transport):
         self.config = config
         self._queue: queue.Queue[RawMessage] = queue.Queue(maxsize=100_000)
         self._client = None
+        self.dropped_messages = 0  # backpressure evictions, observable
 
     def connect(self) -> None:  # pragma: no cover - needs a broker
         import time
@@ -190,16 +191,25 @@ class MqttTransport(Transport):
         client.reconnect_delay_set(c.reconnect_min_s, c.reconnect_max_s)
 
         def on_message(_client, _userdata, msg):
-            try:
-                self._queue.put_nowait(
-                    RawMessage(
-                        topic=msg.topic,
-                        value=msg.payload.decode("utf-8", errors="replace"),
-                        ts=int(time.time()),
-                    )
-                )
-            except queue.Full:
-                pass  # at-least-once transport; backpressure drops oldest-first
+            record = RawMessage(
+                topic=msg.topic,
+                value=msg.payload.decode("utf-8", errors="replace"),
+                ts=int(time.time()),
+            )
+            while True:
+                try:
+                    self._queue.put_nowait(record)
+                    return
+                except queue.Full:
+                    # true oldest-first backpressure: evict the head so
+                    # the newest message always lands, and count the
+                    # loss so it's observable (dropped_messages is
+                    # surfaced by poll()'s caller via transport stats)
+                    try:
+                        self._queue.get_nowait()
+                        self.dropped_messages += 1
+                    except queue.Empty:
+                        continue
 
         client.on_message = on_message
         client.connect(c.host, c.port)

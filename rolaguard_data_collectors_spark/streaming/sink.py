@@ -178,11 +178,33 @@ def split_errors(packets: DataFrame) -> tuple[DataFrame, DataFrame]:
     return packets, errors
 
 
+# The EXACT column list Service.py:7-46 persists into the Packet model
+# — the JDBC row contract. The engine's packet frame carries a few
+# extra working columns (gw_name, seqn, opts, port) that the reference
+# keeps only inside the queue envelope, never in the packets table.
+JDBC_PACKET_COLUMNS = [
+    "date", "topic", "data_collector_id", "organization_id", "gateway",
+    "tmst", "chan", "rfch", "freq", "stat", "modu", "datr", "codr",
+    "lsnr", "rssi", "size", "data", "m_type", "major", "mic",
+    "join_eui", "dev_eui", "dev_nonce", "dev_addr", "adr", "ack",
+    "adr_ack_req", "f_pending", "class_b", "f_count", "f_opts",
+    "f_port", "error", "latitude", "longitude", "altitude",
+    "app_name", "dev_name",
+]
+
+
+def jdbc_projection(batch_df: DataFrame) -> DataFrame:
+    """Project a packet frame to exactly the Service.py:7-46 row
+    contract (order included). Kept separate from the write so the
+    contract is plan-testable without a JDBC driver."""
+    return batch_df.select(*JDBC_PACKET_COLUMNS)
+
+
 def write_packets_jdbc(
     batch_df: DataFrame, url: str, table: str, properties: dict | None = None
 ) -> None:
     """Op 9 (PacketPersistence.py:12-15, Service.py:5-47): the disabled
     Postgres row sink, as a foreachBatch body."""
-    batch_df.select(*PACKET_COLUMNS).write.mode("append").jdbc(
+    jdbc_projection(batch_df).write.mode("append").jdbc(
         url, table, properties=properties or {}
     )

@@ -60,3 +60,42 @@ def test_bruteforce_cracks_only_planted_keys(spark, sf_dir):
 
     for r in cracked:
         assert r.cracked_key == hashlib.md5(f"dev-{r.user_id}".encode()).hexdigest()
+
+
+def _go_keyspaces(n: int):
+    """Independent Python transcription of the reference's key loops
+    (lorawanWrapper.go:283-306): byte-for-byte ground truth."""
+    fams = {1: [], 2: [], 3: []}
+    for idx in range(n):
+        i, j = idx >> 8, idx & 0xFF
+        key1 = bytes([i] + [j] * 15)
+        key2 = bytes([i, j] * 8)
+        key3 = bytes([0] * 14 + [i, j])
+        fams[1].append(key1.hex())
+        fams[2].append(key2.hex())
+        fams[3].append(key3.hex())
+    return fams
+
+
+def test_reference_keyspaces_byte_parity(spark):
+    """The in-plan keyspace generation must equal the Go loops
+    byte-for-byte over a ~10k-key prefix of each family (the full
+    sweep is the same expressions over a longer range)."""
+    from rolaguard_data_collectors_spark.functions.lorawan_queries import (
+        reference_keyspaces,
+    )
+
+    n = 10000
+    got = {1: [], 2: [], 3: []}
+    for r in reference_keyspaces(spark, n).collect():
+        got[r.family].append(r.cand_key)
+    want = _go_keyspaces(n)
+    for fam in (1, 2, 3):
+        assert len(got[fam]) == n
+        assert sorted(got[fam]) == sorted(want[fam]), f"family {fam} diverges"
+    # spot-check exact membership at the uint8 boundaries the Go loop
+    # special-cases (i/j == 255)
+    full = _go_keyspaces(65536)
+    assert full[1][-1] == "ff" + "ff" * 15
+    assert full[2][-1] == "ffff" * 8
+    assert full[3][-1] == "00" * 14 + "ffff"

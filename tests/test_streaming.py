@@ -564,6 +564,31 @@ def test_queue_sink_exactly_once(spark, tmp_path):
         assert len(fh.readlines()) == 2
 
 
+def test_jdbc_projection_matches_service_contract(spark):
+    """Op 9 plan-level check: the foreachBatch body must project
+    EXACTLY the columns Service.py:7-46 persists into the Packet model
+    — no engine-internal working columns (gw_name/seqn/opts/port), in
+    the reference's order."""
+    from rolaguard_data_collectors_spark.schemas import PACKET_SCHEMA
+    from rolaguard_data_collectors_spark.streaming.sink import (
+        JDBC_PACKET_COLUMNS,
+        jdbc_projection,
+    )
+
+    df = spark.createDataFrame([], PACKET_SCHEMA)
+    projected = jdbc_projection(df)
+    assert projected.columns == JDBC_PACKET_COLUMNS
+    # the contract mirrors Service.py exactly: 38 columns, starting
+    # with the parse of 'date' and ending with dev_name
+    assert len(JDBC_PACKET_COLUMNS) == 38
+    assert JDBC_PACKET_COLUMNS[0] == "date" and JDBC_PACKET_COLUMNS[-1] == "dev_name"
+    for internal in ("gw_name", "seqn", "opts", "port"):
+        assert internal not in JDBC_PACKET_COLUMNS
+    # types survive the projection (schema comes from PACKET_SCHEMA)
+    assert dict(projected.dtypes)["date"] == "timestamp"
+    assert dict(projected.dtypes)["f_count"] == "bigint"
+
+
 def test_queue_sink_multi_partition_and_crash_window(spark, tmp_path):
     """Executor-side publish: a multi-partition micro-batch lands every
     row exactly once, and a crash BETWEEN the data append and the
