@@ -67,6 +67,23 @@ def main() -> None:
             F.lit("QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI="), F.lit(None), F.lit(None)
         )
     ).write.format("noop").mode("overwrite").save()
+    # Warm the shuffle + JSON codegen paths too (exchange machinery,
+    # Jackson parser init, codegen compilation for from_json/to_json) —
+    # otherwise the first measured query absorbs ~5-10 s of one-time
+    # setup regardless of its own cost.
+    (
+        spark.range(100_000)
+        .select(
+            (F.col("id") % 7).alias("k"),
+            F.to_json(F.struct(F.col("id").alias("a"))).alias("j"),
+        )
+        .select("k", F.from_json("j", "a bigint").alias("s"))
+        .groupBy("k")
+        .agg(F.count("s.a"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():

@@ -236,18 +236,135 @@ class MqttTransport(Transport):
 
 @dataclass
 class TTNv2Config:
-    account_server: str = "https://account.thethingsnetwork.org"
+    # URL surface mirrors the reference's env-overridable endpoints
+    # (TTNCollector.py:14-20) so tests can point at a local server.
+    account_login_url: str = (
+        "https://account.thethingsnetwork.org/api/v2/users/login"
+    )
+    login_url: str = "https://console.thethingsnetwork.org/login"
+    access_token_url: str = "https://console.thethingsnetwork.org/refresh"
+    ws_url: str = (
+        "wss://console.thethingsnetwork.org/api/events/644/lta0xryg/"
+        "websocket?version=v2.6.11"
+    )
     gateway_ids: tuple[str, ...] = ()
     user: str | None = None
     password: str | None = None
     ping_interval_s: int = 20  # TTNCollector.py:112
+    refresh_poll_s: float = 30.0  # TTNCollector.py:322
+    refresh_margin_s: float = 900.0  # 15 min early, TTNCollector.py:330
+
+
+class TTNv2Session:
+    """The reference's login/token HTTP flow (TTNCollector.py:304-355)
+    on stdlib urllib + a cookie jar — no external HTTP dependency, and
+    the endpoints come from TTNv2Config so a local fake server can
+    stand in for the (decommissioned) TTN v2 console in tests.
+
+    login(): POST credentials to the account server, then GET the
+    console login URL to pick up the console session cookie (:305-310).
+    fetch_access_token(): GET the refresh endpoint -> {'access_token',
+    'expires'} (:312-314).
+    refresh_loop(): the schedule_refresh_token semantics (:316-355) —
+    sleep-poll, refresh 15 min before expiry, push the new token via
+    ``send_token``, and after 3 consecutive failures call
+    ``reconnect`` and stop.
+    """
+
+    def __init__(self, config: TTNv2Config):
+        import http.cookiejar
+        import urllib.request
+
+        self.config = config
+        self._jar = http.cookiejar.CookieJar()
+        self._opener = urllib.request.build_opener(
+            urllib.request.HTTPCookieProcessor(self._jar)
+        )
+        self.logged_in = False
+
+    def _request(self, url: str, data: bytes | None = None) -> tuple[int, bytes]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=data, headers={"Content-type": "application/json"}
+        )
+        try:
+            with self._opener.open(req, timeout=30) as res:
+                return res.status, res.read()
+        except urllib.error.HTTPError as e:  # status still meaningful
+            return e.code, e.read()
+
+    def login(self) -> bool:
+        body = json.dumps(
+            {"username": self.config.user, "password": self.config.password}
+        ).encode()
+        status, _ = self._request(self.config.account_login_url, data=body)
+        # console GET primes the session cookie regardless of outcome,
+        # exactly like the reference's unconditional ses.get (:308)
+        self._request(self.config.login_url)
+        self.logged_in = status == 200
+        return self.logged_in
+
+    def fetch_access_token(self) -> dict:
+        status, body = self._request(self.config.access_token_url)
+        if status != 200:
+            raise ConnectionError(f"access token fetch failed: HTTP {status}")
+        return json.loads(body)
+
+    def refresh_loop(
+        self,
+        send_token,
+        is_closed,
+        first_expires_ms: float | None,
+        reconnect=None,
+        clock=None,
+        sleeper=None,
+    ) -> None:
+        """Runs until ``is_closed()``; test-injectable clock/sleeper."""
+        import time as _time
+
+        now = clock or _time.time
+        sleep = sleeper or _time.sleep
+        expires_ms = first_expires_ms
+        first = first_expires_ms is not None
+        expire_at: float | None = None
+        failures = 0
+        while not is_closed():
+            if expire_at is not None and expire_at > now():
+                sleep(self.config.refresh_poll_s)
+                continue
+            if expires_ms:
+                expire_at = expires_ms / 1000.0 - self.config.refresh_margin_s
+                if first:
+                    first = False
+                    continue
+            try:
+                data = self.fetch_access_token()
+                expires_ms = data.get("expires")
+                send_token(data.get("access_token"))
+                failures = 0
+            except Exception:
+                expires_ms = None
+                expire_at = None
+                failures += 1
+                if failures >= 3:
+                    if reconnect is not None:
+                        reconnect()
+                    return
 
 
 class TTNv2WebSocketTransport(Transport):
     """TTN v2 console WebSocket (op 3): login -> access token -> wss
-    subscribe per gateway; keepalive 'h' frames are dropped downstream
-    by the length>1 filter (the normalize pipeline keeps that exact
-    semantics)."""
+    subscribe per gateway -> background token refresh
+    (TTNCollector.py:88-123, 287-355); keepalive 'h' frames are
+    dropped downstream by the length>1 filter (the normalize pipeline
+    keeps that exact semantics).
+
+    The HTTP token flow (TTNv2Session) is stdlib and fully testable;
+    only the WebSocket leg needs websocket-client (and a live console,
+    which is decommissioned upstream — ReplayTransport replays
+    captured frames for the data path)."""
 
     def __init__(self, config: TTNv2Config):
         try:
@@ -259,13 +376,52 @@ class TTNv2WebSocketTransport(Transport):
             ) from exc
         self.config = config
         self._queue: queue.Queue[RawMessage] = queue.Queue(maxsize=100_000)
+        self._ws = None
         self._ws_thread: threading.Thread | None = None
+        self._refresh_thread: threading.Thread | None = None
+        self._closed = False
+        self.session: TTNv2Session | None = None
 
-    def connect(self) -> None:  # pragma: no cover - needs TTN network
-        raise NotImplementedError(
-            "live TTN v2 console access is decommissioned upstream; replay "
-            "captured frames (TTNCollector.py:181-192 frame shapes)"
+    def connect(self) -> None:  # pragma: no cover - needs a live console
+        import time
+
+        import websocket
+
+        self.session = TTNv2Session(self.config)
+        if not self.session.login():
+            raise ConnectionError("TTN v2 login failed")  # save_login_error path
+        data = self.session.fetch_access_token()
+
+        def on_message(_ws, msg):
+            self._queue.put_nowait(
+                RawMessage(topic="", value=msg, ts=int(time.time()))
+            )
+
+        def on_open(ws):
+            for gw in self.config.gateway_ids:  # :298-299
+                ws.send(f'["gateway:{gw}"]')
+            ws.send(f'["token:{data["access_token"]}"]')
+
+        self._ws = websocket.WebSocketApp(
+            self.config.ws_url, on_message=on_message, on_open=on_open
         )
+        self._ws_thread = threading.Thread(
+            target=self._ws.run_forever,
+            kwargs={"ping_interval": self.config.ping_interval_s},
+            daemon=True,
+        )
+        self._ws_thread.start()
+        self._refresh_thread = threading.Thread(
+            target=self.session.refresh_loop,
+            args=(
+                lambda tok: self._ws.send(f'["token:{tok}"]'),
+                lambda: self._closed,
+                data.get("expires"),
+                self.connect,  # :345-351 reconnect after 3 failures
+            ),
+            daemon=True,
+        )
+        self._refresh_thread.start()
 
     def poll(self, max_records: int) -> list[RawMessage]:
         out = []
@@ -277,7 +433,12 @@ class TTNv2WebSocketTransport(Transport):
         return out
 
     def close(self) -> None:
+        self._closed = True
+        if self._ws is not None:  # pragma: no cover - needs live socket
+            self._ws.close()
+            self._ws = None
         self._ws_thread = None
+        self._refresh_thread = None
 
 
 @dataclass
