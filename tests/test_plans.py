@@ -1,0 +1,91 @@
+"""Physical-plan regression suite over the whole query registry.
+
+Correctness is gated by the DuckDB oracle; this file gates the PLAN —
+the properties that decide whether a query survives a 100 TB / 1000-
+executor scale-up rather than merely passing at sf0.001:
+
+* no ``CartesianProduct`` anywhere (every intentional cross join in the
+  repo broadcasts its small side, which lowers to
+  BroadcastNestedLoopJoin);
+* no row-at-a-time Python UDF (``BatchEvalPython``) in any hot path —
+  Python only ever enters a plan through Arrow (``ArrowEvalPython``,
+  ``MapInPandas``, ``FlatMapGroupsInPandas``);
+* star-schema joins broadcast their dimension side instead of
+  shuffling the fact table;
+* filters and projections reach the parquet scan (PushedFilters /
+  pruned ReadSchema) so a cluster reads the bytes the query needs,
+  not the table.
+
+Plans are compiled only (``explainString``), never executed, so the
+whole registry is checked in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rolaguard_data_collectors_spark.registry import collect_all
+
+SPECS = collect_all()
+
+
+def _plan(spark, sf_dir, name, mode="formatted"):
+    df = SPECS[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_no_cartesian_and_no_row_python(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}: unbroadcast cross join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "broadcast_part_join"],
+)
+def test_star_joins_broadcast_dimensions(spark, sf_dir, name):
+    """The dim side of every fact join must ship to executors, not
+    shuffle the fact table (SURVEY.md §4: the reference has no join
+    planner at all; Catalyst + an explicit broadcast is ours)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: expected broadcast join\n{plan}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q3's date predicates must land in PushedFilters on the parquet
+    scans — at 100 TB this is the difference between reading a
+    partition and reading the table."""
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "PushedFilters: [" in plan
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line and "IsNotNull" in line
+    ]
+    assert pushed, f"no non-trivial pushed filters:\n{plan}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """q1 touches 7 of lineitem's 16 columns; the scan's ReadSchema
+    must exclude the wide untouched ones (l_comment) — a projection
+    that reads every column at 100 TB pays for the whole table."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines, plan
+    assert all("l_comment" not in l for l in schema_lines), schema_lines
+
+
+def test_decode_pipelines_are_single_scan(spark, sf_dir):
+    """Each source pipeline must be one narrow pass over events — no
+    shuffle (Exchange) before the decode stage; the only exchange
+    allowed is the final aggregate's, if any."""
+    for name in (
+        "pipeline_mqtt_forwarder",
+        "pipeline_chirpstack_gateway",
+        "pipeline_ttn_v2",
+        "pipeline_ttn_v3",
+    ):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert plan.count("FileScan parquet") == 1, f"{name}: expected single scan\n{plan}"
