@@ -52,17 +52,30 @@ def decode_phypayload(
 
     Columnar batch build (dict of per-field lists, not list of row
     dicts): this UDF sits on the hot path of every normalize pipeline,
-    and the row-oriented construction dominated its profile."""
+    and the row-oriented construction dominated its profile.
+
+    Per-batch memo on (frame, keys): parsing is pure, and real LoRaWAN
+    traffic repeats frames heavily (confirmed-uplink retransmissions,
+    periodic sensors, multi-gateway receptions of the same airtime
+    frame — the reference dedups those downstream, LoraServerIO
+    rx_info fan-out). Distinct frames cost one dict probe extra;
+    repeated frames skip the parse + crypto entirely."""
     cols: dict[str, list] = {f: [] for f in _FIELDS}
     appends = [cols[f].append for f in _FIELDS]
+    memo: dict[tuple, tuple] = {}
+    null_row = (None,) * len(_FIELDS)
     for b64, ak, nk in zip(data_b64, app_s_key, nwk_s_key):
         if b64 is None:
-            for ap in appends:
-                ap(None)
-            continue
-        p = lc.parse_phypayload_b64(b64, ak or None, nk or None)
-        for f, ap in zip(_FIELDS, appends):
-            ap(getattr(p, f))
+            row = null_row
+        else:
+            k = (b64, ak, nk)
+            row = memo.get(k)
+            if row is None:
+                p = lc.parse_phypayload_b64(b64, ak or None, nk or None)
+                row = tuple(getattr(p, f) for f in _FIELDS)
+                memo[k] = row
+        for ap, v in zip(appends, row):
+            ap(v)
     return pd.DataFrame(cols, columns=_FIELDS)
 
 

@@ -179,12 +179,16 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
     # near-free no-op for JSON bodies ('{' fails strict base64).
     from ..functions.lorawan_udfs import pb_uplink_to_json
 
+    # The when() guard is applied to the UDF's ARGUMENT, not around the
+    # UDF call: Catalyst extracts Python UDFs out of conditional
+    # expressions and evaluates them for every row, so guarding the
+    # call alone still ships every JSON body through Arrow. With the
+    # condition inside, non-pb rows reach the UDF as nulls and skip the
+    # base64 attempt entirely.
     pb_cond = is_gw & F.col("topic").rlike("/up$") & ~F.col("value").startswith("{")
     base = base.withColumn(
         "value",
-        F.when(
-            pb_cond, F.coalesce(pb_uplink_to_json(F.col("value")), F.col("value"))
-        ).otherwise(F.col("value")),
+        F.coalesce(pb_uplink_to_json(F.when(pb_cond, F.col("value"))), F.col("value")),
     )
 
     df = base.select(
