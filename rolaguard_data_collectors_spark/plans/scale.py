@@ -1,0 +1,105 @@
+"""Scale toolkit (SURVEY.md §4, §6): the three layout levers that decide
+whether the engine's joins and scans survive 100 TB.
+
+The reference never needed any of this — it holds its whole state in one
+process's dicts (DeviceMap, LoraServerIOCollector.py:83-90) and its
+"table" is a RabbitMQ queue. On a cluster the equivalents are data
+layout decisions, made once at write time and repaid on every query:
+
+* **Bucketing** (`write_bucketed`): persist both sides of a recurring
+  equi-join pre-hashed into the same number of buckets on the join key.
+  Spark's scan then reports the bucket spec as its output partitioning
+  and the sort-merge join runs with NO Exchange — the single biggest
+  shuffle saving available for a fact-to-fact join (e.g. packets joined
+  to devices_map snapshots on dev_eui, orders to lineitem on orderkey).
+
+* **Skew salting** (`salted_join`): one hot key (a chatty gateway, a
+  null dev_addr) puts an entire cluster behind one reducer. Salting
+  fans the hot side's rows over N sub-keys and replicates the other
+  side N times, bounding any reducer at 1/N of the hot key. AQE's
+  skew-join handles moderate skew adaptively; explicit salting is for
+  the pathological case AQE can't split (a single key larger than an
+  executor).
+
+* **Partitioned layout** (`write_partitioned`): time/tenant-partitioned
+  parquet so predicates become PartitionFilters — a scan that touches
+  the partitions the query names and nothing else. This is the batch
+  analog of the reference's per-collector topic subscription.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) on ``keys``.
+
+    Two tables written with the same keys and bucket count join
+    shuffle-free: each scan task reads exactly one bucket pair, already
+    co-partitioned and (if ``sort_cols`` covers the keys) already
+    sorted, so the SMJ needs neither Exchange nor Sort. Bucket count is
+    a capacity decision: at 100 TB pick buckets so one bucket of the
+    larger table fits an executor's memory (e.g. 4096), not the row
+    count of the test fixture.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *keys)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salts: int = 8,
+) -> DataFrame:
+    """Equi-join with the left (large, skewed) side salted over
+    ``salts`` sub-keys and the right side replicated once per salt.
+
+    Output equals ``left.join(right, on, how)`` row-for-row: every left
+    row carries exactly one salt value and the replicated right side
+    contains all of them, so each (key, salt) pair matches precisely the
+    right rows the unsalted join would match. Cost: right side scanned
+    into ``salts``x rows — use on dimension-sized right sides that are
+    over the broadcast threshold but far below the fact table.
+
+    The salt is derived per-row (id-hash modulo), not random, so a
+    task retry re-derives the same distribution.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts))
+    salted_left = left.withColumn(SALT_COL, salt.cast("int"))
+    replicated_right = right.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return salted_left.join(replicated_right, keys + [SALT_COL], how).drop(SALT_COL)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet (one dir level per column value).
+
+    Queries filtering on ``partition_cols`` scan only the matching
+    directories (PartitionFilters), so a day query over a years-deep
+    packet archive reads one day. Keep partition cardinality bounded
+    (date, collector id — never dev_eui): each value is a directory,
+    and millions of tiny files cost more than they prune.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,125 @@
+"""Plan-level proof of the scale toolkit (plans/scale.py): bucketed
+joins drop their Exchanges, salted joins preserve join semantics while
+spreading hot keys, partitioned writes turn predicates into
+PartitionFilters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rolaguard_data_collectors_spark.catalog import load_table
+from rolaguard_data_collectors_spark.plans.scale import (
+    SALT_COL,
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def _simple_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+@pytest.fixture()
+def bucket_db(spark, tmp_path):
+    name = "bucketed_test_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name} LOCATION '{tmp_path}/wh'")
+    yield name
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucket_db):
+    """orders and customer bucketed+sorted on custkey: the SMJ between
+    them must need no Exchange and no Sort — co-location did the work
+    at write time."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders, f"{bucket_db}.orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"]
+    )
+    write_bucketed(
+        customer, f"{bucket_db}.customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"]
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(f"{bucket_db}.orders_b").join(
+            spark.table(f"{bucket_db}.customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _simple_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+
+        # Same join unbucketed DOES shuffle — the delta is the point.
+        raw = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        assert "Exchange" in _simple_plan(raw)
+
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must be invisible in the result: same rows as the plain
+    join, for inner and left joins, including unmatched-left rows."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    right = part.withColumnRenamed("p_partkey", "l_partkey")
+
+    for how in ("inner", "left"):
+        plain = (
+            lineitem.join(right, "l_partkey", how)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        )
+        salted = (
+            salted_join(lineitem, right, "l_partkey", how=how, salts=4)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key must land on multiple (key, salt) sub-keys —
+    the whole purpose of the transform."""
+    hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id"))
+    dim = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    keys = [r[0] for r in (
+        hot.withColumn(
+            SALT_COL,
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)).cast("int"),
+        )
+        .select(SALT_COL)
+        .distinct()
+        .collect()
+    )]
+    assert len(keys) == 8
+    assert salted_join(hot, dim, "k", salts=8).count() == 10_000
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    on the scan (read the directory, not the dataset)."""
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(events, path, ["event_type"])
+
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = _simple_plan(back)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+    want = events.filter(F.col("event_type") == "click").count()
+    assert back.count() == want
