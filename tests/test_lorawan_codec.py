@@ -189,3 +189,65 @@ def test_encode_decode_identity(dev_addr, f_cnt, payload, f_port, confirmed, upl
     assert p.adr == adr and p.ack == ack
     assert bytes.fromhex(p.frm_payload or "") == payload
     assert lc.validate_data_mic(frame, nwk)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    payload=st.binary(min_size=1, max_size=32),
+    f_cnt=st.integers(0, 2**16 - 1),
+    flip_bit=st.integers(0, 7),
+    data=st.data(),
+)
+def test_mic_rejects_any_bit_flip(payload, f_cnt, flip_bit, data):
+    """CMAC property: flipping ANY single bit of the frame (MIC input
+    or the MIC itself) must fail validation — corruption can't pass."""
+    nwk = bytes.fromhex("44024241ed4ce9a68c6a8bc055233fd3")
+    frame = bytearray(lc.encode_data_frame(nwk, "0100da30", f_cnt, payload))
+    pos = data.draw(st.integers(0, len(frame) - 1))
+    frame[pos] ^= 1 << flip_bit
+    assert not lc.validate_data_mic(bytes(frame), nwk)
+
+
+@settings(max_examples=50, deadline=None)
+@given(wrong=st.binary(min_size=16, max_size=16))
+def test_mic_rejects_wrong_key(wrong):
+    nwk = bytes.fromhex("44024241ed4ce9a68c6a8bc055233fd3")
+    frame = lc.encode_data_frame(nwk, "0100da30", 7, b"\x01\x02")
+    assert lc.validate_data_mic(frame, wrong) == (wrong == nwk)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    frames=st.lists(
+        st.tuples(st.binary(min_size=0, max_size=24), st.integers(0, 2**16 - 1)),
+        min_size=1,
+        max_size=8,
+    ),
+    repeats=st.integers(2, 5),
+)
+def test_decode_udf_memo_matches_per_row_parse(frames, repeats):
+    """The decode UDF's per-batch memo must be semantically invisible:
+    a batch full of repeated frames decodes identically to parsing each
+    row independently."""
+    import pandas as pd
+
+    from rolaguard_data_collectors_spark.functions import lorawan_udfs as lu
+
+    nwk = bytes.fromhex("44024241ed4ce9a68c6a8bc055233fd3")
+    b64s = []
+    for payload, f_cnt in frames:
+        raw = lc.encode_data_frame(nwk, "0100da30", f_cnt, payload)
+        b64s.extend([base64.b64encode(raw).decode()] * repeats)
+    b64s.append(None)
+
+    fn = lu.decode_phypayload.func
+    batch = fn(
+        pd.Series(b64s), pd.Series([None] * len(b64s)), pd.Series([None] * len(b64s))
+    )
+    for i, b64 in enumerate(b64s):
+        if b64 is None:
+            assert batch.iloc[i]["m_type"] is None
+            continue
+        p = lc.parse_phypayload_b64(b64)
+        for f in ("m_type", "dev_addr", "f_count", "f_port", "mic", "error"):
+            assert batch.iloc[i][f] == getattr(p, f), (i, f)
