@@ -71,19 +71,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Split-count decisions memoized per input-file set: spread() sits on
+# the hot build path of every UDF-heavy query, so it must not pay a
+# per-call planning cost (an earlier version called
+# df.rdd.getNumPartitions(), which converts the whole logical plan to
+# an RDD driver-side on every load).
+_SPREAD_CACHE: dict[tuple, bool] = {}
+
+# Below this total input size a local[] scan is effectively one task.
+_SPREAD_SMALL_BYTES = 512 << 20
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Redistribute a narrow scan across cores when the source layout
     under-parallelizes it (the driver testdata is one parquet file with
     ONE row group per table, so a scan - and everything narrow above it,
     including Arrow-UDF stages - runs in a single task). One tiny
     round-robin shuffle unlocks full-core parallelism for expensive
-    downstream work. At production scale inputs have many splits and
-    this is a detected no-op (no shuffle added)."""
+    downstream work.
+
+    The under-split check reads the scan's file list + sizes (cheap
+    FileIndex metadata, memoized per file set) — never the physical
+    plan. At production scale inputs have many splits (len(files)
+    alone clears the bar) and this is a no-op; non-local filesystems
+    without stat access also fall through to the no-op."""
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < max(2, n // 2):
-        return df.repartition(n)
-    return df
+    files = tuple(df.inputFiles())
+    need = _SPREAD_CACHE.get(files)
+    if need is None:
+        if len(files) >= max(2, n // 2):
+            need = False
+        else:
+            import os
+            from urllib.parse import urlparse
+
+            try:
+                total = sum(
+                    os.path.getsize(urlparse(f).path or f) for f in files
+                )
+                need = total < _SPREAD_SMALL_BYTES
+            except OSError:
+                need = False
+        _SPREAD_CACHE[files] = need
+    return df.repartition(n) if need else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

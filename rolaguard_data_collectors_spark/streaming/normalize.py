@@ -86,14 +86,19 @@ _PARSE_FIELDS = [
 
 def _explode_parsed(df: DataFrame, prefer_topic_dev_eui: Column | None = None) -> DataFrame:
     """Lift the decode struct into the packet columns. The codec UDF is
-    referenced once, so the plan evaluates it once per row."""
+    referenced once, so the plan evaluates it once per row. One single
+    select (not a withColumn per field): each withColumn re-analyzes
+    the whole — wide — plan, and 16 of them made driver-side plan
+    construction a measurable share of pipeline latency."""
     df = df.withColumn("_p", _decoded(F.col("data")))
+    taken = set(_PARSE_FIELDS) | {"_p"}
+    out = [F.col(c) for c in df.columns if c not in taken]
     for f in _PARSE_FIELDS:
         if f == "dev_eui" and prefer_topic_dev_eui is not None:
-            df = df.withColumn(f, F.coalesce(F.col("_p")[f], prefer_topic_dev_eui))
+            out.append(F.coalesce(F.col("_p")[f], prefer_topic_dev_eui).alias(f))
         else:
-            df = df.withColumn(f, F.col("_p")[f])
-    return df.drop("_p")
+            out.append(F.col("_p")[f].alias(f))
+    return df.select(*out)
 
 
 # --- op 1 pipeline: generic packet-forwarder MQTT ------------------------
