@@ -14,7 +14,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
@@ -100,10 +100,14 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_arrays = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
+    # Representative election via a window min, not a groupBy+self-join:
+    # the self-join form rebuilt the signature subplan on both sides
+    # (scanned the corpus twice more); the window computes reps in the
+    # same shuffle that already partitions assignments by bucket.
     assign = _band_assignments(minhash_signatures(spark, sf_dir))
-    reps = assign.groupBy("band", "bucket").agg(F.min("doc_id").alias("rep"))
+    w = Window.partitionBy("band", "bucket")
     cand = (
-        assign.join(reps, ["band", "bucket"])
+        assign.withColumn("rep", F.min("doc_id").over(w))
         .filter(F.col("doc_id") != F.col("rep"))
         .groupBy("doc_id")
         .agg(F.min("rep").alias("rep_id"))
@@ -202,20 +206,24 @@ def _band_assignments(sig: DataFrame) -> DataFrame:
     """(band, bucket, doc_id) LSH band assignment rows from a MinHash
     signature frame: 4 bands x 2 rows, band key = md5 of the band's
     concatenated values. Shared by lsh_band_buckets (occupancy) and
-    ngram_jaccard_dedup (candidate generation)."""
-    bands = []
+    ngram_jaccard_dedup (candidate generation).
+
+    One explode over an inline array of (band, bucket) structs — NOT a
+    4-branch union: union branches are independent subplans, so the
+    union form recomputed the whole shingle-explode + 8-perm MinHash
+    aggregation once per band (no exchange reuse across branches; 10
+    scans / 22 exchanges in the downstream dedup plan). The explode
+    form computes the signature once at any scale."""
+    entries = []
     for band in range(BANDS):
         lo, hi = 2 * band, 2 * band + 1
         key = F.md5(F.concat_ws("_", F.lit(band), F.col(f"mh{lo}"), F.col(f"mh{hi}")))
-        bands.append(
-            sig.select(
-                F.lit(band).alias("band"), key.alias("bucket"), F.col("doc_id")
-            )
+        entries.append(
+            F.struct(F.lit(band).alias("band"), key.alias("bucket"))
         )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
-    return all_bands
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("_e")
+    ).select(F.col("_e.band").alias("band"), F.col("_e.bucket").alias("bucket"), "doc_id")
 
 
 def lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
