@@ -212,7 +212,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(N/df), rank inside each doc. All JVM-side: explode + two hash
     aggregates + a broadcast join (df table is vocabulary-sized) + one
     window — the exact shape HashingTF/IDF materializes, kept explicit
-    so the oracle can check values."""
+    so the oracle can check values.
+
+    Deliberate plan choice: the dfreq branch re-runs the tokenize+tf
+    subplan (one extra scan) rather than deriving df with
+    count().over(Window.partitionBy(term)). The window form saves the
+    scan but shuffles every tf row by term with NO partial
+    aggregation — stopword-grade terms each land on one reducer, the
+    classic skew cliff at corpus scale. The recomputed branch is
+    embarrassingly parallel, partially aggregates map-side, and its
+    output is vocabulary-sized (broadcastable)."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
