@@ -1,0 +1,78 @@
+"""End-to-end corpus cleaning: the composition a training-data run
+actually executes, built from the already-oracle-checked stages.
+
+    raw documents
+      -> exact dedup        (md5 groupBy, min-doc_id survivor)
+      -> near-dup removal   (MinHash/LSH representative-verified
+                             Jaccard drop list, llm/dedup.py)
+      -> quality gate       (C4-style heuristic column filter)
+      -> retained corpus
+
+Every stage is a DataFrame-to-DataFrame transform, so the whole clean
+is ONE lazy plan: semi/anti joins on doc_id (shuffle-partitioned by
+the same key end to end) plus narrow column filters. Nothing here
+collects to the driver, and each stage's semantics are individually
+driver-verified via its registry query — this module only adds the
+composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import dedup_exact_survivors, ngram_jaccard_dedup
+from .text import STOPWORDS, _docs
+
+
+def quality_keep(text_col: str = "text"):
+    """The quality_scores keep-gate (llm/text.py) as a reusable boolean
+    Column over a raw text column — same expression, so the composed
+    pipeline and the standalone registry query can never diverge."""
+    toks = F.split(F.col(text_col), " ")
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    mean_wlen = (F.length(text_col) - (n_toks - 1)) / n_toks
+    score = F.when(n_toks < 5, 0.0).otherwise(
+        F.round(
+            0.5 * F.least(n_toks / 100.0, F.lit(1.0))
+            + 0.3 * (stop_hits / n_toks)
+            + 0.2 * F.least(mean_wlen / 10.0, F.lit(1.0)),
+            6,
+        )
+    )
+    return score >= 0.2
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retained documents after exact dedup, near-dup removal, and the
+    quality gate. Returns the full document rows of the survivors."""
+    docs = _docs(spark, sf_dir)
+    exact_keep = dedup_exact_survivors(spark, sf_dir).select("doc_id")
+    near_dup_drop = ngram_jaccard_dedup(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(exact_keep, "doc_id", "left_semi")
+        .join(near_dup_drop, "doc_id", "left_anti")
+        .filter(quality_keep("text"))
+    )
+
+
+def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of per-stage retention counts — the run report a corpus
+    job publishes next to its output."""
+    docs = _docs(spark, sf_dir)
+    exact_keep = dedup_exact_survivors(spark, sf_dir).select("doc_id")
+    near_dup_drop = ngram_jaccard_dedup(spark, sf_dir).select("doc_id")
+    after_exact = docs.join(exact_keep, "doc_id", "left_semi")
+    after_near = after_exact.join(near_dup_drop, "doc_id", "left_anti")
+    retained = after_near.filter(quality_keep("text"))
+    counts = [
+        docs.select(F.count("*").alias("n_raw")),
+        after_exact.select(F.count("*").alias("n_after_exact_dedup")),
+        after_near.select(F.count("*").alias("n_after_near_dup")),
+        retained.select(F.count("*").alias("n_retained")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
