@@ -1,0 +1,132 @@
+"""Real media decoders for the multimodal column — pure stdlib + numpy.
+
+The container has no PIL/ffmpeg, but uncompressed container formats
+don't need them: WAV/PCM (stdlib ``wave``), 24-bpp BMP and binary PPM
+(``struct`` + numpy) decode exactly. The mapInPandas kernel in
+``multimodal.py`` dispatches on magic bytes — these formats take the
+real path; codec formats (JPEG/MP3/H.264) fall back to the
+deterministic byte-feature stub until a codec library is present.
+
+Each decoder returns a plain dict of features; raising ValueError
+routes the payload to the stub path (never fails the batch).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+_WAV_DTYPES = {1: np.int8, 2: np.int16, 4: np.int32}
+
+
+def sniff(b: bytes) -> str | None:
+    """Magic-byte format detection for the dispatch in the kernel."""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if len(b) >= 2 and b[:2] == b"BM":
+        return "bmp"
+    if len(b) >= 2 and b[:2] == b"P6":
+        return "ppm"
+    return None
+
+
+def decode_wav(b: bytes) -> dict:
+    """PCM WAV -> rate/channels/length + signal stats (RMS, peak)."""
+    with wave.open(io.BytesIO(b)) as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    if width not in _WAV_DTYPES:
+        raise ValueError(f"unsupported sample width {width}")
+    arr = np.frombuffer(frames, dtype=_WAV_DTYPES[width]).astype(np.float64)
+    rms = float(np.sqrt(np.mean(arr**2))) if arr.size else 0.0
+    peak = float(np.max(np.abs(arr))) if arr.size else 0.0
+    return {
+        "decoder": "wav",
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "n_samples": n_frames,
+        "mean_val": round(rms, 6),
+        "peak_val": round(peak, 6),
+    }
+
+
+def decode_bmp(b: bytes) -> dict:
+    """Uncompressed 24-bpp BMP -> dimensions + channel means."""
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    pixel_offset = struct.unpack_from("<I", b, 10)[0]
+    width, height = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp != 24:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    rows = abs(height)
+    row_bytes = ((bpp * width + 31) // 32) * 4
+    if pixel_offset + row_bytes * rows > len(b):
+        raise ValueError("truncated BMP pixel data")
+    px = np.frombuffer(b, dtype=np.uint8, count=row_bytes * rows, offset=pixel_offset)
+    px = px.reshape(rows, row_bytes)[:, : width * 3].reshape(rows, width, 3)
+    bgr = px.reshape(-1, 3).mean(axis=0)  # BMP stores BGR
+    gray = float(bgr.mean())
+    return {
+        "decoder": "bmp",
+        "width": width,
+        "height": rows,
+        "mean_val": round(gray, 6),
+        "mean_rgb": [round(float(bgr[2]), 6), round(float(bgr[1]), 6), round(float(bgr[0]), 6)],
+    }
+
+
+def decode_ppm(b: bytes) -> dict:
+    """Binary PPM (P6) -> dimensions + channel means."""
+    fields: list[bytes] = []
+    pos = 2  # past "P6"
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(b[start:pos])
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    need = width * height * 3
+    if pos + need > len(b):
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(b, dtype=np.uint8, count=need, offset=pos).reshape(-1, 3)
+    rgb = px.mean(axis=0)
+    return {
+        "decoder": "ppm",
+        "width": width,
+        "height": height,
+        "mean_val": round(float(rgb.mean()), 6),
+        "mean_rgb": [round(float(v), 6) for v in rgb],
+    }
+
+
+DECODERS = {"wav": decode_wav, "bmp": decode_bmp, "ppm": decode_ppm}
+
+
+def decode_media(b: bytes) -> dict | None:
+    """Dispatch on magic bytes; None -> caller's stub path."""
+    kind = sniff(b)
+    if kind is None:
+        return None
+    try:
+        return DECODERS[kind](b)
+    except ValueError:
+        return None

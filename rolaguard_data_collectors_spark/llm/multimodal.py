@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata, decoded/feature-extracted via Arrow-batched pandas stages.
 
-The container has no image/audio codecs, so the decode kernel is a
-clearly-marked deterministic STUB (see ``fake_decode_features``) — the
-Spark-side contract (schema, binary column handling, mapInPandas batch
-shape, partitioning) is real and oracle/row checked. Swapping the stub
-for PIL/ffmpeg changes one function body, not the plan.
+Decode is REAL for formats parseable without codec libraries — PCM
+WAV, uncompressed BMP, binary PPM (llm/codecs.py, stdlib+numpy) — and
+a clearly-marked deterministic byte-feature STUB for codec formats
+(JPEG/MP3/H.264; the container has no PIL/ffmpeg). The kernel
+dispatches on magic bytes; the Spark-side contract (schema, binary
+column handling, mapInPandas batch shape, partitioning) is identical
+on both paths, so installing a codec lib extends DECODERS without
+touching any plan.
 
 Binary payloads are synthesized from document text (utf-8 bytes) so
 every byte-level result is deterministic and DuckDB-verifiable.
@@ -23,7 +26,9 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread
 from ..registry import QuerySpec
 
-DECODE_AVAILABLE = False  # no PIL/ffmpeg in this environment
+# Codec-library formats (JPEG/MP3/H.264) still need PIL/ffmpeg; the
+# container-native formats in llm/codecs.py decode for real.
+DECODE_AVAILABLE = False
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,15 +113,57 @@ def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
+DECODE_FEATURES_SCHEMA = (
+    "doc_id long, decoder string, width int, height int, sample_rate int,"
+    " n_channels int, n_samples long, mean_val double, peak_val double,"
+    " mean_rgb array<double>, max_byte int, byte_hist array<double>"
+)
+
+_DECODE_FIELDS = [f.strip().split(" ")[0] for f in DECODE_FEATURES_SCHEMA.split(",")]
+
+
+def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Dispatching decode kernel: REAL decoders for formats the
+    container can parse without codec libraries (PCM WAV via stdlib
+    ``wave``, uncompressed 24-bpp BMP and binary PPM via struct+numpy,
+    see llm/codecs.py), deterministic byte-feature stub for everything
+    else (JPEG/MP3/... until a codec lib is installed). One unified
+    nullable feature schema; ``decoder`` says which path ran."""
+    from . import codecs
+
+    for pdf in batches:
+        rows: dict[str, list] = {f: [] for f in _DECODE_FIELDS}
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(raw) if raw is not None else b""
+            feat = codecs.decode_media(b)
+            if feat is None:
+                if b:
+                    quarters = [0, 0, 0, 0]
+                    for x in b:
+                        quarters[x // 64] += 1
+                    feat = {
+                        "decoder": "raw",
+                        "mean_val": round(sum(b) / len(b), 6),
+                        "max_byte": max(b),
+                        "byte_hist": [round(q / len(b), 6) for q in quarters],
+                    }
+                else:
+                    feat = {"decoder": "raw", "mean_val": 0.0, "max_byte": 0,
+                            "byte_hist": [0.0, 0.0, 0.0, 0.0]}
+            feat["doc_id"] = doc_id
+            for f in _DECODE_FIELDS:
+                rows[f].append(feat.get(f))
+        yield pd.DataFrame(rows, columns=_DECODE_FIELDS)
+
+
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over the binary column — the
-    Arrow-batched plumbing for any real decoder. Rows-only check (the
-    kernel is a stub; its byte-derived outputs are still deterministic
-    and unit-tested in tests/test_multimodal.py)."""
+    """mapInPandas feature extraction over the binary column. Rows-only
+    check: the testdata payloads are utf-8 text bytes, so they take the
+    stub path; the real WAV/BMP/PPM decoders behind the same kernel are
+    pinned by tests/test_multimodal.py with synthesized media bytes."""
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "payload").mapInPandas(
-        fake_decode_features,
-        schema="doc_id long, mean_byte double, max_byte int, byte_hist array<double>",
+        decode_features, schema=DECODE_FEATURES_SCHEMA
     )
 
 
