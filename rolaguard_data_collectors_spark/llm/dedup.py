@@ -73,6 +73,28 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup in ONE aggregate pass: the survivor (min doc_id per
+    content hash) together with its group size — ``n_copies > 1`` rows
+    are the duplicate groups, ``n_copies = 1`` the already-unique
+    corpus. Subsumes the groups/survivors pair above (kept as the
+    composable API) in a single driver-checked query: one md5 hash
+    shuffle with map-side partial aggregation."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
 # --- blocked n-gram Jaccard near-dup ------------------------------------
 
 
@@ -285,6 +307,107 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def _simhash_band_assignments(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """Pigeonhole band assignment over a SimHash frame: a pair within
+    ``max_hamming`` differing bits must agree EXACTLY on at least one
+    of ``max_hamming + 1`` equal-width bands, so per-band bucket joins
+    find every such pair with zero recall loss. One explode over an
+    inline struct array (same no-recompute shape as
+    ``_band_assignments``). Output: (doc_id, simhash, band, bucket)."""
+    bands = max_hamming + 1
+    width = 32 // bands
+    mask = (1 << width) - 1
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return fp.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("_e")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("_e.band").alias("band"),
+        F.col("_e.bucket").alias("bucket"),
+    )
+
+
+def simhash_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """EXACT SimHash near-dup pair inventory via the pigeonhole band
+    join; verification is one JVM-side ``bit_count(xor)``. Candidates
+    come from per-band bucket joins — never an all-pairs comparison —
+    and the pigeonhole bound makes the result identical to a
+    brute-force hamming scan (tests/test_simhash_pairs.py proves it
+    against a DuckDB all-pairs oracle).
+
+    Scale note: the CANDIDATE side scales (8-bit bands here, 16-bit
+    bands on a 64-bit production fingerprint — the plan is identical),
+    but the OUTPUT is the full pair list, which is itself quadratic on
+    a dup-heavy corpus (this testdata: 1.57M pairs from 5k docs at
+    sf0.1). Use this as the diagnostic/audit op; the dedup decision op
+    is ``simhash_dedup`` below, whose output is O(N)."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    assign = _simhash_band_assignments(fp, max_hamming)
+    a = assign.select(
+        F.col("band"), F.col("bucket"),
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = assign.select(
+        F.col("band"), F.col("bucket"),
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_dedup(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dedup DROP LIST, representative-verified: elect
+    the min-doc_id representative per pigeonhole band bucket, point
+    each non-representative at its smallest representative, verify
+    with one ``bit_count(xor)``, and emit (doc_id, rep_id, hamming)
+    for verified drops. At most one verify per doc and O(N) output —
+    the same shape as ``ngram_jaccard_dedup``, and the one that
+    survives a dup-heavy corpus at 100 TB (the pair-listing variant
+    above is quadratic in its own output there). A doc whose smallest
+    rep fails the hamming gate is kept: conservative, deterministic.
+
+    The three uses of the fingerprint subplan below share one
+    identical groupBy(doc_id) exchange, so Spark's ReusedExchange
+    computes the 32-bit-sum aggregation once."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    assign = _simhash_band_assignments(fp, max_hamming)
+    w = Window.partitionBy("band", "bucket")
+    cand = (
+        assign.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("rep_id"))
+    )
+    fa = fp.select("doc_id", F.col("simhash").alias("sim_doc"))
+    fb = fp.select(F.col("doc_id").alias("rep_id"), F.col("simhash").alias("sim_rep"))
+    ham = F.bit_count(F.col("sim_doc").bitwiseXOR(F.col("sim_rep"))).cast("int")
+    return (
+        cand.join(fa, "doc_id")
+        .join(fb, "rep_id")
+        .select("doc_id", "rep_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def _simhash_sql() -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
@@ -309,11 +432,38 @@ SELECT doc_id, {packs} AS simhash FROM s
 SIMHASH_ORACLE = _simhash_sql()
 
 
+def _simhash_dedup_sql(max_hamming: int = 3) -> str:
+    bands = max_hamming + 1
+    width = 32 // bands
+    mask = (1 << width) - 1
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * width}) & {mask} AS bucket FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+WITH fp AS ({SIMHASH_ORACLE}),
+bands AS ({band_sel}),
+reps AS (SELECT band, bucket, min(doc_id) AS rep FROM bands GROUP BY band, bucket),
+cand AS (
+  SELECT b.doc_id, min(r.rep) AS rep_id
+  FROM bands b JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
+  WHERE b.doc_id != r.rep GROUP BY b.doc_id
+)
+SELECT c.doc_id, c.rep_id,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_id
+JOIN fp fb ON fb.doc_id = c.rep_id
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+"""
+
+
+SIMHASH_DEDUP_ORACLE = _simhash_dedup_sql()
+
+
 QUERIES = [
-    QuerySpec("dedup_exact_groups", dedup_exact_groups, DEDUP_EXACT_GROUPS_ORACLE,
-              "exact dup groups by content hash"),
-    QuerySpec("dedup_exact_survivors", dedup_exact_survivors, DEDUP_EXACT_SURVIVORS_ORACLE,
-              "deduplicated corpus"),
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
+              "exact-dedup survivors + group sizes in one aggregate"),
     QuerySpec("ngram_jaccard_dedup", ngram_jaccard_dedup, NGRAM_JACCARD_ORACLE,
               "LSH-rep-verified exact Jaccard near-dedup"),
     QuerySpec("minhash_signatures", minhash_signatures, MINHASH_SIGNATURES_ORACLE,
@@ -322,4 +472,6 @@ QUERIES = [
               "LSH band bucket candidates"),
     QuerySpec("simhash_fingerprints", simhash_fingerprints, SIMHASH_ORACLE,
               "32-bit SimHash"),
+    QuerySpec("simhash_dedup", simhash_dedup, SIMHASH_DEDUP_ORACLE,
+              "pigeonhole-banded rep-verified SimHash near-dedup"),
 ]
