@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import dedup_exact_survivors, ngram_jaccard_dedup
-from .text import STOPWORDS, _docs
+from .text import STOPWORDS, _docs, _round6
 
 
 def quality_keep(text_col: str = "text"):
@@ -34,11 +34,10 @@ def quality_keep(text_col: str = "text"):
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     mean_wlen = (F.length(text_col) - (n_toks - 1)) / n_toks
     score = F.when(n_toks < 5, 0.0).otherwise(
-        F.round(
+        _round6(
             0.5 * F.least(n_toks / 100.0, F.lit(1.0))
             + 0.3 * (stop_hits / n_toks)
-            + 0.2 * F.least(mean_wlen / 10.0, F.lit(1.0)),
-            6,
+            + 0.2 * F.least(mean_wlen / 10.0, F.lit(1.0))
         )
     )
     return score >= 0.2

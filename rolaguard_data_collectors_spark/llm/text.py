@@ -29,6 +29,20 @@ BPE_ISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
+def _round6(col):
+    """Round-half-up at 6 decimals via pure IEEE ops: floor(x*1e6 +
+    0.5)/1e6. Library round() differs between Spark (BigDecimal over
+    the full binary expansion) and DuckDB exactly at half-way doubles —
+    the composite quality score lands on one (0.4284375) at sf0.1.
+    Pure double arithmetic is bit-identical across engines."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def _sql_round6(expr: str) -> str:
+    """The DuckDB spelling of ``_round6`` — keep both in lockstep."""
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): shingle explosion / hashing parallelizes past the
     # single-row-group test parquet (no-op on well-split inputs).
@@ -71,11 +85,10 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (
         F.when(n_toks < 5, 0.0)
         .otherwise(
-            F.round(
+            _round6(
                 0.5 * F.least(n_toks / 100.0, F.lit(1.0))
                 + 0.3 * (stop_hits / n_toks)
-                + 0.2 * F.least(mean_wlen / 10.0, F.lit(1.0)),
-                6,
+                + 0.2 * F.least(mean_wlen / 10.0, F.lit(1.0))
             )
         )
     )
@@ -90,6 +103,11 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+_SCORE_TERMS_SQL = (
+    "0.5 * least(n_tokens / 100.0, 1.0)"
+    " + 0.3 * (stopword_hits / CAST(n_tokens AS DOUBLE))"
+    " + 0.2 * least(((length(text) - (n_tokens - 1)) / n_tokens) / 10.0, 1.0)"
+)
 QUALITY_SCORES_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text,
@@ -100,9 +118,7 @@ WITH t AS (
   SELECT doc_id, n_tokens, stopword_hits,
          (length(text) - (n_tokens - 1)) / n_tokens AS mean_wlen,
          CASE WHEN n_tokens < 5 THEN 0.0 ELSE
-           round(0.5 * least(n_tokens / 100.0, 1.0)
-               + 0.3 * (stopword_hits / CAST(n_tokens AS DOUBLE))
-               + 0.2 * least(((length(text) - (n_tokens - 1)) / n_tokens) / 10.0, 1.0), 6)
+           {_sql_round6(_SCORE_TERMS_SQL)}
          END AS quality_score
   FROM t
 )
@@ -302,11 +318,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (
         F.when(n_toks < 5, 0.0)
         .otherwise(
-            F.round(
+            _round6(
                 0.5 * F.least(n_toks / 100.0, F.lit(1.0))
                 + 0.3 * (stop_hits / n_toks)
-                + 0.2 * F.least(mean_wlen / 10.0, F.lit(1.0)),
-                6,
+                + 0.2 * F.least(mean_wlen / 10.0, F.lit(1.0))
             )
         )
     )
@@ -350,9 +365,7 @@ WITH t AS (
          CAST(stopword_hits AS INTEGER) AS stopword_hits,
          round((length(text) - (n_tokens - 1)) / n_tokens, 6) AS mean_word_len,
          CASE WHEN n_tokens < 5 THEN 0.0 ELSE
-           round(0.5 * least(n_tokens / 100.0, 1.0)
-               + 0.3 * (stopword_hits / CAST(n_tokens AS DOUBLE))
-               + 0.2 * least(((length(text) - (n_tokens - 1)) / n_tokens) / 10.0, 1.0), 6)
+           {_sql_round6(_SCORE_TERMS_SQL)}
          END AS quality_score,
          lang AS lang_label,
          round(stopword_hits / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,

@@ -16,11 +16,12 @@ _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 _KEEP_SQL = f"""
 (CASE WHEN len(string_split(text, ' ')) < 5 THEN 0.0 ELSE
-   round(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+   floor((0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
        + 0.3 * (len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN})))
                 / CAST(len(string_split(text, ' ')) AS DOUBLE))
        + 0.2 * least(((length(text) - (len(string_split(text, ' ')) - 1))
-                      / len(string_split(text, ' '))) / 10.0, 1.0), 6)
+                      / len(string_split(text, ' '))) / 10.0, 1.0)) * 1000000.0 + 0.5)
+     / 1000000.0
  END) >= 0.2
 """
 
