@@ -385,25 +385,28 @@ def simhash_dedup(
     above is quadratic in its own output there). A doc whose smallest
     rep fails the hamming gate is kept: conservative, deterministic.
 
-    The three uses of the fingerprint subplan below share one
-    identical groupBy(doc_id) exchange, so Spark's ReusedExchange
-    computes the 32-bit-sum aggregation once."""
+    No join back to the fingerprint table: the band assignment carries
+    the fingerprint along, the representative is elected as
+    ``min(struct(doc_id, simhash))`` over the bucket window (struct
+    ordering is lexicographic and doc_id is unique, so this IS the
+    min-doc_id rep — with its fingerprint attached for free), and the
+    per-doc smallest rep falls out of the final groupBy the same way.
+    One corpus scan, three shuffles (fingerprint agg, bucket window,
+    per-doc agg) — a join-based formulation re-ran the whole
+    fingerprint subplan three times (6 scans, no exchange reuse)."""
     fp = simhash_fingerprints(spark, sf_dir)
     assign = _simhash_band_assignments(fp, max_hamming)
     w = Window.partitionBy("band", "bucket")
+    rep = F.min(F.struct(F.col("doc_id"), F.col("simhash"))).over(w)
     cand = (
-        assign.withColumn("rep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") != F.col("rep"))
+        assign.withColumn("rep", rep)
+        .filter(F.col("doc_id") != F.col("rep.doc_id"))
         .groupBy("doc_id")
-        .agg(F.min("rep").alias("rep_id"))
+        .agg(F.first("simhash").alias("sim_doc"), F.min("rep").alias("rep"))
     )
-    fa = fp.select("doc_id", F.col("simhash").alias("sim_doc"))
-    fb = fp.select(F.col("doc_id").alias("rep_id"), F.col("simhash").alias("sim_rep"))
-    ham = F.bit_count(F.col("sim_doc").bitwiseXOR(F.col("sim_rep"))).cast("int")
+    ham = F.bit_count(F.col("sim_doc").bitwiseXOR(F.col("rep.simhash"))).cast("int")
     return (
-        cand.join(fa, "doc_id")
-        .join(fb, "rep_id")
-        .select("doc_id", "rep_id", ham.alias("hamming"))
+        cand.select("doc_id", F.col("rep.doc_id").alias("rep_id"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
