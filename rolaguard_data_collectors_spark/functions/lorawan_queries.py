@@ -239,13 +239,26 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 43-44 + 46 as one tagged union (registry consolidation —
+    both components are rows-only, CMAC isn't SQL): the JoinRequest
+    parse + session-key derivation rows tagged ``join_workflow`` and
+    the keyspace-cross-frame MIC bruteforce survivors tagged
+    ``bruteforce``, null-padded to the union schema. Component
+    builders above keep the standalone semantics for tests
+    (tests/test_lorawan_udfs.py)."""
+    jw = lorawan_join_workflow(spark, sf_dir).withColumn(
+        "stage", F.lit("join_workflow")
+    )
+    bf = lorawan_key_bruteforce(spark, sf_dir).withColumn("stage", F.lit("bruteforce"))
+    return jw.unionByName(bf, allowMissingColumns=True)
+
+
 QUERIES = [
     QuerySpec("lorawan_field_extract", lorawan_field_extract, _FIELD_EXTRACT_SQL,
               "op 42 wire-format field slicing (portable SQL)"),
     QuerySpec("lorawan_decode_roundtrip", lorawan_decode_roundtrip, None,
               "ops 13/41/45/47 encode->decode->MIC round trip"),
-    QuerySpec("lorawan_join_workflow", lorawan_join_workflow, None,
-              "ops 43-44 join parse + session keys"),
-    QuerySpec("lorawan_key_bruteforce", lorawan_key_bruteforce, None,
-              "op 46 keyspace x frames MIC testing"),
+    QuerySpec("lorawan_security_suite", lorawan_security_suite, None,
+              "ops 43-44,46: join parse + session keys + keyspace MIC bruteforce"),
 ]

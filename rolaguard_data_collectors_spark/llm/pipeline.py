@@ -21,8 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import dedup_exact_survivors, ngram_jaccard_dedup
-from .text import STOPWORDS, _docs, _round6
+from ..registry import QuerySpec
+from .dedup import NGRAM_JACCARD_ORACLE, dedup_exact_survivors, ngram_jaccard_dedup
+from .text import STOPWORDS, _docs, _round6, _sql_round6
 
 
 def quality_keep(text_col: str = "text"):
@@ -56,6 +57,30 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+_SCORE_TERMS = (
+    "0.5 * least(n_tokens / 100.0, 1.0)"
+    " + 0.3 * (stopword_hits / CAST(n_tokens AS DOUBLE))"
+    " + 0.2 * least(((length(text) - (n_tokens - 1)) / n_tokens) / 10.0, 1.0)"
+)
+CLEAN_CORPUS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN}))) AS stopword_hits
+  FROM documents
+), keepers AS (
+  SELECT doc_id FROM t
+  WHERE (CASE WHEN n_tokens < 5 THEN 0.0
+              ELSE {_sql_round6(_SCORE_TERMS)} END) >= 0.2
+)
+SELECT d.* FROM documents d
+JOIN keepers USING (doc_id)
+WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+  AND d.doc_id NOT IN (SELECT doc_id FROM ({NGRAM_JACCARD_ORACLE}))
+"""
+
+
 def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row of per-stage retention counts — the run report a corpus
     job publishes next to its output."""
@@ -75,3 +100,13 @@ def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+QUERIES = [
+    QuerySpec(
+        "clean_corpus",
+        clean_corpus,
+        CLEAN_CORPUS_ORACLE,
+        "composed exact-dedup -> near-dup removal -> quality gate",
+    ),
+]

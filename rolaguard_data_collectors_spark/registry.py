@@ -27,7 +27,7 @@ def collect_all() -> dict[str, QuerySpec]:
     """Import every operator module and merge their registries."""
     from .operators import relational, scalar, stateful
     from .functions import lorawan_queries
-    from .llm import dedup, multimodal, similarity, text
+    from .llm import dedup, multimodal, pipeline, similarity, text
     from .streaming import pipeline_queries
 
     merged: dict[str, QuerySpec] = {}
@@ -39,6 +39,7 @@ def collect_all() -> dict[str, QuerySpec]:
         similarity,
         text,
         multimodal,
+        pipeline,
         lorawan_queries,
         pipeline_queries,
     ):
