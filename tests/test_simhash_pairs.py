@@ -54,6 +54,9 @@ def test_simhash_dedup_drops_are_sound(spark, sf_dir):
     drops = simhash_dedup(spark, sf_dir, max_hamming=3).collect()
     assert len(drops) > 0
     dropped = {r.doc_id for r in drops}
+    # O(N) output contract: at most one drop edge per document, however
+    # dup-heavy the corpus (the pair inventory above is quadratic here)
+    assert len(drops) == len(dropped)
     for r in drops:
         key = (min(r.doc_id, r.rep_id), max(r.doc_id, r.rep_id))
         assert pairs.get(key) == r.hamming
