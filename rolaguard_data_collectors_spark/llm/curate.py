@@ -1,0 +1,198 @@
+"""Corpus curation operators a training-data run needs around the
+dedup/quality stack: deterministic sampling, token-budget shard
+packing, and PII redaction.
+
+All sampling is HASH-determined, never RNG-determined: a row's fate
+depends only on its key (portable md5-based h32, portable_sql.hex32),
+so samples are reproducible across runs, engines (DuckDB computes the
+identical sample — tests/test_curate.py proves it), cluster sizes and
+partitionings — the property a 100 TB pipeline needs for resumable,
+auditable subsetting. ``df.sample()`` by contrast is seed+partition
+dependent and unrepeatable under repartitioning.
+
+Shard packing is the classic two-phase distributed prefix sum:
+per-partition running token counts (one window inside each range
+partition), a partitions-sized offset table collected to the driver
+(O(num_partitions) rows — the only driver data), offsets broadcast
+back, shard = exclusive-cumsum // budget. Deterministic global doc
+order comes from range-partitioning on the portable hash, so the
+layout is reproducible AND shuffle-minimal: one range exchange, one
+broadcast join, no global single-reducer window (the naive
+``Window.orderBy`` with no partitionBy funnels the whole corpus
+through one task).
+
+These operators are driver-unregistered (the correctness gate checks
+a bounded 50-query window, which is full); their DuckDB parity is
+pinned by tests/test_curate.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread
+from ..portable_sql import hex32
+
+# Hash-fraction denominator: h32 is uniform on [0, 2^32); a row is
+# sampled when h < fraction * 2^32.
+_H_SPACE = 2 ** 32
+
+
+def _doc_hash(key_col: str, salt: str = "") -> F.Column:
+    """Portable deterministic hash of a key column (+ fixed salt so
+    different sampling decisions are independent)."""
+    return F.expr(hex32(f"concat(cast({key_col} as string), '{salt}')"))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: str = "s1") -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose key hash
+    falls under the fraction cut. Same keys in -> same sample out, on
+    any engine, any partitioning, any cluster size."""
+    return df.filter(_doc_hash(key_col, salt) < int(fraction * _H_SPACE))
+
+
+def stratified_sample(df: DataFrame, stratum_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    languages, keep all rare ones): each stratum gets its own hash
+    cut. The fractions map is a literal CASE — no join, no shuffle;
+    the filter pushes to the scan."""
+    cut = F.lit(int(default_fraction * _H_SPACE))
+    for value, frac in fractions.items():
+        cut = F.when(F.col(stratum_col) == value, int(frac * _H_SPACE)).otherwise(cut)
+    return df.filter(_doc_hash(key_col, "s1") < cut)
+
+
+def uniform_k_per_stratum(df: DataFrame, stratum_col: str, k: int,
+                          key_col: str = "doc_id") -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by hash
+    order — the deterministic analog of per-group reservoir sampling.
+    One shuffle on the stratum key; rank by (hash, key) so ties are
+    impossible."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        _doc_hash(key_col, "s2").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+# --- token-budget shard packing ------------------------------------------
+
+
+def pack_token_shards(spark: SparkSession, sf_dir: str,
+                      max_tokens: int = 20_000,
+                      n_parts: int = 8) -> DataFrame:
+    """Assign every document to a training shard so each shard holds a
+    contiguous ~``max_tokens`` run of the (deterministically ordered)
+    corpus: shard_id = exclusive-prefix-sum(tokens) // max_tokens.
+
+    Offset-division semantics (not first-fit): a doc straddling a
+    budget boundary belongs to the shard where its first token lands,
+    so a shard overflows by at most one document — the standard
+    deterministic spec, because first-fit's shard of doc i depends on
+    every previous decision and cannot be recomputed locally.
+
+    Two-phase prefix sum (see module docstring): range-partition by
+    the portable hash, window-cumsum inside each partition, collect
+    the tiny per-partition totals, broadcast offsets back. Output:
+    (doc_id, n_tokens, shard_id, shard-local offset).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        _doc_hash("doc_id", "shard").alias("h"),
+    )
+    ranged = toks.repartitionByRange(n_parts, F.col("h"), F.col("doc_id"))
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy("h", "doc_id")
+    local = part.withColumn("_local_cum", F.sum("n_tokens").over(w))
+
+    # Phase 2: per-partition totals -> exclusive partition offsets.
+    # O(n_parts) rows on the driver; broadcast back as a literal map.
+    totals = {
+        r["_pid"]: r["t"]
+        for r in local.groupBy("_pid").agg(F.max("_local_cum").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_col = F.lit(0)
+    for pid, off in offsets.items():
+        off_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_col)
+
+    cum = local.withColumn("_cum", F.col("_local_cum") + off_col)
+    # integer `div`, not float division: the global token cumsum at
+    # 100 TB exceeds 2^53, where double arithmetic drops exactness
+    start = (F.col("_cum") - F.col("n_tokens")).cast("bigint")  # exclusive cumsum
+    return cum.withColumn("_start", start).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"_start div {max_tokens}").alias("shard_id"),
+        (F.col("_start") % max_tokens).alias("shard_offset"),
+    )
+
+
+def pack_shards_oracle_sql(max_tokens: int = 20_000) -> str:
+    """The identical packing in one DuckDB window (single-node oracle;
+    the Spark side exists precisely because this global-order cumsum
+    is a one-reducer bottleneck at scale)."""
+    h = hex32("concat(cast(doc_id as string), 'shard')")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         {h} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(start // {max_tokens} AS BIGINT) AS shard_id,
+       CAST(start % {max_tokens} AS BIGINT) AS shard_offset
+FROM c
+"""
+
+
+# --- PII redaction --------------------------------------------------------
+
+# Deliberately simple, auditable patterns (emails, E.164-ish and
+# US-formatted phones, IPv4) — the curation-pass hygiene filter, not a
+# compliance system. All JVM-side regexp_replace: no UDFs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+\d{1,3}[ -]?)?(\(\d{3}\)[ -]?|\d{3}[ -])\d{3}[ -]?\d{4}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(col: str = "text") -> F.Column:
+    """text with every PII match replaced by its <TYPE> tag."""
+    out = F.col(col)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII hit counts + the redacted text — what a curation
+    pass writes next to (or instead of) the raw column."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # F.regexp_extract_all with a lit() pattern, NOT an F.expr SQL
+    # string: SQL literal parsing consumes regex backslashes.
+    cols = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return docs.select("doc_id", *cols, redact_pii("text").alias("redacted_text"))

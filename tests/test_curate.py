@@ -1,0 +1,144 @@
+"""Curation operators (llm/curate.py): hash-deterministic sampling,
+token-budget shard packing (two-phase prefix sum), PII redaction —
+each against a DuckDB oracle or exact invariants. These are
+driver-unregistered (50-query window is full), so this suite is their
+correctness gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from rolaguard_data_collectors_spark.llm import curate
+from rolaguard_data_collectors_spark.portable_sql import hex32
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_sample_matches_duckdb_and_partitioning(spark, sf_dir):
+    frac = 0.3
+    docs = _docs(spark, sf_dir)
+    got = sorted(r.doc_id for r in curate.hash_sample(docs, "doc_id", frac).collect())
+    h = hex32("concat(cast(doc_id as string), 's1')")
+    want = sorted(
+        x[0]
+        for x in _con(sf_dir)
+        .execute(f"SELECT doc_id FROM documents WHERE {h} < {int(frac * 2**32)}")
+        .fetchall()
+    )
+    assert got == want
+    assert 0 < len(got) < docs.count()
+    # partitioning-independence: the defining property vs df.sample()
+    repart = sorted(
+        r.doc_id
+        for r in curate.hash_sample(docs.repartition(13), "doc_id", frac).collect()
+    )
+    assert repart == got
+
+
+def test_stratified_sample_matches_duckdb(spark, sf_dir):
+    fr = {"en": 0.5, "de": 0.1}
+    docs = _docs(spark, sf_dir)
+    got = sorted(
+        r.doc_id
+        for r in curate.stratified_sample(docs, "lang", fr, default_fraction=0.0).collect()
+    )
+    h = hex32("concat(cast(doc_id as string), 's1')")
+    case = (
+        f"CASE WHEN lang = 'en' THEN {int(0.5 * 2**32)}"
+        f" WHEN lang = 'de' THEN {int(0.1 * 2**32)} ELSE 0 END"
+    )
+    want = sorted(
+        x[0]
+        for x in _con(sf_dir)
+        .execute(f"SELECT doc_id FROM documents WHERE {h} < {case}")
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_uniform_k_per_stratum(spark, sf_dir):
+    k = 7
+    docs = _docs(spark, sf_dir)
+    out = curate.uniform_k_per_stratum(docs, "lang", k).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.lang] = sizes.get(r.lang, 0) + 1
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in full.items():
+        assert sizes.get(lang, 0) == min(k, n)
+    # deterministic under repartitioning
+    again = curate.uniform_k_per_stratum(docs.repartition(11), "lang", k).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
+@pytest.mark.parametrize("n_parts", [3, 8])
+def test_pack_token_shards_matches_oracle(spark, sf_dir, n_parts):
+    """The two-phase distributed prefix sum must equal the single-window
+    DuckDB cumsum for ANY partition count — the partition-independence
+    that makes the layout reproducible on a cluster."""
+    max_tokens = 5000
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.shard_id, r.shard_offset)
+        for r in curate.pack_token_shards(
+            spark, sf_dir, max_tokens=max_tokens, n_parts=n_parts
+        ).collect()
+    )
+    want = sorted(
+        map(tuple, _con(sf_dir).execute(
+            curate.pack_shards_oracle_sql(max_tokens)).fetchall())
+    )
+    assert got == want
+
+
+def test_pack_token_shards_invariants(spark, sf_dir):
+    max_tokens = 5000
+    rows = curate.pack_token_shards(spark, sf_dir, max_tokens=max_tokens).collect()
+    assert len(rows) == _docs(spark, sf_dir).count()  # every doc placed
+    per_shard: dict[int, int] = {}
+    biggest_doc = 0
+    for r in rows:
+        assert 0 <= r.shard_offset < max_tokens  # offset = position IN budget
+        per_shard[r.shard_id] = per_shard.get(r.shard_id, 0) + r.n_tokens
+        biggest_doc = max(biggest_doc, r.n_tokens)
+    shards = sorted(per_shard)
+    assert shards == list(range(len(shards)))  # dense ids from 0
+    for sid in shards[:-1]:
+        # offset-division: a shard holds its budget plus at most the
+        # tail of one straddling document
+        assert per_shard[sid] >= max_tokens - biggest_doc
+        assert per_shard[sid] <= max_tokens + biggest_doc
+
+
+def test_pii_profile_counts_and_redaction(spark, tmp_path):
+    rows = [
+        (1, "contact alice@example.com or bob.smith+x@corp.example.org", "en", "web", 10),
+        (2, "call (555) 123-4567 or +1 555-123-4567 now", "en", "web", 10),
+        (3, "server at 10.0.0.1 and 192.168.1.255", "en", "web", 10),
+        (4, "nothing sensitive here at all", "en", "web", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in curate.pii_profile(spark, str(tmp_path)).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 0, 0)
+    assert out[2].n_phone == 2 and out[2].n_email == 0
+    assert out[3].n_ipv4 == 2
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (0, 0, 0)
+    assert "<EMAIL>" in out[1].redacted_text and "alice" not in out[1].redacted_text
+    assert "<PHONE>" in out[2].redacted_text and "4567" not in out[2].redacted_text
+    assert "<IPV4>" in out[3].redacted_text and "10.0.0.1" not in out[3].redacted_text
+    assert out[4].redacted_text == rows[3][1]
