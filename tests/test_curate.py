@@ -67,6 +67,7 @@ def test_stratified_sample_matches_duckdb(spark, sf_dir):
         .fetchall()
     )
     assert got == want
+    assert len(got) > 0  # testdata has en+de strata; never vacuous
 
 
 def test_uniform_k_per_stratum(spark, sf_dir):
