@@ -125,9 +125,15 @@ def pack_token_shards(spark: SparkSession, sf_dir: str,
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
-    off_col = F.lit(0)
-    for pid, off in offsets.items():
-        off_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_col)
+    # literal-map lookup, not a when()-chain: constant expression depth
+    # however many partitions (a cluster run uses thousands)
+    if offsets:
+        pairs: list = []
+        for pid, off in offsets.items():
+            pairs += [F.lit(pid), F.lit(off)]
+        off_col = F.element_at(F.create_map(*pairs), F.col("_pid"))
+    else:
+        off_col = F.lit(0)
 
     cum = local.withColumn("_cum", F.col("_local_cum") + off_col)
     # integer `div`, not float division: the global token cumsum at
