@@ -121,6 +121,86 @@ def decode_ppm(b: bytes) -> dict:
 DECODERS = {"wav": decode_wav, "bmp": decode_bmp, "ppm": decode_ppm}
 
 
+# --- real resize / resample ----------------------------------------------
+
+
+def _rgb_pixels(b: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 RGB array from a BMP or PPM payload. BMP rows
+    are bottom-up when the header height is positive, and channels are
+    BGR — both normalized here so resize output is orientation-true."""
+    kind = sniff(b)
+    if kind == "ppm":
+        d = decode_ppm(b)  # validates; reparse pixels with its offsets
+        # find pixel offset again (decode_ppm validated the header)
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                while b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(b[start:pos])
+        pos += 1
+        w, h = d["width"], d["height"]
+        return np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+    if kind == "bmp":
+        pixel_offset = struct.unpack_from("<I", b, 10)[0]
+        width, height = struct.unpack_from("<ii", b, 18)
+        decode_bmp(b)  # validates bpp/compression/truncation
+        rows = abs(height)
+        row_bytes = ((24 * width + 31) // 32) * 4
+        px = np.frombuffer(b, np.uint8, count=row_bytes * rows, offset=pixel_offset)
+        px = px.reshape(rows, row_bytes)[:, : width * 3].reshape(rows, width, 3)
+        if height > 0:
+            px = px[::-1]  # bottom-up storage -> top-down array
+        return px[:, :, ::-1]  # BGR -> RGB
+    raise ValueError("not a decodable image")
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> canonical binary PPM (P6) bytes."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def resize_image(b: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a BMP/PPM payload, re-encoded as
+    canonical P6 PPM (the deterministic interchange container). Index
+    map is the standard floor(i * src / dst) — pure integer arithmetic,
+    bit-identical everywhere."""
+    px = _rgb_pixels(b)
+    h, w = px.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return encode_ppm(px[ri][:, ci])
+
+
+def resample_wav(b: bytes, out_rate: int) -> bytes:
+    """Nearest-neighbor PCM resample to ``out_rate``, re-encoded as
+    WAV with the source's channel count and sample width."""
+    with wave.open(io.BytesIO(b)) as w:
+        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    if width not in _WAV_DTYPES:
+        raise ValueError(f"unsupported sample width {width}")
+    arr = np.frombuffer(frames, dtype=_WAV_DTYPES[width]).reshape(n_frames, n_ch)
+    out_n = max(1, (n_frames * out_rate) // rate) if n_frames else 0
+    idx = (np.arange(out_n) * n_frames) // max(out_n, 1)
+    out = arr[idx] if n_frames else arr
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wo:
+        wo.setnchannels(n_ch)
+        wo.setsampwidth(width)
+        wo.setframerate(out_rate)
+        wo.writeframes(out.tobytes())
+    return buf.getvalue()
+
+
 def decode_media(b: bytes) -> dict | None:
     """Dispatch on magic bytes; None -> caller's stub path."""
     kind = sniff(b)

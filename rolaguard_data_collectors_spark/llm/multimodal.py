@@ -167,6 +167,65 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, decoder string, out_payload binary,"
+    " out_width int, out_height int, out_rate int, n_out_bytes long"
+)
+
+
+def make_resize_kernel(out_w: int = 32, out_h: int = 32, out_rate: int = 8000):
+    """mapInPandas kernel factory: REAL nearest-neighbor image resize
+    (BMP/PPM -> canonical P6 PPM) and PCM resample (WAV -> WAV at
+    ``out_rate``) via llm/codecs.py; anything undecodable passes
+    through with decoder='raw' and a null payload (same
+    dispatch-on-magic-bytes contract as decode_features)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            rows = {f: [] for f in ("doc_id", "decoder", "out_payload",
+                                    "out_width", "out_height", "out_rate",
+                                    "n_out_bytes")}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(raw) if raw is not None else b""
+                kind = codecs.sniff(b)
+                out = dict.fromkeys(rows)
+                out["doc_id"] = doc_id
+                try:
+                    if kind in ("bmp", "ppm"):
+                        p = codecs.resize_image(b, out_w, out_h)
+                        out.update(decoder=kind, out_payload=p,
+                                   out_width=out_w, out_height=out_h,
+                                   n_out_bytes=len(p))
+                    elif kind == "wav":
+                        p = codecs.resample_wav(b, out_rate)
+                        out.update(decoder="wav", out_payload=p,
+                                   out_rate=out_rate, n_out_bytes=len(p))
+                    else:
+                        out.update(decoder="raw", n_out_bytes=0)
+                except ValueError:
+                    out.update(decoder="raw", n_out_bytes=0)
+                for f in rows:
+                    rows[f].append(out[f])
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str,
+                      out_w: int = 32, out_h: int = 32,
+                      out_rate: int = 8000) -> DataFrame:
+    """The brief's resize/resample op over the media table. The
+    testdata payloads are text bytes (decoder='raw' passthrough); the
+    real image/audio paths are pinned by tests/test_multimodal.py on
+    synthesized BMP/PPM/WAV payloads through this same plan."""
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "payload").mapInPandas(
+        make_resize_kernel(out_w, out_h, out_rate), schema=RESIZE_SCHEMA
+    )
+
+
 def multimodal_frame_sample_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame/chunk sampling of a binary payload: every 32nd byte-offset
     chunk of 16 bytes (video frame-sampling shape) via JVM-side

@@ -119,3 +119,83 @@ def test_dispatching_kernel_mixed_batch(spark):
     assert out[2].decoder == "bmp" and (out[2].width, out[2].height) == (2, 1)
     assert out[3].decoder == "raw" and out[3].mean_val == 98.5
     assert out[3].byte_hist == [0.0, 1.0, 0.0, 0.0]
+
+
+# --- real resize / resample (brief: decode / extract / RESIZE / sample) ---
+
+
+def test_resize_ppm_exact_pixels():
+    """Nearest-neighbor down- and up-sampling of a known image must
+    pick exactly the floor(i*src/dst) pixels, round-trippable through
+    the PPM decoder."""
+    # 4x2: columns R R G B (top row), inverted on bottom row
+    top = [[255, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    bot = [[0, 0, 255], [0, 255, 0], [255, 0, 0], [255, 0, 0]]
+    px = np.asarray([top, bot], dtype=np.uint8)
+    src = codecs.encode_ppm(px)
+
+    down = codecs.resize_image(src, 2, 1)  # rows->row 0, cols->0,2
+    dpx = codecs._rgb_pixels(down)
+    assert dpx.shape == (1, 2, 3)
+    assert dpx.tolist() == [[[255, 0, 0], [0, 255, 0]]]
+
+    up = codecs.resize_image(src, 8, 4)  # 2x duplication both axes
+    upx = codecs._rgb_pixels(up)
+    assert upx.shape == (4, 8, 3)
+    assert np.array_equal(upx[0::2, 0::2], px.repeat(1, axis=0))  # sampled grid
+    assert upx[0, 0].tolist() == [255, 0, 0] and upx[3, 7].tolist() == [255, 0, 0]
+
+
+def test_resize_bmp_orientation_true():
+    """BMP rows are stored bottom-up: resize must emit top-down PPM
+    (white pixel stays top-left)."""
+    # _bmp_bytes writes array rows in file order; BMP positive-height
+    # files store bottom-up, so array row 1 (white at col 0) is the
+    # TOP row of the real image
+    img = [[[0, 0, 0], [0, 0, 0]], [[255, 255, 255], [0, 0, 0]]]
+    b = _bmp_bytes(img)
+    out = codecs.resize_image(b, 2, 2)
+    opx = codecs._rgb_pixels(out)
+    # resize must preserve real-image orientation: white stays top-left
+    assert opx[0, 0].tolist() == [255, 255, 255]
+    assert opx[1, 0].tolist() == [0, 0, 0]
+
+
+def test_resample_wav_rate_and_content():
+    src = _wav_bytes(list(range(0, 1600)), rate=8000)
+    out = codecs.resample_wav(src, 4000)  # halve the rate
+    feat = codecs.decode_wav(out)
+    assert feat["sample_rate"] == 4000
+    assert feat["n_samples"] == 800
+    arr = np.frombuffer(
+        wave_mod.open(io.BytesIO(out)).readframes(800), dtype=np.int16
+    )
+    assert arr.tolist() == list(range(0, 1600, 2))  # every 2nd sample
+
+
+def test_multimodal_resize_mapinpandas(spark):
+    from rolaguard_data_collectors_spark.llm.multimodal import (
+        RESIZE_SCHEMA,
+        make_resize_kernel,
+    )
+
+    rows = [
+        (1, bytearray(codecs.encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8)))),
+        (2, bytearray(_wav_bytes([7] * 64, rate=8000))),
+        (3, bytearray(b"not media")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            make_resize_kernel(out_w=2, out_h=2, out_rate=2000), RESIZE_SCHEMA
+        ).collect()
+    }
+    assert out[1].decoder == "ppm" and (out[1].out_width, out[1].out_height) == (2, 2)
+    re_dec = codecs.decode_ppm(bytes(out[1].out_payload))
+    assert (re_dec["width"], re_dec["height"]) == (2, 2)
+    assert out[2].decoder == "wav" and out[2].out_rate == 2000
+    assert codecs.decode_wav(bytes(out[2].out_payload))["n_samples"] == 16
+    assert out[3].decoder == "raw" and out[3].out_payload is None
+    assert out[4].decoder == "raw" and out[4].n_out_bytes == 0
