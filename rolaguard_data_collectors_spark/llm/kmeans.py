@@ -1,0 +1,138 @@
+"""K-means (Lloyd) training over the embeddings table and the IVF
+top-k search it powers — the iterative-algorithm pattern on Spark.
+
+Shape per iteration: the k x dim centroid matrix is DRIVER data
+(k*dim floats — the only thing collected), broadcast into the plan as
+literal arrays; assignment is a JVM-side argmin over k squared-distance
+expressions (``array_min`` on (dist, cid) structs — lexicographic
+struct ordering gives min-dist, min-cid tiebreak, fully
+deterministic); the re-estimation is one posexplode + groupBy
+(cluster, dim) average — a single shuffle per iteration, map-side
+partial aggregation, nothing quadratic. This is the standard
+large-scale k-means recipe (same data flow as spark.ml's, kept
+explicit and dependency-free).
+
+Everything is deterministic: seeds are the hash-smallest vectors, all
+arithmetic is fixed-order within aggregates at fixed partitioning...
+floating sums across partitions can reorder, so centroid components
+are rounded to 9 decimals after each collect — enough to absorb
+reorder noise, fine for cluster geometry. ``ivf_topk`` with
+``n_probe=k`` degenerates to exact search: tests pin equality with
+the brute-force oracle-checked query.
+
+Iterative algorithms are not expressible as one SQL statement, so this
+stays driver-unregistered (like the reference's non-SQL surfaces);
+tests/test_kmeans.py is its gate (inertia monotonicity, determinism,
+exact-search degeneracy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..portable_sql import hex32
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """vec rows + (cluster, sqdist) of the nearest centroid."""
+    entries = []
+    for cid, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with("v", lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*entries))
+    return df.select(
+        "vec_id", "v",
+        best.getField("cid").alias("cluster"),
+        best.getField("d").alias("sqdist"),
+    )
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8,
+               iters: int = 5) -> tuple[list[list[float]], list[float]]:
+    """Lloyd iterations; returns (centroids, inertia history). Seeds =
+    embeddings of the k hash-smallest vec_ids (deterministic, spread
+    by the uniform hash). Empty clusters keep their previous centroid."""
+    df = _emb(spark, sf_dir)
+    seeds = (
+        df.withColumn("_h", F.expr(hex32("cast(vec_id as string)")))
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in seeds]
+    history: list[float] = []
+    for _ in range(iters):
+        assigned = _assign(df, centroids)
+        stats = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        )
+        # two actions per iteration over the same assign subplan
+        # (re-estimation + inertia); a cluster run would cache assigned
+        inertia = assigned.agg(F.sum("sqdist")).collect()[0][0]
+        history.append(round(float(inertia), 6))
+        rows = stats.collect()
+        new_c = [list(c) for c in centroids]  # empty cluster -> keep old
+        acc: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in rows:
+            acc.setdefault(r["cluster"], {})[r["dim"]] = (r["s"], r["n"])
+        for cid, dims in acc.items():
+            new_c[cid] = [
+                round(dims[d][0] / dims[d][1], 9) for d in sorted(dims)
+            ]
+        centroids = new_c
+    return centroids, history
+
+
+def assign_clusters(spark: SparkSession, sf_dir: str,
+                    centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, cluster, sqdist) for every vector — the IVF posting
+    lists. At scale this is written bucketed by cluster."""
+    return _assign(_emb(spark, sf_dir), centroids).drop("v")
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, centroids: list[list[float]],
+             query_vec_id: int = 0, top_k: int = 10,
+             n_probe: int = 2) -> DataFrame:
+    """IVF search with learned centroids: probe the ``n_probe``
+    clusters nearest to the query, exact cosine inside them. With
+    n_probe = k this is exactly brute force (tests pin it)."""
+    df = _emb(spark, sf_dir)
+    q = df.filter(F.col("vec_id") == query_vec_id).collect()[0]["v"]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    # driver-side probe selection: distances of k centroids to q
+    import math
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(c, q))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (sq(centroids[i]), i))
+    probe = set(probe[:n_probe])
+    assigned = _assign(df, centroids)
+    dot = F.aggregate(F.zip_with("v", qlit, lambda x, y: x * y),
+                      F.lit(0.0), lambda a, z: a + z)
+    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                             F.lit(0.0), lambda a, z: a + z))
+    qn = math.sqrt(sum(x * x for x in q))
+    cos = F.round(dot / (nrm * F.lit(qn)), 6)
+    return (
+        assigned.filter(F.col("cluster").isin(list(probe)))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "cluster", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(top_k)
+    )

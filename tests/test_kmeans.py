@@ -1,0 +1,60 @@
+"""K-means IVF training (llm/kmeans.py): Lloyd's invariants
+(non-increasing inertia), determinism, and the exact-search degeneracy
+of ivf_topk at n_probe=k — which pins it against the oracle-checked
+brute-force query."""
+
+from __future__ import annotations
+
+from rolaguard_data_collectors_spark.llm.kmeans import (
+    assign_clusters,
+    ivf_topk,
+    kmeans_fit,
+)
+from rolaguard_data_collectors_spark.llm.similarity import (
+    TOP_K,
+    cosine_topk_bruteforce,
+)
+
+K = 6
+ITERS = 4
+
+
+def test_inertia_monotone_and_deterministic(spark, sf_dir):
+    c1, h1 = kmeans_fit(spark, sf_dir, k=K, iters=ITERS)
+    assert len(h1) == ITERS
+    for a, b in zip(h1, h1[1:]):
+        assert b <= a + 1e-6  # Lloyd: inertia never increases
+    assert len(c1) == K and all(len(c) == 64 for c in c1)
+    c2, h2 = kmeans_fit(spark, sf_dir, k=K, iters=ITERS)
+    assert c1 == c2 and h1 == h2  # fully deterministic
+
+
+def test_assignments_cover_corpus(spark, sf_dir):
+    centroids, _ = kmeans_fit(spark, sf_dir, k=K, iters=2)
+    a = assign_clusters(spark, sf_dir, centroids)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert a.count() == n
+    clusters = {r.cluster for r in a.select("cluster").distinct().collect()}
+    assert clusters <= set(range(K)) and len(clusters) > 1
+
+
+def test_ivf_all_probes_equals_bruteforce(spark, sf_dir):
+    """n_probe=k searches every posting list -> must return EXACTLY the
+    brute-force top-k (same cosine rounding, same tiebreak)."""
+    centroids, _ = kmeans_fit(spark, sf_dir, k=K, iters=2)
+    got = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk(spark, sf_dir, centroids, n_probe=K).collect()
+    ]
+    want = [
+        (r.vec_id, r.cosine)
+        for r in cosine_topk_bruteforce(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) == TOP_K
+
+
+def test_ivf_pruned_probe_is_subset_of_probed_clusters(spark, sf_dir):
+    centroids, _ = kmeans_fit(spark, sf_dir, k=K, iters=2)
+    out = ivf_topk(spark, sf_dir, centroids, n_probe=2).collect()
+    assert 0 < len(out) <= TOP_K
+    assert len({r.cluster for r in out}) <= 2
