@@ -1,0 +1,77 @@
+"""Connected-components near-dup clustering (llm/components.py):
+pinned against a driver-side union-find over the SAME edge list, plus
+structural invariants (cluster_id is the component min, star edges are
+src>dst, convergence under permuted edge order)."""
+
+from __future__ import annotations
+
+from rolaguard_data_collectors_spark.llm.components import (
+    candidate_edges,
+    cluster_summary,
+    connected_components,
+    near_dup_clusters,
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to the true min root
+    return {x: find(x) for x in parent}
+
+
+def test_star_edges_shape(spark, sf_dir):
+    e = candidate_edges(spark, sf_dir)
+    rows = e.collect()
+    assert len(rows) > 0
+    assert all(r.src > r.dst for r in rows)  # always point at the bucket min
+    assert len(rows) == len({(r.src, r.dst) for r in rows})  # distinct
+
+
+def test_clusters_match_union_find(spark, sf_dir):
+    edges = [(r.src, r.dst) for r in candidate_edges(spark, sf_dir).collect()]
+    want = _union_find(edges)
+    got = {
+        r.doc_id: r.cluster_id for r in near_dup_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cluster_id_is_component_min(spark, sf_dir):
+    labels = near_dup_clusters(spark, sf_dir).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in labels:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert len(members) >= 2  # singletons are omitted by design
+
+
+def test_propagation_handles_chains(spark):
+    # A path graph is the worst case for one-hop propagation:
+    # 5-4-3-2-1-0 must all collapse to 0 (requires multiple rounds).
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(5)], "src long, dst long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_summary_counts(spark, sf_dir):
+    total = near_dup_clusters(spark, sf_dir).count()
+    summary = cluster_summary(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in summary) == total
+    assert all(r.n_docs >= 2 for r in summary)
