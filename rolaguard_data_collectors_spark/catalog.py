@@ -33,11 +33,17 @@ BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The driver-generated parquets store timestamps as TIMESTAMP(NANOS),
-# which Spark rejects unless read as raw nano longs
-# (spark.sql.legacy.parquet.nanosAsLong). DuckDB truncates the same
-# columns to microsecond TIMESTAMPs, so we floor-divide nanos -> micros
-# to match the oracle exactly.
+# Timestamp storage portability. Depending on how the parquet was
+# written, a timestamp column arrives as one of three Spark types:
+#   * TIMESTAMP(NANOS)  -> LongType (with
+#     spark.sql.legacy.parquet.nanosAsLong) — floor-divide to micros,
+#     matching DuckDB's truncation to microsecond TIMESTAMP.
+#   * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TimestampNTZType —
+#     cast to TIMESTAMP; under the UTC session timezone
+#     (session.py) this is value-identical to the naive-UTC micros
+#     DuckDB reads, and it keeps unix_micros()/window() call sites
+#     working (they require TIMESTAMP, not TIMESTAMP_NTZ).
+#   * TIMESTAMP(MICROS, isAdjustedToUTC=true) -> TimestampType — as-is.
 TIMESTAMP_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -66,8 +72,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_executor_pythonpath(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in TIMESTAMP_COLS.get(name, ()):
-        if isinstance(df.schema[col].dataType, T.LongType):
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(dtype, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
