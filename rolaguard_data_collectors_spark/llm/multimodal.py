@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,31 @@ FROM documents
 """
 
 
+def _round6(x: float) -> float:
+    """round-half-AWAY to 6 places (SQL ROUND semantics; Python's
+    builtin round is half-even and disagrees on exact dyadic halves
+    like 105/128 = 0.8203125)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _byte_features(b: bytes) -> tuple[float, int, list[float]]:
+    """Vectorized byte stats: mean, max, and a 4-bin byte-range
+    histogram. numpy over the whole buffer — never ``for x in b``;
+    payloads are megabytes at production scale and a Python per-byte
+    loop inside a pandas UDF is the row-at-a-time anti-pattern."""
+    if not b:
+        return 0.0, 0, [0.0, 0.0, 0.0, 0.0]
+    arr = np.frombuffer(b, dtype=np.uint8)
+    quarters = np.bincount(arr >> 6, minlength=4)
+    return (
+        _round6(float(arr.mean())),
+        int(arr.max()),
+        [_round6(float(q) / len(b)) for q in quarters],
+    )
+
+
 def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """STUB decode kernel (deterministic fake).
 
@@ -91,18 +117,10 @@ def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         payloads = pdf["payload"]
         mean_b, max_b, hist = [], [], []
         for raw in payloads:
-            b = bytes(raw)
-            if not b:
-                mean_b.append(0.0)
-                max_b.append(0)
-                hist.append([0.0, 0.0, 0.0, 0.0])
-                continue
-            mean_b.append(round(sum(b) / len(b), 6))
-            max_b.append(max(b))
-            quarters = [0, 0, 0, 0]
-            for x in b:
-                quarters[x // 64] += 1
-            hist.append([round(q / len(b), 6) for q in quarters])
+            m, mx, h = _byte_features(bytes(raw))
+            mean_b.append(m)
+            max_b.append(mx)
+            hist.append(h)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -137,19 +155,9 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             b = bytes(raw) if raw is not None else b""
             feat = codecs.decode_media(b)
             if feat is None:
-                if b:
-                    quarters = [0, 0, 0, 0]
-                    for x in b:
-                        quarters[x // 64] += 1
-                    feat = {
-                        "decoder": "raw",
-                        "mean_val": round(sum(b) / len(b), 6),
-                        "max_byte": max(b),
-                        "byte_hist": [round(q / len(b), 6) for q in quarters],
-                    }
-                else:
-                    feat = {"decoder": "raw", "mean_val": 0.0, "max_byte": 0,
-                            "byte_hist": [0.0, 0.0, 0.0, 0.0]}
+                mean_val, max_byte, hist = _byte_features(b)
+                feat = {"decoder": "raw", "mean_val": mean_val,
+                        "max_byte": max_byte, "byte_hist": hist}
             feat["doc_id"] = doc_id
             for f in _DECODE_FIELDS:
                 rows[f].append(feat.get(f))
@@ -165,6 +173,81 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         decode_features, schema=DECODE_FEATURES_SCHEMA
     )
+
+
+def multimodal_decode_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered shape of decode_features: array columns
+    (byte_hist, mean_rgb) flattened to scalar doubles so the result is
+    hashable row-wise and fully oracle-checkable. The array-typed
+    builder above stays the composable API."""
+    feats = multimodal_decode_features(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "decoder",
+        "width",
+        "height",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "mean_val",
+        "peak_val",
+        "max_byte",
+        F.element_at("byte_hist", 1).alias("hist_q0"),
+        F.element_at("byte_hist", 2).alias("hist_q1"),
+        F.element_at("byte_hist", 3).alias("hist_q2"),
+        F.element_at("byte_hist", 4).alias("hist_q3"),
+        F.element_at("mean_rgb", 1).alias("rgb_r"),
+        F.element_at("mean_rgb", 2).alias("rgb_g"),
+        F.element_at("mean_rgb", 3).alias("rgb_b"),
+    )
+
+
+# Full DuckDB oracle for the stub path the testdata exercises (utf-8
+# text payloads never carry WAV/BMP/PPM magic, so decode_media returns
+# None and the deterministic byte-feature stub runs): re-derive the
+# per-byte stats SQL-side via hex expansion. The real-decoder paths are
+# pinned by tests/test_multimodal.py on synthesized media bytes.
+MULTIMODAL_DECODE_FEATURES_ORACLE = """
+WITH hx AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         strpos('0123456789abcdef', substr(h, 2*i-1, 1)) * 16
+         + strpos('0123456789abcdef', substr(h, 2*i, 1)) - 17 AS v
+  FROM (SELECT doc_id, h,
+               unnest(generate_series(1, n)) AS i
+        FROM hx)
+), agg AS (
+  SELECT doc_id,
+         round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_val,
+         CAST(max(v) AS INTEGER) AS max_byte,
+         round(CAST(count(*) FILTER (v < 64) AS DOUBLE) / count(*), 6) AS hist_q0,
+         round(CAST(count(*) FILTER (v >= 64 AND v < 128) AS DOUBLE) / count(*), 6) AS hist_q1,
+         round(CAST(count(*) FILTER (v >= 128 AND v < 192) AS DOUBLE) / count(*), 6) AS hist_q2,
+         round(CAST(count(*) FILTER (v >= 192) AS DOUBLE) / count(*), 6) AS hist_q3
+  FROM b GROUP BY doc_id
+)
+SELECT hx.doc_id,
+       'raw' AS decoder,
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS INTEGER) AS n_channels,
+       CAST(NULL AS BIGINT) AS n_samples,
+       coalesce(agg.mean_val, 0.0) AS mean_val,
+       CAST(NULL AS DOUBLE) AS peak_val,
+       coalesce(agg.max_byte, 0) AS max_byte,
+       coalesce(agg.hist_q0, 0.0) AS hist_q0,
+       coalesce(agg.hist_q1, 0.0) AS hist_q1,
+       coalesce(agg.hist_q2, 0.0) AS hist_q2,
+       coalesce(agg.hist_q3, 0.0) AS hist_q3,
+       CAST(NULL AS DOUBLE) AS rgb_r,
+       CAST(NULL AS DOUBLE) AS rgb_g,
+       CAST(NULL AS DOUBLE) AS rgb_b
+FROM hx LEFT JOIN agg USING (doc_id)
+"""
 
 
 RESIZE_SCHEMA = (
@@ -305,6 +388,7 @@ QUERIES = [
     QuerySpec("multimodal_binary_profile", multimodal_binary_profile,
               MULTIMODAL_BINARY_PROFILE_ORACLE,
               "binary stats + chunk sampling per-asset profile"),
-    QuerySpec("multimodal_decode_features", multimodal_decode_features, None,
-              "mapInPandas decode stub (rows-only)"),
+    QuerySpec("multimodal_decode_features", multimodal_decode_features_flat,
+              MULTIMODAL_DECODE_FEATURES_ORACLE,
+              "mapInPandas decode features, flattened + byte-stats oracle"),
 ]
