@@ -77,6 +77,33 @@ def _decoded(data_col: Column):
     return decode_phypayload(data_col, F.lit(None), F.lit(None))
 
 
+def _attach_parsed(df: DataFrame) -> DataFrame:
+    """Attach the decode struct ``_p`` for the ``data`` column.
+
+    Batch: decode each DISTINCT frame once and equi-join the parsed
+    struct back. LoRaWAN traffic repeats frames heavily — multi-gateway
+    receptions of the same airtime frame (the reference's rx_info
+    fan-out, LoraServerIOCollector.py:368-399) and confirmed-uplink
+    retransmissions — so the Python-crypto decode runs O(distinct)
+    instead of O(rows), globally rather than per Arrow batch. The
+    decoded side is small after dedup; AQE converts the join to a
+    broadcast at runtime (no unconditional broadcast() — at 100 TB the
+    distinct-frame set can still exceed the driver). Null ``data``
+    (off-route rows) never matches the join key and yields a null
+    struct — identical to what the UDF returns for null input.
+
+    Streaming: per-row UDF with the per-batch frame memo
+    (lorawan_udfs.py) — a stream can't dropDuplicates-and-join its own
+    derivative inside one microbatch; the memo is the within-batch
+    equivalent of the same distinct-decode idea.
+    """
+    if df.isStreaming:
+        return df.withColumn("_p", _decoded(F.col("data")))
+    frames = df.select("data").where(F.col("data").isNotNull()).dropDuplicates()
+    decoded = frames.select("data", _decoded(F.col("data")).alias("_p"))
+    return df.join(decoded, on="data", how="left")
+
+
 _PARSE_FIELDS = [
     "m_type", "major", "mic", "join_eui", "dev_eui", "dev_nonce", "dev_addr",
     "adr", "ack", "adr_ack_req", "f_pending", "class_b", "f_count", "f_opts",
@@ -90,7 +117,7 @@ def _explode_parsed(df: DataFrame, prefer_topic_dev_eui: Column | None = None) -
     select (not a withColumn per field): each withColumn re-analyzes
     the whole — wide — plan, and 16 of them made driver-side plan
     construction a measurable share of pipeline latency."""
-    df = df.withColumn("_p", _decoded(F.col("data")))
+    df = _attach_parsed(df)
     taken = set(_PARSE_FIELDS) | {"_p"}
     out = [F.col(c) for c in df.columns if c not in taken]
     for f in _PARSE_FIELDS:
@@ -279,7 +306,7 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
         F.get(F.col("_a.rxInfo"), 0)["location"]["altitude"].alias("altitude"),
         F.timestamp_seconds(F.col("ts")).alias("date"),
     )
-    df = df.withColumn("_p", _decoded(F.col("data")))
+    df = _attach_parsed(df)
     for f in _PARSE_FIELDS:
         if f in ("m_type", "dev_eui", "dev_addr", "f_count"):
             continue
@@ -349,7 +376,7 @@ def normalize_ttn_v2(raw: DataFrame) -> DataFrame:
         F.col("_s.status.location.altitude").alias("altitude"),
         F.timestamp_seconds(F.col("ts")).alias("date"),
     )
-    df = df.withColumn("_p", _decoded(F.col("data")))
+    df = _attach_parsed(df)
     topic_eui = F.nullif(F.regexp_replace(F.col("_f.dev_eui"), "-", ""), F.lit(""))
     for f in _PARSE_FIELDS:
         if f == "m_type":
@@ -422,7 +449,7 @@ def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
         F.get(F.col("_j.data.antenna_locations"), 0)["altitude"].alias("altitude"),
         F.timestamp_seconds(F.col("ts")).alias("date"),
     )
-    df = df.withColumn("_p", _decoded(F.col("data")))
+    df = _attach_parsed(df)
     for f in _PARSE_FIELDS:
         if f == "m_type":
             df = df.withColumn(

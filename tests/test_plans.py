@@ -77,10 +77,14 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert all("l_comment" not in l for l in schema_lines), schema_lines
 
 
-def test_decode_pipelines_are_single_scan(spark, sf_dir):
-    """Each source pipeline must be one narrow pass over events — no
-    shuffle (Exchange) before the decode stage; the only exchange
-    allowed is the final aggregate's, if any."""
+def test_decode_pipelines_distinct_frame_decode(spark, sf_dir):
+    """Batch pipelines decode DISTINCT frames and join the parsed
+    struct back (normalize._attach_parsed): the expensive Python-crypto
+    UDF must sit above a deduplicating HashAggregate, not on the main
+    per-row path, so decode cost is O(distinct frames) not O(rows).
+    Plan shape: exactly two scans (main + pruned distinct-frame side),
+    the codec ArrowEvalPython above an Aggregate, and a join bringing
+    the struct back."""
     for name in (
         "pipeline_mqtt_forwarder",
         "pipeline_chirpstack_gateway",
@@ -88,4 +92,24 @@ def test_decode_pipelines_are_single_scan(spark, sf_dir):
         "pipeline_ttn_v3",
     ):
         plan = _plan(spark, sf_dir, name, mode="simple")
-        assert plan.count("FileScan parquet") == 1, f"{name}: expected single scan\n{plan}"
+        n_scans = plan.count("FileScan parquet")
+        assert n_scans == 2, f"{name}: expected main + distinct-side scan\n{plan}"
+        assert "ArrowEvalPython" in plan, f"{name}: codec UDF missing\n{plan}"
+        assert "Join LeftOuter" in plan or "HashJoin" in plan, (
+            f"{name}: decoded side must join back\n{plan}"
+        )
+        # The codec UDF must be fed by the deduplicated side: the
+        # ArrowEvalPython that evaluates decode_phypayload sits above a
+        # HashAggregate (the distinct), never directly on the per-row
+        # main path. (Other Arrow UDFs — the protobuf fallback — are
+        # legitimately per-row and exempt.)
+        segments = plan.split("ArrowEvalPython")
+        decode_segs = [
+            seg for seg in segments[1:]
+            if "decode_phypayload" in seg.splitlines()[0]
+        ]
+        assert decode_segs, f"{name}: decode UDF not found in plan\n{plan}"
+        for seg in decode_segs:
+            assert "HashAggregate" in seg, (
+                f"{name}: codec UDF not above the distinct aggregate\n{plan}"
+            )
