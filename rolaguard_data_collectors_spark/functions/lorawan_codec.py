@@ -71,6 +71,88 @@ MAC_CMDS_DOWN = {
     0x0A: ("DlChannelReq", 4),
 }
 
+# Inverse (marshal) table: command NAME -> (cid, uplink-size,
+# downlink-size); None = direction not defined by the spec. Covers the
+# full 15-CID surface the reference's JSON unmarshal switch handles
+# (jsonUnmarshaler.go:76-182 maps these same names to CIDs 1-15,
+# including the LoRaWAN 1.1 commands), with sizes from the public
+# 1.0.x/1.1 spec tables. Name lookup is case-insensitive because the
+# ecosystem disagrees on capitalization (the reference's JSON uses
+# "TXParamSetupReq"/"DLChannelReq"; the 1.0.x spec table prints
+# "TxParamSetupAns"/"DlChannelAns").
+MAC_CMDS_BY_NAME = {
+    "resetind": (0x01, 1, None),
+    "resetconf": (0x01, None, 1),
+    "linkcheckreq": (0x02, 0, None),
+    "linkcheckans": (0x02, None, 2),
+    "linkadrreq": (0x03, None, 4),
+    "linkadrans": (0x03, 1, None),
+    "dutycyclereq": (0x04, None, 1),
+    "dutycycleans": (0x04, 0, None),
+    "rxparamsetupreq": (0x05, None, 4),
+    "rxparamsetupans": (0x05, 1, None),
+    "devstatusreq": (0x06, None, 0),
+    "devstatusans": (0x06, 2, None),
+    "newchannelreq": (0x07, None, 5),
+    "newchannelans": (0x07, 1, None),
+    "rxtimingsetupreq": (0x08, None, 1),
+    "rxtimingsetupans": (0x08, 0, None),
+    "txparamsetupreq": (0x09, None, 1),
+    "txparamsetupans": (0x09, 0, None),
+    "dlchannelreq": (0x0A, None, 4),
+    "dlchannelans": (0x0A, 1, None),
+    "rekeyind": (0x0B, 1, None),
+    "rekeyconf": (0x0B, None, 1),
+    "adrparamsetupreq": (0x0C, None, 1),
+    "adrparamsetupans": (0x0C, 0, None),
+    "devicetimereq": (0x0D, 0, None),
+    "devicetimeans": (0x0D, None, 5),
+    "forcerejoinreq": (0x0E, None, 2),
+    "rejoinparamsetupreq": (0x0F, None, 1),
+    "rejoinparamsetupans": (0x0F, 1, None),
+}
+
+
+def marshal_mac_commands(cmds: list[dict], uplink: bool) -> bytes:
+    """JSON-shaped MAC commands -> fOpts bytes: the inverse of
+    ``parse_mac_commands`` and the op-47 fOpts marshal leg
+    (jsonUnmarshaler.go:76-182 does the same name->CID mapping; its
+    zero-valued payload structs marshal to spec-size zero bytes, which
+    is what an absent/short ``payload`` produces here).
+
+    Each command is ``{"cid": <name-or-int>, "payload": <hex>}``; a
+    hex payload shorter than the spec size is zero-padded, a longer
+    one rejected. Raises ValueError for unknown names and for
+    direction-invalid commands (e.g. LinkADRReq in an uplink) — the
+    same conditions the reference refuses."""
+    out = bytearray()
+    for cmd in cmds:
+        name = cmd.get("cid")
+        payload = bytes.fromhex(cmd.get("payload") or "")
+        if isinstance(name, int):
+            table = MAC_CMDS_UP if uplink else MAC_CMDS_DOWN
+            if name not in table:
+                raise ValueError(f"unknown MAC cid {name:#04x}")
+            cid, size = name, table[name][1]
+        else:
+            entry = MAC_CMDS_BY_NAME.get(str(name).lower())
+            if entry is None:
+                raise ValueError(f"unknown MAC command {name!r}")
+            cid, up_size, down_size = entry
+            size = up_size if uplink else down_size
+            if size is None:
+                direction = "uplink" if uplink else "downlink"
+                raise ValueError(f"{name} is not a {direction} command")
+        if len(payload) > size:
+            raise ValueError(
+                f"{name} payload {payload.hex()} exceeds spec size {size}"
+            )
+        out.append(cid)
+        out += payload.ljust(size, b"\x00")
+    if len(out) > 15:
+        raise ValueError("fOpts exceed the 15-byte FCtrl.FOptsLen limit")
+    return bytes(out)
+
 
 # --- primitives ----------------------------------------------------------
 #
@@ -399,9 +481,11 @@ def encode_data_frame(
     uplink: bool = True,
     adr: bool = False,
     ack: bool = False,
-    f_opts: bytes = b"",
+    f_opts: bytes | list[dict] = b"",
     app_s_key: bytes | None = None,
 ) -> bytes:
+    if isinstance(f_opts, list):
+        f_opts = marshal_mac_commands(f_opts, uplink)
     if uplink:
         mhdr = 0x80 if confirmed else 0x40
     else:

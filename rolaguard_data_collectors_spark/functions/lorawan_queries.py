@@ -29,6 +29,7 @@ from .lorawan_udfs import (
     derive_session_keys,
     encode_data_frame_b64,
     encode_join_request_b64,
+    mac_commands_roundtrip,
     validate_mic,
 )
 
@@ -100,18 +101,36 @@ def _keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op 13/41 end-to-end: encode a data frame per event (Arrow batch
-    UDF), decode it back with FRMPayload decrypt, validate the MIC —
-    the full printPHYPayload surface. Rows-only (CMAC isn't SQL)."""
+    """op 13/41/47 end-to-end: encode a data frame per event (Arrow
+    batch UDF) — including JSON-shaped MAC commands marshalled into
+    FHDR.fOpts (jsonUnmarshaler.go:76-182 leg) — decode it back with
+    FRMPayload decrypt, validate the MIC, and re-marshal the parsed
+    MAC commands asserting byte identity. Rows-only (CMAC isn't
+    SQL)."""
     ev = _keyed_events(spark, sf_dir)
+    # Deterministic uplink MAC-command mix: empty / LinkADRAns /
+    # DevStatusAns+LinkCheckReq — exercises 0-, 1- and 2-command
+    # fOpts and multi-byte payloads.
+    mac = (
+        F.when(F.col("event_id") % 3 == 1,
+               F.lit('[{"cid":"LinkADRAns","payload":"07"}]'))
+        .when(F.col("event_id") % 3 == 2,
+              F.lit('[{"cid":"DevStatusAns","payload":"ff1f"},'
+                    '{"cid":"LinkCheckReq"}]'))
+    )
     framed = ev.withColumn(
         "data",
-        encode_data_frame_b64("key_hex", "dev_addr", "f_cnt", "payload_text", "f_port"),
+        encode_data_frame_b64(
+            "key_hex", "dev_addr", "f_cnt", "payload_text", "f_port", mac
+        ),
     )
     # MIC validation happens inside the decode UDF (p.mic_ok) — one
     # Arrow pass instead of two, and the per-key cipher/CMAC contexts
     # are cached across rows in the codec layer.
     parsed = framed.withColumn("p", decode_phypayload("data", "key_hex", "key_hex"))
+    parsed = parsed.withColumn(
+        "m", mac_commands_roundtrip(F.col("p.f_opts"), F.lit(True))
+    )
     return parsed.select(
         "event_id",
         F.col("p.m_type").alias("m_type"),
@@ -120,6 +139,9 @@ def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.f_port").alias("f_port"),
         # decrypted payload back to text proves the crypt round trip
         F.expr("cast(unhex(p.frm_payload) AS string)").alias("payload_text"),
+        F.col("p.f_opts").alias("mac_json"),
+        F.col("m.fopts_hex").alias("fopts_hex"),
+        F.col("m.fopts_roundtrip_ok").alias("fopts_roundtrip_ok"),
         F.col("p.mic_ok").alias("mic_ok"),
         F.col("p.error").alias("error"),
     )
@@ -217,7 +239,10 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 97 == 0)  # bounded sample of frames
         .withColumn(
             "data",
-            encode_data_frame_b64("key_hex", "dev_addr", "f_cnt", "payload_text", "f_port"),
+            encode_data_frame_b64(
+                "key_hex", "dev_addr", "f_cnt", "payload_text", "f_port",
+                F.lit(None).cast("string"),
+            ),
         )
         .select("event_id", "user_id", "data")
     )

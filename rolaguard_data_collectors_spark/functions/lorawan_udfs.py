@@ -86,15 +86,58 @@ def encode_data_frame_b64(
     f_cnt: pd.Series,
     payload: pd.Series,
     f_port: pd.Series,
+    f_opts_json: pd.Series,
 ) -> pd.Series:
-    """Inverse codec (op 47 shape): fields -> base64 frame."""
+    """Inverse codec (op 47): fields -> base64 frame. ``f_opts_json``
+    is a JSON list of ``{"cid": name, "payload": hex}`` MAC commands
+    (the reference's jsonUnmarshaler.go:76-182 shape), marshalled into
+    FHDR.fOpts via the name->CID table; null/empty -> no fOpts."""
+    import json as _json
+
     out = []
-    for nk, da, fc, pl, fp in zip(nwk_s_key, dev_addr, f_cnt, payload, f_port):
+    for nk, da, fc, pl, fp, fo in zip(
+        nwk_s_key, dev_addr, f_cnt, payload, f_port, f_opts_json
+    ):
+        cmds = _json.loads(fo) if fo else []
         raw = lc.encode_data_frame(
-            bytes.fromhex(nk), da, int(fc), (pl or "").encode(), f_port=int(fp)
+            bytes.fromhex(nk), da, int(fc), (pl or "").encode(),
+            f_port=int(fp), f_opts=cmds,
         )
         out.append(base64.b64encode(raw).decode())
     return pd.Series(out)
+
+
+MAC_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("fopts_hex", T.StringType()),
+        T.StructField("fopts_roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(MAC_ROUNDTRIP_SCHEMA)
+def mac_commands_roundtrip(f_opts_json: pd.Series, uplink: pd.Series) -> pd.DataFrame:
+    """op 47 proof kernel: marshal the JSON MAC-command list (the
+    decode struct's ``f_opts``) back to fOpts bytes, re-parse, and
+    assert the command list survives — marshal/parse are inverses on
+    the wire domain."""
+    import json as _json
+
+    hexes, ok = [], []
+    for js, up in zip(f_opts_json, uplink):
+        if js is None:
+            hexes.append(None)
+            ok.append(None)
+            continue
+        try:
+            cmds = _json.loads(js)
+            raw = lc.marshal_mac_commands(cmds, bool(up))
+            hexes.append(raw.hex())
+            ok.append(lc.parse_mac_commands(raw, bool(up)) == cmds)
+        except (ValueError, KeyError):
+            hexes.append(None)
+            ok.append(False)
+    return pd.DataFrame({"fopts_hex": hexes, "fopts_roundtrip_ok": ok})
 
 
 @F.pandas_udf(T.StringType())

@@ -21,9 +21,9 @@ broadcast join, no global single-reducer window (the naive
 ``Window.orderBy`` with no partitionBy funnels the whole corpus
 through one task).
 
-These operators are driver-unregistered (the correctness gate checks
-a bounded 50-query window, which is full); their DuckDB parity is
-pinned by tests/test_curate.py instead.
+Driver-registered since round 4 (two consolidated queries below —
+``curation_sample_pack`` and ``pii_redaction_profile``); the
+per-operator DuckDB parity stays pinned by tests/test_curate.py.
 """
 
 from __future__ import annotations
@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
 from ..portable_sql import hex32
+from ..registry import QuerySpec
 
 # Hash-fraction denominator: h32 is uniform on [0, 2^32); a row is
 # sampled when h < fraction * 2^32.
@@ -202,3 +203,88 @@ def pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, pat in PII_PATTERNS.items()
     ]
     return docs.select("doc_id", *cols, redact_pii("text").alias("redacted_text"))
+
+
+# --- driver-registered consolidated queries -------------------------------
+
+_SAMPLE_FRAC = 0.3
+_STRATA = {"en": 0.5, "de": 0.1}
+_K_PER_LANG = 7
+_PACK_TOKENS = 20_000
+
+
+def curation_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four sampling/packing operators as ONE per-doc curation
+    plan row: shard assignment from the two-phase prefix sum
+    (``pack_token_shards``), plus the three deterministic sampling
+    decisions as boolean/rank columns (``hash_sample``,
+    ``stratified_sample``, ``uniform_k_per_stratum``). One extra
+    co-partitioned equi-join on doc_id to attach the flags; every
+    decision is hash-determined, so the whole row is reproducible on
+    any engine or partitioning."""
+    pack = pack_token_shards(spark, sf_dir, max_tokens=_PACK_TOKENS)
+    docs = load_table(spark, sf_dir, "documents")
+    cut = F.lit(0)
+    for lang, frac in _STRATA.items():
+        cut = F.when(F.col("lang") == lang, int(frac * _H_SPACE)).otherwise(cut)
+    wk = Window.partitionBy("lang").orderBy(
+        _doc_hash("doc_id", "s2").asc(), F.col("doc_id").asc()
+    )
+    flags = docs.select(
+        "doc_id",
+        "lang",
+        (_doc_hash("doc_id", "s1") < int(_SAMPLE_FRAC * _H_SPACE)).alias("in_sample"),
+        (_doc_hash("doc_id", "s1") < cut).alias("in_stratified"),
+        (F.row_number().over(wk) <= _K_PER_LANG).alias("in_k_per_lang"),
+    )
+    return pack.join(flags, "doc_id")
+
+
+def _sample_pack_oracle_sql() -> str:
+    h1 = hex32("concat(cast(doc_id as string), 's1')")
+    h2 = hex32("concat(cast(doc_id as string), 's2')")
+    case = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(frac * _H_SPACE)}"
+        for lang, frac in _STRATA.items()
+    )
+    return f"""
+WITH pack AS ({pack_shards_oracle_sql(_PACK_TOKENS)}),
+flags AS (
+  SELECT doc_id, lang,
+         {h1} < {int(_SAMPLE_FRAC * _H_SPACE)} AS in_sample,
+         {h1} < (CASE {case} ELSE 0 END) AS in_stratified,
+         row_number() OVER (PARTITION BY lang ORDER BY {h2}, doc_id)
+             <= {_K_PER_LANG} AS in_k_per_lang
+  FROM documents
+)
+SELECT p.doc_id, p.n_tokens, p.shard_id, p.shard_offset,
+       f.lang, f.in_sample, f.in_stratified, f.in_k_per_lang
+FROM pack p JOIN flags f USING (doc_id)
+"""
+
+
+def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-registered shape of ``pii_profile`` (counts + redacted
+    text, all JVM-side regexp)."""
+    return pii_profile(spark, sf_dir)
+
+
+def _pii_oracle_sql() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"SELECT doc_id, {counts}, {red} AS redacted_text FROM documents"
+
+
+QUERIES = [
+    QuerySpec("curation_sample_pack", curation_sample_pack,
+              _sample_pack_oracle_sql(),
+              "hash/stratified/k-per-stratum sampling + token-shard packing"),
+    QuerySpec("pii_redaction_profile", pii_redaction_profile,
+              _pii_oracle_sql(),
+              "per-doc PII hit counts + redacted text"),
+]

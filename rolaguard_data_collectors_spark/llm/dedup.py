@@ -262,6 +262,55 @@ def lsh_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature + banding + occupancy in ONE oracle-checked output
+    (registry consolidation, round 4 — frees a driver slot without
+    losing coverage): each (doc, band) row carries the doc's full
+    8-perm MinHash signature, its band's md5 bucket key, and the
+    bucket's occupancy. Proves the signature values (explicit mh
+    columns), the banding (bucket keys), and the candidate criterion
+    (n_docs) that ``lsh_band_buckets``/``minhash_signatures`` proved
+    separately. Same plan skeleton: one explode + one groupBy for the
+    signature, inline-array band explode, one window for occupancy."""
+    sig = minhash_signatures(spark, sf_dir)
+    entries = []
+    for band in range(BANDS):
+        lo, hi = 2 * band, 2 * band + 1
+        key = F.md5(F.concat_ws("_", F.lit(band), F.col(f"mh{lo}"), F.col(f"mh{hi}")))
+        entries.append(F.struct(F.lit(band).alias("band"), key.alias("bucket")))
+    mh_cols = [f"mh{i}" for i in range(len(MINHASH_PARAMS))]
+    assign = sig.select(
+        "doc_id", *mh_cols, F.explode(F.array(*entries)).alias("_e")
+    ).select(
+        "doc_id",
+        F.col("_e.band").alias("band"),
+        F.col("_e.bucket").alias("bucket"),
+        *mh_cols,
+    )
+    w = Window.partitionBy("band", "bucket")
+    return assign.withColumn("n_docs", F.count("*").over(w))
+
+
+def _minhash_lsh_sql() -> str:
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band,"
+        f" md5(concat_ws('_', {band}, mh{2 * band}, mh{2 * band + 1})) AS bucket"
+        " FROM sig"
+        for band in range(BANDS)
+    )
+    mh_cols = ", ".join(f"s.mh{i}" for i in range(len(MINHASH_PARAMS)))
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands AS ({bands_sql})
+SELECT b.doc_id, b.band, b.bucket, {mh_cols},
+       count(*) OVER (PARTITION BY b.band, b.bucket) AS n_docs
+FROM bands b JOIN sig s USING (doc_id)
+"""
+
+
+MINHASH_LSH_BUCKETS_ORACLE = _minhash_lsh_sql()
+
+
 def _lsh_band_sql() -> str:
     bands_sql = "\nUNION ALL\n".join(
         f"SELECT {band} AS band, md5(concat_ws('_', {band}, mh{2 * band}, mh{2 * band + 1})) AS bucket, doc_id FROM sig"
@@ -411,6 +460,39 @@ def simhash_dedup(
     )
 
 
+def simhash_profile(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Fingerprint + dedup decision for EVERY doc in one output
+    (registry consolidation, round 4): simhash for all docs; rep_id /
+    hamming filled for verified drops, null for survivors. Subsumes
+    the separate ``simhash_fingerprints`` and ``simhash_dedup``
+    registry entries without rerunning the fingerprint subplan — the
+    candidate rep is nulled in-row when the doc IS its bucket's rep,
+    so the per-doc aggregate keeps all N docs (min() skips nulls) and
+    no join back to the fingerprint table is needed. Same one-scan /
+    three-shuffle plan as ``simhash_dedup``."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    assign = _simhash_band_assignments(fp, max_hamming)
+    w = Window.partitionBy("band", "bucket")
+    rep = F.min(F.struct(F.col("doc_id"), F.col("simhash"))).over(w)
+    per_doc = (
+        assign.withColumn("_rep", rep)
+        .withColumn(
+            "rep", F.when(F.col("_rep.doc_id") != F.col("doc_id"), F.col("_rep"))
+        )
+        .groupBy("doc_id")
+        .agg(F.first("simhash").alias("simhash"), F.min("rep").alias("rep"))
+    )
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("rep.simhash"))).cast("int")
+    return per_doc.select(
+        "doc_id",
+        "simhash",
+        F.when(ham <= max_hamming, F.col("rep.doc_id")).alias("rep_id"),
+        F.when(ham <= max_hamming, ham).alias("hamming"),
+    )
+
+
 def _simhash_sql() -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
@@ -464,17 +546,44 @@ WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
 SIMHASH_DEDUP_ORACLE = _simhash_dedup_sql()
 
 
+def _simhash_profile_sql(max_hamming: int = 3) -> str:
+    bands = max_hamming + 1
+    width = 32 // bands
+    mask = (1 << width) - 1
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * width}) & {mask} AS bucket FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+WITH fp AS ({SIMHASH_ORACLE}),
+bands AS ({band_sel}),
+reps AS (SELECT band, bucket, min(doc_id) AS rep FROM bands GROUP BY band, bucket),
+cand AS (
+  SELECT b.doc_id, min(r.rep) AS cand_rep
+  FROM bands b JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
+  WHERE b.doc_id != r.rep GROUP BY b.doc_id
+)
+SELECT f.doc_id, f.simhash,
+       CASE WHEN bit_count(xor(f.simhash, fr.simhash)) <= {max_hamming}
+            THEN c.cand_rep END AS rep_id,
+       CASE WHEN bit_count(xor(f.simhash, fr.simhash)) <= {max_hamming}
+            THEN CAST(bit_count(xor(f.simhash, fr.simhash)) AS INTEGER) END AS hamming
+FROM fp f
+LEFT JOIN cand c ON f.doc_id = c.doc_id
+LEFT JOIN fp fr ON fr.doc_id = c.cand_rep
+"""
+
+
+SIMHASH_PROFILE_ORACLE = _simhash_profile_sql()
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact-dedup survivors + group sizes in one aggregate"),
     QuerySpec("ngram_jaccard_dedup", ngram_jaccard_dedup, NGRAM_JACCARD_ORACLE,
               "LSH-rep-verified exact Jaccard near-dedup"),
-    QuerySpec("minhash_signatures", minhash_signatures, MINHASH_SIGNATURES_ORACLE,
-              "8-perm MinHash signatures"),
-    QuerySpec("lsh_band_buckets", lsh_band_buckets, LSH_BAND_BUCKETS_ORACLE,
-              "LSH band bucket candidates"),
-    QuerySpec("simhash_fingerprints", simhash_fingerprints, SIMHASH_ORACLE,
-              "32-bit SimHash"),
-    QuerySpec("simhash_dedup", simhash_dedup, SIMHASH_DEDUP_ORACLE,
-              "pigeonhole-banded rep-verified SimHash near-dedup"),
+    QuerySpec("minhash_lsh_buckets", minhash_lsh_buckets, MINHASH_LSH_BUCKETS_ORACLE,
+              "MinHash signatures + LSH bands + bucket occupancy in one"),
+    QuerySpec("simhash_profile", simhash_profile, SIMHASH_PROFILE_ORACLE,
+              "SimHash fingerprint + rep-verified dedup decision per doc"),
 ]

@@ -27,7 +27,7 @@ def collect_all() -> dict[str, QuerySpec]:
     """Import every operator module and merge their registries."""
     from .operators import relational, scalar, stateful
     from .functions import lorawan_queries
-    from .llm import dedup, multimodal, pipeline, similarity, text
+    from .llm import curate, dedup, multimodal, pipeline, similarity, text
     from .streaming import pipeline_queries
 
     merged: dict[str, QuerySpec] = {}
@@ -40,6 +40,7 @@ def collect_all() -> dict[str, QuerySpec]:
         text,
         multimodal,
         pipeline,
+        curate,
         lorawan_queries,
         pipeline_queries,
     ):

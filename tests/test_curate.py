@@ -1,8 +1,10 @@
 """Curation operators (llm/curate.py): hash-deterministic sampling,
 token-budget shard packing (two-phase prefix sum), PII redaction —
-each against a DuckDB oracle or exact invariants. These are
-driver-unregistered (50-query window is full), so this suite is their
-correctness gate."""
+each against a DuckDB oracle or exact invariants. The consolidated
+``curation_sample_pack`` / ``pii_redaction_profile`` queries are
+driver-registered since round 4; this suite pins each component
+operator individually (including partition-independence properties
+the driver gate can't see)."""
 
 from __future__ import annotations
 

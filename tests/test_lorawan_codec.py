@@ -11,6 +11,7 @@ only)."""
 import base64
 import json
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -251,3 +252,75 @@ def test_decode_udf_memo_matches_per_row_parse(frames, repeats):
         p = lc.parse_phypayload_b64(b64)
         for f in ("m_type", "dev_addr", "f_count", "f_port", "mic", "error"):
             assert batch.iloc[i][f] == getattr(p, f), (i, f)
+
+
+# --- op 47 fOpts marshal leg (jsonUnmarshaler.go:76-182 parity) ----------
+
+
+def test_marshal_mac_commands_name_to_cid_table():
+    """Every command name the reference's JSON unmarshal switch maps
+    (CIDs 1-15, both capitalization conventions) must marshal to its
+    CID byte + spec-size zero payload in its valid direction."""
+    cases = [
+        # (name, uplink, cid, size)
+        ("ResetInd", True, 0x01, 1), ("ResetConf", False, 0x01, 1),
+        ("LinkCheckReq", True, 0x02, 0), ("LinkCheckAns", False, 0x02, 2),
+        ("LinkADRAns", True, 0x03, 1), ("LinkADRReq", False, 0x03, 4),
+        ("DutyCycleAns", True, 0x04, 0), ("DutyCycleReq", False, 0x04, 1),
+        ("RXParamSetupAns", True, 0x05, 1), ("RXParamSetupReq", False, 0x05, 4),
+        ("DevStatusAns", True, 0x06, 2), ("DevStatusReq", False, 0x06, 0),
+        ("NewChannelAns", True, 0x07, 1), ("NewChannelReq", False, 0x07, 5),
+        ("RXTimingSetupAns", True, 0x08, 0), ("RXTimingSetupReq", False, 0x08, 1),
+        ("TXParamSetupAns", True, 0x09, 0), ("TXParamSetupReq", False, 0x09, 1),
+        ("TxParamSetupAns", True, 0x09, 0),  # 1.0.x spec capitalization
+        ("DLChannelAns", True, 0x0A, 1), ("DLChannelReq", False, 0x0A, 4),
+        ("DlChannelAns", True, 0x0A, 1),
+        ("RekeyInd", True, 0x0B, 1), ("RekeyConf", False, 0x0B, 1),
+        ("ADRParamSetupAns", True, 0x0C, 0), ("ADRParamSetupReq", False, 0x0C, 1),
+        ("DeviceTimeReq", True, 0x0D, 0), ("DeviceTimeAns", False, 0x0D, 5),
+        ("ForceRejoinReq", False, 0x0E, 2),
+        ("RejoinParamSetupAns", True, 0x0F, 1),
+        ("RejoinParamSetupReq", False, 0x0F, 1),
+    ]
+    for name, uplink, cid, size in cases:
+        raw = lc.marshal_mac_commands([{"cid": name}], uplink)
+        assert raw == bytes([cid]) + b"\x00" * size, (name, raw.hex())
+
+
+def test_marshal_mac_commands_rejects_invalid():
+    with pytest.raises(ValueError):
+        lc.marshal_mac_commands([{"cid": "NotACommand"}], True)
+    with pytest.raises(ValueError):  # wrong direction
+        lc.marshal_mac_commands([{"cid": "LinkADRReq"}], True)
+    with pytest.raises(ValueError):  # payload exceeds spec size
+        lc.marshal_mac_commands([{"cid": "LinkADRAns", "payload": "0102"}], True)
+    with pytest.raises(ValueError):  # > 15-byte FOptsLen limit
+        lc.marshal_mac_commands(
+            [{"cid": "LinkCheckAns", "payload": "0102"}] * 6, False
+        )
+
+
+def test_marshal_parse_inverse_and_frame_roundtrip():
+    """marshal∘parse == id on wire bytes; parse∘marshal == id on the
+    JSON list; and a full data frame carrying fOpts decodes back to
+    the same commands."""
+    cmds = [
+        {"cid": "DevStatusAns", "payload": "ff1f"},
+        {"cid": "LinkADRAns", "payload": "07"},
+        {"cid": "LinkCheckReq", "payload": ""},
+    ]
+    raw = lc.marshal_mac_commands(cmds, uplink=True)
+    assert lc.parse_mac_commands(raw, uplink=True) == cmds
+    # wire -> json -> wire
+    assert lc.marshal_mac_commands(
+        lc.parse_mac_commands(raw, uplink=True), uplink=True
+    ) == raw
+
+    nwk = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    frame = lc.encode_data_frame(
+        nwk, "017fc1c4", 17, b"hello", f_port=5, f_opts=cmds
+    )
+    p = lc.parse_phypayload(frame, nwk_s_key=nwk)
+    assert p.error is None and p.mic_ok
+    import json
+    assert json.loads(p.f_opts) == cmds
