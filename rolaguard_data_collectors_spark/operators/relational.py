@@ -527,13 +527,52 @@ FROM lineitem GROUP BY l_returnflag
 
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct + approximate percentile — the scale path
-    for 100 TB statistics (no exact distinct shuffle). No oracle:
-    sketches are engine-specific; the driver records rows-only."""
+    for 100 TB statistics (no exact distinct shuffle).
+
+    The raw sketch estimates are engine-specific (DuckDB's HLL/quantile
+    families differ), so they can't hash-match an oracle. Instead the
+    output carries the exact values PLUS in-bounds booleans for the
+    sketches (round-4 hardening): |approx-exact|/exact <= 5% for the
+    rsd=0.01 HLL, and the approx median landing inside the exact
+    [p49, p51] band for the accuracy=10000 quantile sketch. Every
+    output column is deterministic, so the driver verifies rows +
+    schema + hash — the sketches are checked via their error
+    contracts, which is the strongest cross-engine statement an
+    approximate operator supports."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
+        F.expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").alias("_p"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx_median"),
     )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("parts_within_5pct"),
+        F.round(F.col("_p")[1], 4).alias("exact_median"),
+        (
+            (F.col("_approx_median") >= F.col("_p")[0])
+            & (F.col("_approx_median") <= F.col("_p")[2])
+        ).alias("median_within_1pctile"),
+    )
+
+
+APPROX_AGGREGATES_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS parts_within_5pct,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+       TRUE AS median_within_1pctile
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --- as-of join (guide-named custom operator Spark lacks natively) --------
@@ -810,6 +849,6 @@ QUERIES = [
               "string/math/date builtins"),
     QuerySpec("exact_percentiles", exact_percentiles, EXACT_PERCENTILES_ORACLE,
               "exact quantiles"),
-    QuerySpec("approx_aggregates", approx_aggregates, None,
-              "HLL++/approx percentile (rows-only)"),
+    QuerySpec("approx_aggregates", approx_aggregates, APPROX_AGGREGATES_ORACLE,
+              "HLL++/approx percentile, verified via error-bound contracts"),
 ]
