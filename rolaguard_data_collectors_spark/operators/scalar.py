@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..registry import QuerySpec
 from ..schemas import EVENT_PROPS_SCHEMA
 
@@ -33,11 +33,15 @@ MTYPE_BY_EVENT = {
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events")
+    # spread(): the wide from_json/to_json projection chains are pure
+    # JVM compute but still bind to scan tasks — the single-row-group
+    # test parquet runs them in ONE task (measured 2.7 s -> 1.1 s for
+    # scalar_decode_chain at sf0.1). No-op on well-split inputs.
+    return spread(load_table(spark, sf_dir, "events"))
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def _mtype_col():
