@@ -77,27 +77,41 @@ def _decoded(data_col: Column):
     return decode_phypayload(data_col, F.lit(None), F.lit(None))
 
 
-def _attach_parsed(df: DataFrame) -> DataFrame:
+# Batch decode strategy. "memo": one narrow pass, per-Arrow-batch
+# frame memo inside the UDF (lorawan_udfs.py) — repeated frames cost a
+# dict probe after the first decode in each batch. "distinct": global
+# dropDuplicates on the frame column, decode once per distinct frame,
+# AQE-broadcast the parsed side back (never an unconditional
+# broadcast() — at 100 TB the distinct-frame set can exceed the
+# driver).
+#
+# Measured A/B at sf0.1, noop-write, best-of-2 (round 4): memo wins on
+# every pipeline (mqtt 2.32 vs 3.21 s, chirpstack 3.39 vs 4.30,
+# ttn_v2 2.06 vs 3.22, ttn_v3 2.43 vs 2.87) because the distinct side
+# re-scans the source and re-runs the JSON chain that derives the
+# frame column — on this corpus that reparse costs more than the
+# crypto it saves. "distinct" pays off only when per-frame decode cost
+# x duplication factor exceeds the reparse+shuffle — dup-heavy
+# multi-gateway traffic (the reference's rx_info fan-out,
+# LoraServerIOCollector.py:368-399) with session keys attached (full
+# AES/CMAC per frame). That regime is real at 100 TB, so the plan
+# stays available behind this knob and keeps its own plan test; the
+# default is the measured winner.
+DECODE_STRATEGY = "memo"
+
+
+def _attach_parsed(df: DataFrame, strategy: str | None = None) -> DataFrame:
     """Attach the decode struct ``_p`` for the ``data`` column.
 
-    Batch: decode each DISTINCT frame once and equi-join the parsed
-    struct back. LoRaWAN traffic repeats frames heavily — multi-gateway
-    receptions of the same airtime frame (the reference's rx_info
-    fan-out, LoraServerIOCollector.py:368-399) and confirmed-uplink
-    retransmissions — so the Python-crypto decode runs O(distinct)
-    instead of O(rows), globally rather than per Arrow batch. The
-    decoded side is small after dedup; AQE converts the join to a
-    broadcast at runtime (no unconditional broadcast() — at 100 TB the
-    distinct-frame set can still exceed the driver). Null ``data``
-    (off-route rows) never matches the join key and yields a null
-    struct — identical to what the UDF returns for null input.
-
-    Streaming: per-row UDF with the per-batch frame memo
-    (lorawan_udfs.py) — a stream can't dropDuplicates-and-join its own
-    derivative inside one microbatch; the memo is the within-batch
-    equivalent of the same distinct-decode idea.
-    """
-    if df.isStreaming:
+    Streaming always uses the per-row UDF (a stream can't
+    dropDuplicates-and-join its own derivative inside a microbatch;
+    the per-batch memo is the within-batch equivalent). Batch
+    dispatches on ``strategy`` / ``DECODE_STRATEGY`` — see the A/B
+    note above. Null ``data`` (off-route rows) yields a null struct on
+    both paths (a null join key never matches; the UDF returns nulls
+    for null input)."""
+    strategy = strategy or DECODE_STRATEGY
+    if df.isStreaming or strategy == "memo":
         return df.withColumn("_p", _decoded(F.col("data")))
     frames = df.select("data").where(F.col("data").isNotNull()).dropDuplicates()
     decoded = frames.select("data", _decoded(F.col("data")).alias("_p"))

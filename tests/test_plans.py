@@ -77,39 +77,48 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert all("l_comment" not in l for l in schema_lines), schema_lines
 
 
-def test_decode_pipelines_distinct_frame_decode(spark, sf_dir):
-    """Batch pipelines decode DISTINCT frames and join the parsed
-    struct back (normalize._attach_parsed): the expensive Python-crypto
-    UDF must sit above a deduplicating HashAggregate, not on the main
-    per-row path, so decode cost is O(distinct frames) not O(rows).
-    Plan shape: exactly two scans (main + pruned distinct-frame side),
-    the codec ArrowEvalPython above an Aggregate, and a join bringing
-    the struct back."""
-    for name in (
-        "pipeline_mqtt_forwarder",
-        "pipeline_chirpstack_gateway",
-        "pipeline_ttn_v2",
-        "pipeline_ttn_v3",
-    ):
+_PIPELINES = (
+    "pipeline_mqtt_forwarder",
+    "pipeline_chirpstack_gateway",
+    "pipeline_ttn_v2",
+    "pipeline_ttn_v3",
+)
+
+
+def test_decode_pipelines_default_memo_single_scan(spark, sf_dir):
+    """Default batch decode strategy is the measured winner (see
+    normalize.DECODE_STRATEGY A/B note): ONE narrow pass over events -
+    single scan, Arrow codec UDF in-line, no join/exchange introduced
+    for the decode."""
+    for name in _PIPELINES:
         plan = _plan(spark, sf_dir, name, mode="simple")
-        n_scans = plan.count("FileScan parquet")
-        assert n_scans == 2, f"{name}: expected main + distinct-side scan\n{plan}"
-        assert "ArrowEvalPython" in plan, f"{name}: codec UDF missing\n{plan}"
-        assert "Join LeftOuter" in plan or "HashJoin" in plan, (
-            f"{name}: decoded side must join back\n{plan}"
+        assert plan.count("FileScan parquet") == 1, (
+            f"{name}: expected single scan\n{plan}"
         )
-        # The codec UDF must be fed by the deduplicated side: the
-        # ArrowEvalPython that evaluates decode_phypayload sits above a
-        # HashAggregate (the distinct), never directly on the per-row
-        # main path. (Other Arrow UDFs — the protobuf fallback — are
-        # legitimately per-row and exempt.)
-        segments = plan.split("ArrowEvalPython")
-        decode_segs = [
-            seg for seg in segments[1:]
-            if "decode_phypayload" in seg.splitlines()[0]
-        ]
-        assert decode_segs, f"{name}: decode UDF not found in plan\n{plan}"
-        for seg in decode_segs:
-            assert "HashAggregate" in seg, (
-                f"{name}: codec UDF not above the distinct aggregate\n{plan}"
-            )
+        assert "decode_phypayload" in plan, f"{name}: codec UDF missing\n{plan}"
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python\n{plan}"
+
+
+def test_decode_distinct_strategy_plan(spark, sf_dir):
+    """The opt-in distinct-frame strategy (dup-heavy traffic where
+    crypto dominates reparse) must keep its scale shape: two scans
+    (main + pruned distinct side), the decode UDF above the
+    deduplicating HashAggregate, and a left join bringing the struct
+    back."""
+    from rolaguard_data_collectors_spark.streaming import normalize as nz
+
+    old = nz.DECODE_STRATEGY
+    nz.DECODE_STRATEGY = "distinct"
+    try:
+        plan = _plan(spark, sf_dir, "pipeline_mqtt_forwarder", mode="simple")
+    finally:
+        nz.DECODE_STRATEGY = old
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Join LeftOuter" in plan or "HashJoin" in plan, plan
+    decode_segs = [
+        seg for seg in plan.split("ArrowEvalPython")[1:]
+        if "decode_phypayload" in seg.splitlines()[0]
+    ]
+    assert decode_segs, plan
+    for seg in decode_segs:
+        assert "HashAggregate" in seg, plan
