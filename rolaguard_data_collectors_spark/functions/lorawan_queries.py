@@ -260,7 +260,19 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tested.filter(F.col("ok"))
-        .select("event_id", "user_id", F.col("cand_key").alias("cracked_key"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("cand_key").alias("cracked_key"),
+            # self-verification: the planted true key must be among the
+            # survivors for every frame (tests/test_lorawan_udfs.py
+            # asserts per-frame coverage); carrying the flag in-row
+            # makes the rows-only driver record self-describing.
+            (
+                F.col("cand_key")
+                == F.md5(F.format_string("dev-%d", F.col("user_id")))
+            ).alias("is_true_key"),
+        )
     )
 
 

@@ -99,3 +99,22 @@ def test_reference_keyspaces_byte_parity(spark):
     assert full[1][-1] == "ff" + "ff" * 15
     assert full[2][-1] == "ffff" * 8
     assert full[3][-1] == "00" * 14 + "ffff"
+
+
+def test_bruteforce_always_cracks_with_true_key(spark, sf_dir):
+    """Self-consistency of the op-46 suite: the planted per-device key
+    must authenticate every sampled frame (AES-CMAC is deterministic),
+    so each frame row-group contains exactly one is_true_key survivor."""
+    from rolaguard_data_collectors_spark.functions.lorawan_queries import (
+        lorawan_key_bruteforce,
+    )
+
+    rows = lorawan_key_bruteforce(spark, sf_dir).collect()
+    assert rows, "bruteforce produced no survivors"
+    by_frame: dict[int, int] = {}
+    for r in rows:
+        if r.is_true_key:
+            by_frame[r.event_id] = by_frame.get(r.event_id, 0) + 1
+    frames = {r.event_id for r in rows}
+    assert set(by_frame) == frames, "some frame was not cracked by its true key"
+    assert all(n == 1 for n in by_frame.values())
