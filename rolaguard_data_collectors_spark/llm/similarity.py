@@ -320,6 +320,95 @@ WHERE round({_DOT_AB_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) >= {NEAR_DUP_THR
 """
 
 
+# --- int8 scalar quantization (unregistered; DuckDB parity + recall in
+# tests/test_quantize.py) ---------------------------------------------------
+#
+# The memory-bandwidth lever for 100 TB ANN: 4x smaller vectors
+# (float32 -> int8) means 4x fewer bytes scanned per probe, and the
+# integer dot product stays JVM-side. Symmetric per-dimension
+# quantization: scale_i = max|x_i| over the corpus (a dim-sized
+# aggregate — O(dim) driver data, same class as the k-means
+# centroids), code = sign(x) * floor(|x| / scale * 127 + 0.5).
+# sign*floor(+0.5) instead of round(): SQL ROUND semantics differ
+# between engines on negative halves; this form is identical
+# everywhere.
+
+
+def embedding_scales(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Per-dimension max|x| over the corpus. One posexplode +
+    dim-sized groupBy; the result is O(dim) and is broadcast back as a
+    literal array (exactly like k-means centroids in llm/kmeans.py)."""
+    emb = _emb(spark, sf_dir)
+    rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
+        .collect()
+    )
+    scales = [0.0] * len(rows)
+    for r in rows:
+        scales[r["pos"]] = r["m"] or 0.0
+    return scales
+
+
+def _quant_expr(col: str, scales: list[float]) -> Column:
+    arr = ", ".join(f"{s!r}D" for s in scales)
+    return F.expr(
+        f"zip_with(cast({col} AS array<double>), array({arr}),"
+        " (x, s) -> CAST(CASE WHEN s = 0 THEN 0 ELSE"
+        " sign(x) * floor(abs(x) / s * 127 + 0.5) END AS int))"
+    )
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str,
+                        scales: list[float] | None = None) -> DataFrame:
+    """(vec_id, label, codes int8-range array, plus the scales as a
+    literal for downstream rescale). Codes are exact integers, so the
+    whole op is DuckDB-verifiable."""
+    scales = scales if scales is not None else embedding_scales(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id", "label", _quant_expr("embedding", scales).alias("codes")
+    )
+
+
+def quantize_oracle_sql(scales: list[float]) -> str:
+    arr = ", ".join(repr(s) for s in scales)
+    return f"""
+SELECT vec_id, label,
+       list_transform(list_zip(embedding, [{arr}]),
+         p -> CAST(CASE WHEN p[2] = 0 THEN 0 ELSE
+              sign(CAST(p[1] AS DOUBLE)) * floor(abs(CAST(p[1] AS DOUBLE)) / p[2] * 127 + 0.5)
+              END AS INTEGER)) AS codes
+FROM embeddings
+"""
+
+
+def cosine_topk_int8(spark: SparkSession, sf_dir: str,
+                     query_id: int = QUERY_VEC_ID, k: int = TOP_K) -> DataFrame:
+    """Approximate brute-force top-k over the quantized corpus: the
+    integer dot product rescaled per dimension (asymmetric per-dim
+    scales fold into the product), same broadcast-1-row +
+    TakeOrderedAndProject plan as the float baseline — but scanning
+    int8-range codes instead of float32."""
+    scales = embedding_scales(spark, sf_dir)
+    q = quantize_embeddings(spark, sf_dir, scales)
+    arr = ", ".join(f"{(s / 127.0) ** 2!r}D" for s in scales)
+    query = q.filter(F.col("vec_id") == query_id).select(
+        F.col("codes").alias("q_codes")
+    )
+    scored = q.filter(F.col("vec_id") != query_id).crossJoin(F.broadcast(query))
+    dot = F.expr(
+        "aggregate(zip_with(zip_with(codes, q_codes, (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" array({arr}), (p, w) -> p * w), 0D, (acc, v) -> acc + v)"
+    )
+    return (
+        scored.select("vec_id", "label", F.round(dot, 6).alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 QUERIES = [
     QuerySpec("cosine_topk_bruteforce", cosine_topk_bruteforce, COSINE_TOPK_ORACLE,
               "brute-force cosine top-k"),

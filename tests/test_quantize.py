@@ -1,0 +1,50 @@
+"""int8 scalar quantization (llm/similarity.py): DuckDB parity of the
+code arithmetic, recall of the quantized top-k against the float
+brute force, and the int8 range invariant. Unregistered (50-query
+driver window), so this suite is its correctness gate."""
+
+from __future__ import annotations
+
+import duckdb
+
+from rolaguard_data_collectors_spark.llm import similarity as sim
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    return con
+
+
+def test_quantize_matches_duckdb(spark, sf_dir):
+    scales = sim.embedding_scales(spark, sf_dir)
+    assert len(scales) == 64 and all(s > 0 for s in scales)
+    got = {
+        r.vec_id: list(r.codes)
+        for r in sim.quantize_embeddings(spark, sf_dir, scales).collect()
+    }
+    want = {
+        v: list(c)
+        for v, _l, c in _con(sf_dir)
+        .execute(sim.quantize_oracle_sql(scales))
+        .fetchall()
+    }
+    assert got == want
+
+
+def test_codes_are_int8_range(spark, sf_dir):
+    rows = sim.quantize_embeddings(spark, sf_dir).collect()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.codes)
+
+
+def test_int8_topk_recall(spark, sf_dir):
+    exact = [r.vec_id for r in sim.cosine_topk_bruteforce(spark, sf_dir).collect()]
+    approx = [r.vec_id for r in sim.cosine_topk_int8(spark, sf_dir).collect()]
+    k = len(exact)
+    recall = len(set(exact) & set(approx)) / k
+    # int8 with per-dim scales on unit-norm vectors: near-lossless
+    # ranking; 0.8 is the contract floor, observed ~1.0.
+    assert recall >= 0.8, f"recall@{k} = {recall}"
