@@ -73,7 +73,12 @@ def packet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join, partial aggregation map-side — the grouping keys
     (route x hour) are low-cardinality so the shuffle is tiny at any SF.
     """
-    ev = _events(spark, sf_dir)
+    # NOT _events/spread(): this query aggregates immediately, so the
+    # groupBy exchange already redistributes — a pre-agg roundrobin
+    # exchange is pure overhead here (measured 0.46 vs 0.69 s at
+    # sf0.1). spread() belongs on the NARROW chains below, whose whole
+    # pipeline otherwise binds to the scan's task count.
+    ev = load_table(spark, sf_dir, "events")
     return (
         ev.filter(F.col("value").isNotNull() & (F.length("props") > 1))
         .select(
