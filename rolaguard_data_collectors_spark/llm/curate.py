@@ -105,7 +105,10 @@ def pack_token_shards(spark: SparkSession, sf_dir: str,
     the tiny per-partition totals, broadcast offsets back. Output:
     (doc_id, n_tokens, shard_id, shard-local offset).
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # Plain load: repartitionByRange below is the parallelizing
+    # exchange; a spread() before it would be a second, redundant
+    # shuffle (measured 0.96 vs 0.69 s at sf0.1).
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),

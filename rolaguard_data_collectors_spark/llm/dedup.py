@@ -40,8 +40,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by content hash; keeper = min doc_id
-    (deterministic survivor, unlike dropDuplicates' arbitrary row)."""
-    docs = _docs(spark, sf_dir)
+    (deterministic survivor, unlike dropDuplicates' arbitrary row).
+
+    Plain load, not the spread() loader: md5+groupBy aggregates
+    immediately and the agg exchange already redistributes (measured
+    0.57 vs 0.19 s at sf0.1 with the redundant pre-agg exchange).
+    spread() stays on the explode-heavy subplans (minhash/simhash/
+    shingles) where the pre-shuffle per-row work is the bottleneck."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.md5("text").alias("content_hash"))
         .groupBy("content_hash")
@@ -57,8 +63,9 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 
 
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deduplicated corpus: first doc_id per content hash."""
-    docs = _docs(spark, sf_dir)
+    """The deduplicated corpus: first doc_id per content hash (plain
+    load — see dedup_exact_groups)."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.md5("text").alias("content_hash"))
         .groupBy("content_hash")
@@ -79,8 +86,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the duplicate groups, ``n_copies = 1`` the already-unique
     corpus. Subsumes the groups/survivors pair above (kept as the
     composable API) in a single driver-checked query: one md5 hash
-    shuffle with map-side partial aggregation."""
-    docs = _docs(spark, sf_dir)
+    shuffle with map-side partial aggregation (plain load — see
+    dedup_exact_groups)."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.md5("text").alias("content_hash"))
         .groupBy("content_hash")
