@@ -249,13 +249,28 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_keys = frames.select(
         F.md5(F.format_string("dev-%d", F.col("user_id"))).alias("cand_key")
     ).distinct()
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     candidates = (
         reference_keyspaces(spark, BRUTE_KEYS_PER_FAMILY)
         .select("cand_key")
         .unionByName(true_keys)
         .distinct()
+        # The candidate relation is tiny in rows but each row fans out
+        # to |frame sample| MIC checks; AQE coalesces the post-distinct
+        # shuffle to one partition and would serialize the whole sweep
+        # — spread candidates across the cores explicitly.
+        .repartition(n_par)
     )
-    tested = frames.crossJoin(F.broadcast(candidates)).withColumn(
+    # Candidate-major cross join (keyspace x broadcast(frame sample)),
+    # NOT frame-major: consecutive rows then share a candidate key, so
+    # each Arrow batch reaches validate_mic with whole per-key runs
+    # and the stage-vectorized aes_cmac_batch engages (frame-major
+    # order left ~12 rows per key per batch — under the batch
+    # crossover). This is also the right 100 TB shape: the generated
+    # keyspace is the LARGE side (3 x 65k structured keys, a
+    # spark.range plan that partitions freely); the bounded frame
+    # sample is the broadcast relation.
+    tested = candidates.crossJoin(F.broadcast(frames)).withColumn(
         "ok", validate_mic("data", "cand_key")
     )
     return (

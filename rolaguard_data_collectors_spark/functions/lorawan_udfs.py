@@ -154,19 +154,44 @@ def encode_join_request_b64(
 @F.pandas_udf(T.BooleanType())
 def validate_mic(data_b64: pd.Series, key_hex: pd.Series) -> pd.Series:
     """generateValidMIC / testAppKeys kernel (ops 45-46): does this key
-    authenticate this frame?"""
-    out = []
-    for b64, kh in zip(data_b64, key_hex):
+    authenticate this frame?
+
+    Rows are grouped by candidate key inside the Arrow batch and
+    validated via the stage-vectorized aes_cmac_batch (one ECB call
+    per block stage per key instead of per frame) — the keyspace
+    sweep ships thousands of frames per key through each batch, which
+    is exactly the batch shape the kernel exploits (~7x on the MIC
+    inputs; lorawan_codec.aes_cmac_batch)."""
+    out = [False] * len(data_b64)
+    by_key: dict[str, tuple[list[int], list[bytes], list[bytes]]] = {}
+    # Frame memo: a keyspace sweep repeats each frame once per
+    # candidate key, so the b64 decode AND the key-independent CMAC
+    # input (B0 block + trailer split) are built O(distinct frames),
+    # not O(rows).
+    frame_memo: dict[str, tuple[bytes, bytes] | None] = {}
+    for i, (b64, kh) in enumerate(zip(data_b64, key_hex)):
+        if b64 in frame_memo:
+            built = frame_memo[b64]
+        else:
+            try:
+                pad = "=" * ((4 - len(b64) % 4) % 4)
+                built = lc.mic_cmac_input(base64.b64decode(b64 + pad))
+            except Exception:
+                built = None
+            frame_memo[b64] = built
+        if built is None:
+            continue
+        slot = by_key.setdefault(kh, ([], [], []))
+        slot[0].append(i)
+        slot[1].append(built[0])
+        slot[2].append(built[1])
+    for kh, (idxs, inputs, trailers) in by_key.items():
         try:
-            pad = "=" * ((4 - len(b64) % 4) % 4)
-            raw = base64.b64decode(b64 + pad)
-            key = bytes.fromhex(kh)
-            if raw and (raw[0] >> 5) == 0:
-                out.append(lc.validate_join_request_mic(raw, key))
-            else:
-                out.append(lc.validate_data_mic(raw, key))
+            macs = lc.aes_cmac_batch(bytes.fromhex(kh), inputs)
         except Exception:
-            out.append(False)
+            continue
+        for i, mac, tr in zip(idxs, macs, trailers):
+            out[i] = mac[:4] == tr
     return pd.Series(out)
 
 

@@ -324,3 +324,40 @@ def test_marshal_parse_inverse_and_frame_roundtrip():
     assert p.error is None and p.mic_ok
     import json
     assert json.loads(p.f_opts) == cmds
+
+
+# --- stage-vectorized CMAC batch (must be bit-identical to scalar) -------
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=80), min_size=1, max_size=200),
+    st.binary(min_size=16, max_size=16),
+)
+@settings(max_examples=25, deadline=None)
+def test_aes_cmac_batch_matches_scalar(msgs, key):
+    assert lc.aes_cmac_batch(key, msgs) == [lc.aes_cmac(key, m) for m in msgs]
+
+
+def test_validate_mic_batch_matches_scalar():
+    import os
+    import random
+
+    random.seed(3)
+    key = bytes(range(16))
+    frames = []
+    for i in range(300):
+        raw = lc.encode_data_frame(
+            key, "0100da30", i, os.urandom(random.randrange(0, 24)),
+            uplink=bool(i % 2), confirmed=bool(i % 3),
+        )
+        if i % 4 == 0:  # corrupt some MICs
+            raw = raw[:-1] + bytes([raw[-1] ^ 1])
+        frames.append(raw)
+    frames += [lc.encode_join_request(key, "00" * 8, "11" * 8, 5), b"\x00" * 5]
+    want = [
+        lc.validate_join_request_mic(r, key)
+        if r and (r[0] >> 5) == 0
+        else lc.validate_data_mic(r, key)
+        for r in frames
+    ]
+    assert lc.validate_mic_batch(frames, key) == want
