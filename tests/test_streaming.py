@@ -693,3 +693,24 @@ def test_collector_manager_test_probe(spark, tmp_path):
     )
     mgr.handle_event({"type": "TEST", "config": cfg})
     assert [(e.status, e.type) for e in mgr.status_events] == [("TEST", "SUCCESS")]
+
+
+def test_attach_parsed_streaming_ignores_distinct_strategy(spark):
+    """A readStream frame must take the per-row memo path even when
+    the batch DECODE_STRATEGY is 'distinct' — a stream can't
+    dropDuplicates-and-join its own derivative inside a microbatch."""
+    from rolaguard_data_collectors_spark.streaming import normalize as nz
+
+    sdf = (
+        spark.readStream.format("rate").load()
+        .selectExpr("CAST(value AS STRING) AS data")
+    )
+    old = nz.DECODE_STRATEGY
+    nz.DECODE_STRATEGY = "distinct"
+    try:
+        out = nz._attach_parsed(sdf)
+    finally:
+        nz.DECODE_STRATEGY = old
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" not in plan and "Join" not in plan
