@@ -175,6 +175,78 @@ FROM c
 """
 
 
+def pack_sequence_spans(spark: SparkSession, sf_dir: str,
+                        seq_len: int = 2048,
+                        max_tokens: int = 20_000,
+                        n_parts: int = 8) -> DataFrame:
+    """Fixed-length sequence packing on top of the shard layout: each
+    document's token run [start, start+n) is exploded into the
+    ``seq_len``-sized training windows it overlaps, with the in-window
+    slice recorded — the (sequence_id, doc slice) table a packed
+    pretraining dataloader consumes, and the boundary map an
+    attention-mask builder needs.
+
+    One JVM-side ``sequence()`` explode per doc (a doc spans
+    ceil(n/seq_len)+1 windows at most, so output is O(total_tokens /
+    seq_len + n_docs) — linear); no extra shuffle beyond
+    pack_token_shards' range exchange. Global token offsets come from
+    the same two-phase prefix sum, so windows are deterministic under
+    any partitioning (tests/test_curate.py)."""
+    pack = pack_token_shards(spark, sf_dir, max_tokens=max_tokens,
+                             n_parts=n_parts)
+    based = pack.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("shard_id") * max_tokens + F.col("shard_offset")).alias("_start"),
+    )
+    spans = based.select(
+        "doc_id",
+        "n_tokens",
+        "_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {seq_len}"),
+                F.expr(f"(_start + n_tokens - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    win_start = F.col("seq_id") * seq_len
+    return spans.select(
+        "doc_id",
+        "seq_id",
+        F.greatest(F.col("_start"), win_start).alias("span_start"),
+        (
+            F.least(F.col("_start") + F.col("n_tokens"), win_start + seq_len)
+            - F.greatest(F.col("_start"), win_start)
+        ).alias("span_tokens"),
+        (F.greatest(F.col("_start"), win_start) - F.col("_start")).alias(
+            "doc_offset"
+        ),
+    )
+
+
+def pack_sequence_spans_oracle_sql(seq_len: int = 2048,
+                                   max_tokens: int = 20_000) -> str:
+    return f"""
+WITH pack AS ({pack_shards_oracle_sql(max_tokens)}),
+spans AS (
+  SELECT doc_id, n_tokens,
+         shard_id * {max_tokens} + shard_offset AS s,
+         unnest(generate_series(
+             (shard_id * {max_tokens} + shard_offset) // {seq_len},
+             (shard_id * {max_tokens} + shard_offset + n_tokens - 1) // {seq_len}
+         )) AS seq_id
+  FROM pack
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(s, seq_id * {seq_len}) AS BIGINT) AS span_start,
+       CAST(least(s + n_tokens, seq_id * {seq_len} + {seq_len})
+            - greatest(s, seq_id * {seq_len}) AS BIGINT) AS span_tokens,
+       CAST(greatest(s, seq_id * {seq_len}) - s AS BIGINT) AS doc_offset
+FROM spans
+"""
+
+
 # --- PII redaction --------------------------------------------------------
 
 # Deliberately simple, auditable patterns (emails, E.164-ish and

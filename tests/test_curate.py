@@ -145,3 +145,42 @@ def test_pii_profile_counts_and_redaction(spark, tmp_path):
     assert "<PHONE>" in out[2].redacted_text and "4567" not in out[2].redacted_text
     assert "<IPV4>" in out[3].redacted_text and "10.0.0.1" not in out[3].redacted_text
     assert out[4].redacted_text == rows[3][1]
+
+
+@pytest.mark.parametrize("seq_len", [512, 2048])
+def test_pack_sequence_spans_matches_oracle(spark, sf_dir, seq_len):
+    got = sorted(
+        map(tuple, (
+            (r.doc_id, r.seq_id, r.span_start, r.span_tokens, r.doc_offset)
+            for r in curate.pack_sequence_spans(
+                spark, sf_dir, seq_len=seq_len, max_tokens=5000
+            ).collect()
+        ))
+    )
+    want = sorted(
+        map(tuple, _con(sf_dir).execute(
+            curate.pack_sequence_spans_oracle_sql(seq_len, 5000)).fetchall())
+    )
+    assert got == want
+
+
+def test_pack_sequence_spans_invariants(spark, sf_dir):
+    seq_len = 1024
+    rows = curate.pack_sequence_spans(spark, sf_dir, seq_len=seq_len).collect()
+    per_doc: dict[int, int] = {}
+    per_seq: dict[int, int] = {}
+    for r in rows:
+        assert 0 < r.span_tokens <= seq_len
+        assert r.seq_id * seq_len <= r.span_start < (r.seq_id + 1) * seq_len
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.span_tokens
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.span_tokens
+    # every document's tokens are fully covered by its spans
+    toks = {
+        r.doc_id: r.n_tokens
+        for r in curate.pack_token_shards(spark, sf_dir).collect()
+    }
+    assert per_doc == toks
+    # every sequence window except the last is exactly full
+    seqs = sorted(per_seq)
+    for s in seqs[:-1]:
+        assert per_seq[s] == seq_len, (s, per_seq[s])
