@@ -11,15 +11,15 @@ auditable subsetting. ``df.sample()`` by contrast is seed+partition
 dependent and unrepeatable under repartitioning.
 
 Shard packing is the classic two-phase distributed prefix sum:
-per-partition running token counts (one window inside each range
-partition), a partitions-sized offset table collected to the driver
-(O(num_partitions) rows — the only driver data), offsets broadcast
-back, shard = exclusive-cumsum // budget. Deterministic global doc
-order comes from range-partitioning on the portable hash, so the
-layout is reproducible AND shuffle-minimal: one range exchange, one
-broadcast join, no global single-reducer window (the naive
-``Window.orderBy`` with no partitionBy funnels the whole corpus
-through one task).
+per-bucket running token counts (one window per fixed-width hash
+bucket), a buckets-sized offset table collected to the driver
+(O(n_buckets) rows — the only driver data), offsets broadcast back,
+shard = exclusive-cumsum // budget. Deterministic global doc order
+comes from bucketing the portable hash by VALUE (h div width — never
+from runtime partitioning; see pack_token_shards), so the layout is
+reproducible AND shuffle-minimal: one hash exchange for the window,
+no global single-reducer window (the naive ``Window.orderBy`` with no
+partitionBy funnels the whole corpus through one task).
 
 Driver-registered since round 4 (two consolidated queries below —
 ``curation_sample_pack`` and ``pii_redaction_profile``); the
@@ -100,42 +100,51 @@ def pack_token_shards(spark: SparkSession, sf_dir: str,
     deterministic spec, because first-fit's shard of doc i depends on
     every previous decision and cannot be recomputed locally.
 
-    Two-phase prefix sum (see module docstring): range-partition by
-    the portable hash, window-cumsum inside each partition, collect
-    the tiny per-partition totals, broadcast offsets back. Output:
-    (doc_id, n_tokens, shard_id, shard-local offset).
+    Two-phase prefix sum (see module docstring): bucket by an EXPLICIT
+    value-derived range of the portable hash, window-cumsum inside
+    each bucket, collect the tiny per-bucket totals, broadcast offsets
+    back. Output: (doc_id, n_tokens, shard_id, shard-local offset).
+
+    The bucket MUST be computed from the DATA (``h div bucket_width``),
+    never taken from the runtime partitioning: an earlier version used
+    ``repartitionByRange`` + ``spark_partition_id()``, and Spark's
+    range-exchange boundary SAMPLING is nondeterministic across jobs —
+    the totals job and the final job saw different partition
+    assignments, silently skewing offsets once the corpus outgrew the
+    sample (correct at <=500 docs where the sample covers everything,
+    wrong at sf0.1; caught by the cross-SF oracle sweep, round 4).
+    ``h`` is uniform on [0, 2^32), so fixed-width buckets are balanced
+    without any sampling, and bucket value is monotone in ``h`` — the
+    range property the prefix sum needs, by construction.
     """
-    # Plain load: repartitionByRange below is the parallelizing
-    # exchange; a spread() before it would be a second, redundant
-    # shuffle (measured 0.96 vs 0.69 s at sf0.1).
     docs = load_table(spark, sf_dir, "documents")
+    bucket_width = -(-(2 ** 32) // n_parts)
     toks = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_tokens"),
         _doc_hash("doc_id", "shard").alias("h"),
     )
-    ranged = toks.repartitionByRange(n_parts, F.col("h"), F.col("doc_id"))
-    part = ranged.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy("h", "doc_id")
+    part = toks.withColumn("_bkt", F.expr(f"h div {bucket_width}"))
+    w = Window.partitionBy("_bkt").orderBy("h", "doc_id")
     local = part.withColumn("_local_cum", F.sum("n_tokens").over(w))
 
-    # Phase 2: per-partition totals -> exclusive partition offsets.
+    # Phase 2: per-bucket totals -> exclusive bucket offsets.
     # O(n_parts) rows on the driver; broadcast back as a literal map.
     totals = {
-        r["_pid"]: r["t"]
-        for r in local.groupBy("_pid").agg(F.max("_local_cum").alias("t")).collect()
+        r["_bkt"]: r["t"]
+        for r in local.groupBy("_bkt").agg(F.max("_local_cum").alias("t")).collect()
     }
     offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
+    for bkt in sorted(totals):
+        offsets[bkt] = acc
+        acc += totals[bkt]
     # literal-map lookup, not a when()-chain: constant expression depth
-    # however many partitions (a cluster run uses thousands)
+    # however many buckets (a cluster run uses thousands)
     if offsets:
         pairs: list = []
-        for pid, off in offsets.items():
-            pairs += [F.lit(pid), F.lit(off)]
-        off_col = F.element_at(F.create_map(*pairs), F.col("_pid"))
+        for bkt, off in offsets.items():
+            pairs += [F.lit(bkt), F.lit(off)]
+        off_col = F.element_at(F.create_map(*pairs), F.col("_bkt"))
     else:
         off_col = F.lit(0)
 
