@@ -76,8 +76,16 @@ def salted_join(
     into ``salts``x rows — use on dimension-sized right sides that are
     over the broadcast threshold but far below the fact table.
 
-    The salt is derived per-row (id-hash modulo), not random, so a
-    task retry re-derives the same distribution.
+    The salt comes from monotonically_increasing_id, which embeds the
+    runtime partition id — stable across a TASK retry of a
+    deterministic-order source, but not across a re-plan that changes
+    upstream partitioning. That is fine HERE because correctness never
+    depends on which salt a row gets (the right side carries every
+    salt; see the row-for-row argument above) — the salt only spreads
+    a hot key across reducers. Do not copy this construct into logic
+    whose OUTPUT depends on the partition-derived value (see
+    llm/curate.pack_token_shards for that lesson: bucket by a
+    value-derived hash instead).
     """
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts))
