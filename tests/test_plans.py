@@ -122,3 +122,32 @@ def test_decode_distinct_strategy_plan(spark, sf_dir):
     assert decode_segs, plan
     for seg in decode_segs:
         assert "HashAggregate" in seg, plan
+
+
+@pytest.mark.parametrize(
+    "name,max_scans,max_exchanges",
+    [
+        # one corpus scan, three shuffles (signature agg, bucket
+        # window, occupancy reuse) — the consolidation must not
+        # reintroduce the per-band union recompute (round-1 bug: 10
+        # scans / 22 exchanges)
+        ("minhash_lsh_buckets", 1, 3),
+        # one scan / <=4 shuffles (fingerprint agg, band window,
+        # per-doc agg) — no join back to the fingerprint table
+        ("simhash_profile", 1, 4),
+        # pack leg + flags leg: two pruned scans, bucket-window +
+        # flag-window + join exchanges
+        ("curation_sample_pack", 2, 4),
+        # narrow regex chain: spread exchange only
+        ("pii_redaction_profile", 1, 1),
+        # mapInPandas over one pruned scan
+        ("multimodal_decode_features", 1, 1),
+    ],
+)
+def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges):
+    """Scan/shuffle budgets for the round-4 merged and new queries:
+    consolidation and flattening must never silently multiply scans or
+    exchanges (each extra scan is a full table read at 100 TB)."""
+    plan = _plan(spark, sf_dir, name, mode="simple")
+    assert plan.count("FileScan parquet") <= max_scans, plan
+    assert plan.count("Exchange") <= max_exchanges, plan
