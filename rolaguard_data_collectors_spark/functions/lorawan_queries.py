@@ -250,7 +250,12 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_keys = frames.select(
         F.md5(F.format_string("dev-%d", F.col("user_id"))).alias("cand_key")
     ).distinct()
-    n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # shuffle.partitions resolves to "auto" on AQE-managed platforms;
+    # fall back to the cluster's default parallelism there.
+    try:
+        n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        n_par = spark.sparkContext.defaultParallelism
     candidates = (
         reference_keyspaces(spark, BRUTE_KEYS_PER_FAMILY)
         .select("cand_key")

@@ -186,10 +186,15 @@ def validate_mic(data_b64: pd.Series, key_hex: pd.Series) -> pd.Series:
         slot[1].append(built[0])
         slot[2].append(built[1])
     for kh, (idxs, inputs, trailers) in by_key.items():
+        # Only a malformed candidate key hex maps to "no match"; kernel
+        # failures (e.g. a broken executor env) must propagate — mapping
+        # them to False would make a production sweep silently report
+        # zero survivors.
         try:
-            macs = lc.aes_cmac_batch(bytes.fromhex(kh), inputs)
-        except Exception:
+            key = bytes.fromhex(kh)
+        except (ValueError, TypeError):
             continue
+        macs = lc.aes_cmac_batch(key, inputs)
         for i, mac, tr in zip(idxs, macs, trailers):
             out[i] = mac[:4] == tr
     return pd.Series(out)

@@ -115,7 +115,9 @@ def _attach_parsed(df: DataFrame, strategy: str | None = None) -> DataFrame:
         return df.withColumn("_p", _decoded(F.col("data")))
     frames = df.select("data").where(F.col("data").isNotNull()).dropDuplicates()
     decoded = frames.select("data", _decoded(F.col("data")).alias("_p"))
-    return df.join(decoded, on="data", how="left")
+    # Reselect the original column order: the using-join moves the join
+    # key first, and the two strategies must emit identical schemas.
+    return df.join(decoded, on="data", how="left").select(*df.columns, "_p")
 
 
 _PARSE_FIELDS = [
