@@ -100,13 +100,44 @@ def _keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB oracle for the roundtrip: the Spark side performs the real
+# encode -> FRMPayload decrypt -> in-parse CMAC MIC -> MAC re-marshal;
+# every output column is a roundtrip INVARIANT whose expected value is
+# derivable from `events` alone (the pipeline_* golden-constant
+# pattern, streaming/pipeline_queries.py). The crypto kernels stay
+# pinned by tests/test_lorawan_codec.py (public LoRaWAN vector); this
+# oracle proves the full-frame identity holds on every event row:
+# decode(encode(fields)) == fields, mic_ok, and marshal/parse of the
+# deterministic MAC-command mix are byte inverses.
+_DECODE_ROUNDTRIP_ORACLE = """
+SELECT event_id,
+       'UnconfirmedDataUp' AS m_type,
+       printf('%08x', user_id) AS dev_addr,
+       event_id % 65536 AS f_count,
+       CAST(user_id % 223 + 1 AS INTEGER) AS f_port,
+       CASE WHEN props IS NULL OR props = '' THEN NULL
+            ELSE props END AS payload_text,
+       CASE WHEN event_id % 3 = 1
+              THEN '[{"cid":"LinkADRAns","payload":"07"}]'
+            WHEN event_id % 3 = 2
+              THEN '[{"cid":"DevStatusAns","payload":"ff1f"},{"cid":"LinkCheckReq","payload":""}]'
+       END AS mac_json,
+       CASE WHEN event_id % 3 = 1 THEN '0307'
+            WHEN event_id % 3 = 2 THEN '06ff1f02' END AS fopts_hex,
+       CASE WHEN event_id % 3 <> 0 THEN true END AS fopts_roundtrip_ok,
+       true AS mic_ok,
+       CAST(NULL AS VARCHAR) AS error
+FROM events
+"""
+
+
 def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op 13/41/47 end-to-end: encode a data frame per event (Arrow
     batch UDF) — including JSON-shaped MAC commands marshalled into
     FHDR.fOpts (jsonUnmarshaler.go:76-182 leg) — decode it back with
     FRMPayload decrypt, validate the MIC, and re-marshal the parsed
-    MAC commands asserting byte identity. Rows-only (CMAC isn't
-    SQL)."""
+    MAC commands asserting byte identity. Oracled via roundtrip
+    invariants (_DECODE_ROUNDTRIP_ORACLE)."""
     ev = _keyed_events(spark, sf_dir)
     # Deterministic uplink MAC-command mix: empty / LinkADRAns /
     # DevStatusAns+LinkCheckReq — exercises 0-, 1- and 2-command
@@ -297,16 +328,112 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB oracle for the suite: like _DECODE_ROUNDTRIP_ORACLE, every
+# registered column is an invariant derivable from `events`. The jw
+# leg's JoinRequest fields roundtrip through encode->parse, its MIC
+# validates under the AppKey, and a data frame encoded under the
+# DERIVED nwk session key must decode with mic_ok + payload identity
+# (session_roundtrip_ok) — so the AES key-derivation output is
+# exercised end-to-end, not just emitted. The bruteforce survivors are
+# exactly the planted per-device true keys (md5('dev-<uid>')), which
+# DuckDB computes directly. Raw session-key values stay on the
+# unregistered component (lorawan_join_workflow) and are pinned
+# against the public LoRaWAN vector in tests/test_lorawan_codec.py.
+_SECURITY_SUITE_ORACLE = """
+WITH jw AS (
+  SELECT event_id, user_id,
+         'JoinRequest' AS m_type,
+         printf('%016x', user_id + 1000000) AS join_eui,
+         printf('%016x', user_id) AS dev_eui,
+         event_id % 65536 AS dev_nonce,
+         true AS mic_ok,
+         true AS keys_distinct_ok,
+         true AS session_roundtrip_ok,
+         'join_workflow' AS stage,
+         CAST(NULL AS VARCHAR) AS cracked_key,
+         CAST(NULL AS BOOLEAN) AS is_true_key
+  FROM events WHERE event_type = 'signup'
+), bf AS (
+  SELECT event_id, user_id,
+         CAST(NULL AS VARCHAR) AS m_type,
+         CAST(NULL AS VARCHAR) AS join_eui,
+         CAST(NULL AS VARCHAR) AS dev_eui,
+         CAST(NULL AS BIGINT) AS dev_nonce,
+         CAST(NULL AS BOOLEAN) AS mic_ok,
+         CAST(NULL AS BOOLEAN) AS keys_distinct_ok,
+         CAST(NULL AS BOOLEAN) AS session_roundtrip_ok,
+         'bruteforce' AS stage,
+         md5('dev-' || CAST(user_id AS VARCHAR)) AS cracked_key,
+         true AS is_true_key
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT * FROM jw UNION ALL SELECT * FROM bf
+"""
+
+
 def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ops 43-44 + 46 as one tagged union (registry consolidation —
-    both components are rows-only, CMAC isn't SQL): the JoinRequest
-    parse + session-key derivation rows tagged ``join_workflow`` and
-    the keyspace-cross-frame MIC bruteforce survivors tagged
-    ``bruteforce``, null-padded to the union schema. Component
+    """Ops 43-44 + 46 as one tagged union (registry consolidation):
+    the JoinRequest parse + session-key derivation rows tagged
+    ``join_workflow`` and the keyspace-cross-frame MIC bruteforce
+    survivors tagged ``bruteforce``, null-padded to the union schema.
+    Registered columns are roundtrip invariants so the whole suite is
+    hash-oracled (_SECURITY_SUITE_ORACLE); the raw-key component
     builders above keep the standalone semantics for tests
     (tests/test_lorawan_udfs.py)."""
-    jw = lorawan_join_workflow(spark, sf_dir).withColumn(
-        "stage", F.lit("join_workflow")
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "signup")
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        F.md5(F.format_string("app-%d", F.col("user_id") % 8)).alias("app_key"),
+        F.format_string("%016x", F.col("user_id")).alias("dev_eui"),
+        F.format_string("%016x", F.col("user_id") + 1000000).alias("join_eui"),
+        (F.col("event_id") % 65536).alias("dev_nonce"),
+        F.format_string("%08x", F.col("user_id")).alias("dev_addr"),
+        (F.col("user_id") % 223 + 1).cast("int").alias("f_port"),
+        F.coalesce(F.col("props"), F.lit("")).alias("payload_text"),
+    )
+    framed = ev.withColumn(
+        "jr_b64", encode_join_request_b64("app_key", "join_eui", "dev_eui", "dev_nonce")
+    )
+    parsed = framed.withColumn(
+        "p", decode_phypayload("jr_b64", "app_key", F.lit(None).cast("string"))
+    ).withColumn(
+        "keys",
+        derive_session_keys("app_key", F.lit("010203"), F.lit("130000"), "dev_nonce"),
+    )
+    # Close the loop on the derived keys: a data frame encoded under
+    # the derived NwkSKey (MIC + FRMPayload crypt) must decode back
+    # with a valid MIC and the original payload.
+    sess = parsed.withColumn(
+        "sdata",
+        encode_data_frame_b64(
+            F.col("keys.nwk_s_key"), "dev_addr", "dev_nonce", "payload_text",
+            "f_port", F.lit(None).cast("string"),
+        ),
+    ).withColumn(
+        "sp", decode_phypayload("sdata", F.col("keys.nwk_s_key"), F.col("keys.nwk_s_key"))
+    )
+    jw = sess.select(
+        "event_id",
+        "user_id",
+        F.col("p.m_type").alias("m_type"),
+        F.col("p.join_eui").alias("join_eui"),
+        F.col("p.dev_eui").alias("dev_eui"),
+        F.col("p.dev_nonce").cast("long").alias("dev_nonce"),
+        F.col("p.mic_ok").alias("mic_ok"),
+        (
+            (F.col("keys.nwk_s_key") != F.col("keys.app_s_key"))
+            & F.col("keys.nwk_s_key").rlike("^[0-9a-f]{32}$")
+            & F.col("keys.app_s_key").rlike("^[0-9a-f]{32}$")
+        ).alias("keys_distinct_ok"),
+        (
+            F.col("sp.mic_ok")
+            & (
+                F.coalesce(F.expr("cast(unhex(sp.frm_payload) AS string)"), F.lit(""))
+                == F.col("payload_text")
+            )
+        ).alias("session_roundtrip_ok"),
+        F.lit("join_workflow").alias("stage"),
     )
     bf = lorawan_key_bruteforce(spark, sf_dir).withColumn("stage", F.lit("bruteforce"))
     return jw.unionByName(bf, allowMissingColumns=True)
@@ -315,8 +442,10 @@ def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = [
     QuerySpec("lorawan_field_extract", lorawan_field_extract, _FIELD_EXTRACT_SQL,
               "op 42 wire-format field slicing (portable SQL)"),
-    QuerySpec("lorawan_decode_roundtrip", lorawan_decode_roundtrip, None,
+    QuerySpec("lorawan_decode_roundtrip", lorawan_decode_roundtrip,
+              _DECODE_ROUNDTRIP_ORACLE,
               "ops 13/41/45/47 encode->decode->MIC round trip"),
-    QuerySpec("lorawan_security_suite", lorawan_security_suite, None,
+    QuerySpec("lorawan_security_suite", lorawan_security_suite,
+              _SECURITY_SUITE_ORACLE,
               "ops 43-44,46: join parse + session keys + keyspace MIC bruteforce"),
 ]
