@@ -127,20 +127,22 @@ _PARSE_FIELDS = [
 ]
 
 
-def _explode_parsed(df: DataFrame, prefer_topic_dev_eui: Column | None = None) -> DataFrame:
+def _explode_parsed(
+    df: DataFrame, overrides: dict[str, Column] | None = None
+) -> DataFrame:
     """Lift the decode struct into the packet columns. The codec UDF is
     referenced once, so the plan evaluates it once per row. One single
     select (not a withColumn per field): each withColumn re-analyzes
     the whole — wide — plan, and 16 of them made driver-side plan
-    construction a measurable share of pipeline latency."""
+    construction a measurable share of pipeline latency. ``overrides``
+    replaces a parse field's expression (source-specific coalesces /
+    status-route retags) while keeping the single-select shape."""
     df = _attach_parsed(df)
     taken = set(_PARSE_FIELDS) | {"_p"}
     out = [F.col(c) for c in df.columns if c not in taken]
+    ov = overrides or {}
     for f in _PARSE_FIELDS:
-        if f == "dev_eui" and prefer_topic_dev_eui is not None:
-            out.append(F.coalesce(F.col("_p")[f], prefer_topic_dev_eui).alias(f))
-        else:
-            out.append(F.col("_p")[f].alias(f))
+        out.append((ov[f] if f in ov else F.col("_p")[f]).alias(f))
     return df.select(*out)
 
 
@@ -195,7 +197,11 @@ def normalize_mqtt_forwarder(raw: DataFrame) -> DataFrame:
         F.regexp_replace(F.regexp_extract("topic", r"lora/(.*)/", 1), "-", ""),
         F.lit(""),
     )
-    return _finish(_explode_parsed(df, prefer_topic_dev_eui=topic_eui))
+    return _finish(
+        _explode_parsed(
+            df, {"dev_eui": F.coalesce(F.col("_p.dev_eui"), topic_eui)}
+        )
+    )
 
 
 # --- op 2 pipeline: ChirpStack MQTT --------------------------------------
@@ -322,20 +328,18 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
         F.get(F.col("_a.rxInfo"), 0)["location"]["altitude"].alias("altitude"),
         F.timestamp_seconds(F.col("ts")).alias("date"),
     )
-    df = _attach_parsed(df)
-    for f in _PARSE_FIELDS:
-        if f in ("m_type", "dev_eui", "dev_addr", "f_count"):
-            continue
-        df = df.withColumn(f, F.col("_p")[f])
-    df = df.select(
-        "*",
-        F.when(F.col("_is_join"), F.lit("JoinNotification"))
-        .otherwise(F.col("_p.m_type"))
-        .alias("m_type"),
-        F.coalesce(F.col("_a.devEUI"), F.col("_jn.devEUI"), F.col("_p.dev_eui")).alias("dev_eui"),
-        F.coalesce(F.col("_jn.devAddr"), F.col("_p.dev_addr")).alias("dev_addr"),
-        F.coalesce(F.col("_a.fCnt"), F.col("_p.f_count")).alias("f_count"),
-    ).drop("_g", "_a", "_jn", "_i", "_p")
+    df = _explode_parsed(
+        df,
+        {
+            "m_type": F.when(F.col("_is_join"), F.lit("JoinNotification"))
+            .otherwise(F.col("_p.m_type")),
+            "dev_eui": F.coalesce(
+                F.col("_a.devEUI"), F.col("_jn.devEUI"), F.col("_p.dev_eui")
+            ),
+            "dev_addr": F.coalesce(F.col("_jn.devAddr"), F.col("_p.dev_addr")),
+            "f_count": F.coalesce(F.col("_a.fCnt"), F.col("_p.f_count")),
+        },
+    ).drop("_g", "_a", "_jn", "_i")
     return _finish(df)
 
 
@@ -392,21 +396,16 @@ def normalize_ttn_v2(raw: DataFrame) -> DataFrame:
         F.col("_s.status.location.altitude").alias("altitude"),
         F.timestamp_seconds(F.col("ts")).alias("date"),
     )
-    df = _attach_parsed(df)
     topic_eui = F.nullif(F.regexp_replace(F.col("_f.dev_eui"), "-", ""), F.lit(""))
-    for f in _PARSE_FIELDS:
-        if f == "m_type":
-            df = df.withColumn(
-                f,
-                F.when(F.col("_is_status"), F.lit("GatewayStatus")).otherwise(
-                    F.col("_p.m_type")
-                ),
-            )
-        elif f == "dev_eui":
-            df = df.withColumn(f, F.coalesce(F.col("_p.dev_eui"), topic_eui))
-        else:
-            df = df.withColumn(f, F.col("_p")[f])
-    return _finish(df.drop("_f", "_s", "_p"))
+    df = _explode_parsed(
+        df,
+        {
+            "m_type": F.when(F.col("_is_status"), F.lit("GatewayStatus"))
+            .otherwise(F.col("_p.m_type")),
+            "dev_eui": F.coalesce(F.col("_p.dev_eui"), topic_eui),
+        },
+    )
+    return _finish(df.drop("_f", "_s"))
 
 
 # --- op 4 pipeline: TTN v3 SSE -------------------------------------------
@@ -465,15 +464,11 @@ def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
         F.get(F.col("_j.data.antenna_locations"), 0)["altitude"].alias("altitude"),
         F.timestamp_seconds(F.col("ts")).alias("date"),
     )
-    df = _attach_parsed(df)
-    for f in _PARSE_FIELDS:
-        if f == "m_type":
-            df = df.withColumn(
-                f,
-                F.when(F.col("_is_status"), F.lit("GatewayStatus")).otherwise(
-                    F.col("_p.m_type")
-                ),
-            )
-        else:
-            df = df.withColumn(f, F.col("_p")[f])
-    return _finish(df.drop("_j", "_p"))
+    df = _explode_parsed(
+        df,
+        {
+            "m_type": F.when(F.col("_is_status"), F.lit("GatewayStatus"))
+            .otherwise(F.col("_p.m_type")),
+        },
+    )
+    return _finish(df.drop("_j"))
