@@ -368,6 +368,10 @@ QUERIES = [
     QuerySpec("curation_sample_pack", curation_sample_pack,
               _sample_pack_oracle_sql(),
               "hash/stratified/k-per-stratum sampling + token-shard packing"),
+    QuerySpec("pack_sequence_spans", pack_sequence_spans,
+              pack_sequence_spans_oracle_sql(),
+              "fixed-length sequence packing: per-(doc, training window) "
+              "slice table for a packed dataloader / attention-mask builder"),
     QuerySpec("pii_redaction_profile", pii_redaction_profile,
               _pii_oracle_sql(),
               "per-doc PII hit counts + redacted text"),

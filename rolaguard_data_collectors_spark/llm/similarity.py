@@ -393,7 +393,10 @@ def cosine_topk_int8(spark: SparkSession, sf_dir: str,
     int8-range codes instead of float32."""
     scales = embedding_scales(spark, sf_dir)
     q = quantize_embeddings(spark, sf_dir, scales)
-    arr = ", ".join(f"{(s / 127.0) ** 2!r}D" for s in scales)
+    # (s/127)*(s/127) as two explicit multiplies, not **2: the DuckDB
+    # oracle computes the same weight with a multiply, and IEEE pow is
+    # not guaranteed bit-identical to it.
+    arr = ", ".join(f"{(s / 127.0) * (s / 127.0)!r}D" for s in scales)
     query = q.filter(F.col("vec_id") == query_id).select(
         F.col("codes").alias("q_codes")
     )
@@ -409,13 +412,85 @@ def cosine_topk_int8(spark: SparkSession, sf_dir: str,
     )
 
 
+def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry consolidation of the three point-query ANN strategies
+    as one tagged union: the exact float32 brute force (``fp32``), the
+    sign-bit LSH bucket probe (``lsh``), and the int8-quantized scan
+    (``int8`` — the 100 TB memory-bandwidth lever: 4x fewer bytes per
+    probe, integer dot JVM-side). All three share the broadcast-1-row
+    query + TakeOrderedAndProject plan; the component builders keep
+    the standalone semantics for tests (tests/test_quantize.py,
+    tests/test_kmeans.py)."""
+    fp32 = cosine_topk_bruteforce(spark, sf_dir).select(
+        F.lit("fp32").alias("method"),
+        "vec_id",
+        "label",
+        F.lit(None).cast("int").alias("bucket"),
+        F.col("cosine").alias("score"),
+    )
+    lsh = lsh_bucket_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"),
+        "vec_id",
+        "label",
+        "bucket",
+        F.col("cosine").alias("score"),
+    )
+    int8 = cosine_topk_int8(spark, sf_dir).select(
+        F.lit("int8").alias("method"),
+        "vec_id",
+        "label",
+        F.lit(None).cast("int").alias("bucket"),
+        F.col("approx_dot").alias("score"),
+    )
+    return fp32.unionByName(lsh).unionByName(int8)
+
+
+# The int8 leg's oracle recomputes the per-dimension scales inside
+# DuckDB (max|x| per dim — the same aggregate embedding_scales runs in
+# Spark), quantizes, and scores with the (s/127)^2-weighted integer
+# dot, so the oracle is fully static SQL with no data-dependent
+# literals.
+ANN_TOPK_SUITE_ORACLE = f"""
+WITH fp AS (
+  SELECT 'fp32' AS method, vec_id, label, CAST(NULL AS INTEGER) AS bucket, cosine AS score
+  FROM ({COSINE_TOPK_ORACLE})
+), lsh AS (
+  SELECT 'lsh' AS method, vec_id, label, bucket, cosine AS score
+  FROM ({LSH_BUCKET_TOPK_ORACLE})
+), dims AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+), scales AS (
+  SELECT dim, max(abs(v)) AS s FROM dims GROUP BY dim
+), codes AS (
+  SELECT d.vec_id, d.label, d.dim,
+         CASE WHEN sc.s = 0 THEN 0
+              ELSE sign(d.v) * floor(abs(d.v) / sc.s * 127 + 0.5) END AS c,
+         (sc.s / 127.0) * (sc.s / 127.0) AS w
+  FROM dims d JOIN scales sc USING (dim)
+), qc AS (
+  SELECT dim, c AS q FROM codes WHERE vec_id = {QUERY_VEC_ID}
+), i8 AS (
+  SELECT 'int8' AS method, codes.vec_id, codes.label,
+         CAST(NULL AS INTEGER) AS bucket,
+         round(sum(codes.c * qc.q * codes.w), 6) AS score
+  FROM codes JOIN qc USING (dim)
+  WHERE codes.vec_id != {QUERY_VEC_ID}
+  GROUP BY codes.vec_id, codes.label
+  ORDER BY score DESC, codes.vec_id ASC
+  LIMIT {TOP_K}
+)
+SELECT * FROM fp UNION ALL SELECT * FROM lsh UNION ALL SELECT * FROM i8
+"""
+
+
 QUERIES = [
-    QuerySpec("cosine_topk_bruteforce", cosine_topk_bruteforce, COSINE_TOPK_ORACLE,
-              "brute-force cosine top-k"),
+    QuerySpec("ann_topk_suite", ann_topk_suite, ANN_TOPK_SUITE_ORACLE,
+              "ANN top-k: fp32 brute force + LSH bucket probe + int8 quantized"),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, NEAR_DUP_ORACLE,
               "LSH-blocked embedding-cosine near-dup pairs"),
-    QuerySpec("lsh_bucket_topk", lsh_bucket_topk, LSH_BUCKET_TOPK_ORACLE,
-              "sign-bit LSH bucketed ANN"),
     QuerySpec("ivf_label_topk", ivf_label_topk, IVF_LABEL_TOPK_ORACLE,
               "IVF coarse-cell ANN"),
     QuerySpec("label_centroid_distance", label_centroid_distance, LABEL_CENTROID_ORACLE,
