@@ -109,7 +109,13 @@ def _drive(fn, state_schema, events, use_timers=False, n_chunks=4):
                 outs.extend(
                     proc.handleInputRows((uid,), iter([chunk]), _FakeTimerValues())
                 )
-    return pd.concat([o for o in outs if len(o)], ignore_index=True)
+    kept = [o for o in outs if len(o)]
+    if not kept:
+        return pd.DataFrame()
+    # object-dtype the chunks before concat: all-NA columns would otherwise
+    # trip pandas' future dtype-exclusion change; _norm() re-types by the
+    # declared Spark schema on both sides anyway.
+    return pd.concat([o.astype(object) for o in kept], ignore_index=True)
 
 
 def _norm(v, kind):
