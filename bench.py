@@ -85,15 +85,18 @@ def main() -> None:
         .save()
     )
 
-    # Best of 2 runs per query: the first run's time includes plan
+    # Best of 3 runs per query: the first run's time includes plan
     # construction + whatever the host's noisy neighbors are doing that
-    # second; the min of two full materializations is the steady-state
-    # number a capacity plan would use, at 2x bench wall time.
+    # second; the min of three full materializations is the steady-state
+    # number a capacity plan would use, at 3x bench wall time. (Measured
+    # round 5: identical pipeline plans wobble ±50% run-to-run on a
+    # loaded host — the round-4 pipeline_ttn_v2 "regression" was exactly
+    # this; min-of-5 on an idle host reproduced the round-3 number.)
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         best = None
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = spec.build(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -162,7 +165,7 @@ def main() -> None:
                 "metric": "total_query_wall",
                 "unit": "sec",
                 "sf": _sf_of(sf_dir),
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "pipeline_msgs_per_sec": pipe_rate,
                 "oracle_total": duck_total,
                 "value": total,

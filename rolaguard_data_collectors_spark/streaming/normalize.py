@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.lorawan_udfs import decode_phypayload
+from ..functions.lorawan_udfs import decode_phypayload, decode_phypayload_for
 from ..schemas import (
     CHIRPSTACK_APPLICATION_SCHEMA,
     CHIRPSTACK_GATEWAY_SCHEMA,
@@ -72,9 +72,12 @@ def _with_passthrough(raw: DataFrame) -> DataFrame:
     )
 
 
-def _decoded(data_col: Column):
-    """LoRaWAN PHY decode (op 13) without session keys."""
-    return decode_phypayload(data_col, F.lit(None), F.lit(None))
+def _decoded(data_col: Column, fields: tuple[str, ...] | None = None):
+    """LoRaWAN PHY decode (op 13) without session keys. ``fields``
+    prunes the UDF's output struct to what the caller consumes —
+    manual nested-schema pruning, since Catalyst can't prune inside a
+    Python UDF (lorawan_udfs.decode_phypayload_for)."""
+    return decode_phypayload_for(fields)(data_col, F.lit(None), F.lit(None))
 
 
 # Batch decode strategy. "memo": one narrow pass, per-Arrow-batch
@@ -100,7 +103,11 @@ def _decoded(data_col: Column):
 DECODE_STRATEGY = "memo"
 
 
-def _attach_parsed(df: DataFrame, strategy: str | None = None) -> DataFrame:
+def _attach_parsed(
+    df: DataFrame,
+    strategy: str | None = None,
+    fields: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Attach the decode struct ``_p`` for the ``data`` column.
 
     Streaming always uses the per-row UDF (a stream can't
@@ -112,9 +119,9 @@ def _attach_parsed(df: DataFrame, strategy: str | None = None) -> DataFrame:
     for null input)."""
     strategy = strategy or DECODE_STRATEGY
     if df.isStreaming or strategy == "memo":
-        return df.withColumn("_p", _decoded(F.col("data")))
+        return df.withColumn("_p", _decoded(F.col("data"), fields))
     frames = df.select("data").where(F.col("data").isNotNull()).dropDuplicates()
-    decoded = frames.select("data", _decoded(F.col("data")).alias("_p"))
+    decoded = frames.select("data", _decoded(F.col("data"), fields).alias("_p"))
     # Reselect the original column order: the using-join moves the join
     # key first, and the two strategies must emit identical schemas.
     return df.join(decoded, on="data", how="left").select(*df.columns, "_p")
@@ -128,7 +135,9 @@ _PARSE_FIELDS = [
 
 
 def _explode_parsed(
-    df: DataFrame, overrides: dict[str, Column] | None = None
+    df: DataFrame,
+    overrides: dict[str, Column] | None = None,
+    parse_fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Lift the decode struct into the packet columns. The codec UDF is
     referenced once, so the plan evaluates it once per row. One single
@@ -136,12 +145,26 @@ def _explode_parsed(
     the whole — wide — plan, and 16 of them made driver-side plan
     construction a measurable share of pipeline latency. ``overrides``
     replaces a parse field's expression (source-specific coalesces /
-    status-route retags) while keeping the single-select shape."""
-    df = _attach_parsed(df)
+    status-route retags) while keeping the single-select shape.
+
+    ``parse_fields`` (None = all) prunes BOTH the UDF's output struct
+    and the emitted parse columns to the requested set (plus any
+    override keys, whose expressions may reference their ``_p`` field)
+    — un-emitted packet columns become typed nulls in ``_finish``.
+    Callers that consume a narrow projection (the registered pipeline
+    queries) pass their field set; everything else keeps the full
+    frame."""
+    ov = overrides or {}
+    if parse_fields is None:
+        emit = _PARSE_FIELDS
+        df = _attach_parsed(df)
+    else:
+        want = set(parse_fields) | set(ov)
+        emit = [f for f in _PARSE_FIELDS if f in want]
+        df = _attach_parsed(df, fields=tuple(emit))
     taken = set(_PARSE_FIELDS) | {"_p"}
     out = [F.col(c) for c in df.columns if c not in taken]
-    ov = overrides or {}
-    for f in _PARSE_FIELDS:
+    for f in emit:
         out.append((ov[f] if f in ov else F.col("_p")[f]).alias(f))
     return df.select(*out)
 
@@ -149,7 +172,9 @@ def _explode_parsed(
 # --- op 1 pipeline: generic packet-forwarder MQTT ------------------------
 
 
-def normalize_mqtt_forwarder(raw: DataFrame) -> DataFrame:
+def normalize_mqtt_forwarder(
+    raw: DataFrame, parse_fields: tuple[str, ...] | None = None
+) -> DataFrame:
     """GenericMqttCollector.py:104-176: JSON body -> radio metadata +
     padded base64 PHY decode; dev_eui recoverable from the
     ``lora/<dev-eui>/up`` topic (op 19, :188-195); ``datr``
@@ -199,7 +224,9 @@ def normalize_mqtt_forwarder(raw: DataFrame) -> DataFrame:
     )
     return _finish(
         _explode_parsed(
-            df, {"dev_eui": F.coalesce(F.col("_p.dev_eui"), topic_eui)}
+            df,
+            {"dev_eui": F.coalesce(F.col("_p.dev_eui"), topic_eui)},
+            parse_fields=parse_fields,
         )
     )
 
@@ -207,7 +234,9 @@ def normalize_mqtt_forwarder(raw: DataFrame) -> DataFrame:
 # --- op 2 pipeline: ChirpStack MQTT --------------------------------------
 
 
-def normalize_chirpstack(raw: DataFrame) -> DataFrame:
+def normalize_chirpstack(
+    raw: DataFrame, parse_fields: tuple[str, ...] | None = None
+) -> DataFrame:
     """LoraServerIOCollector.py:225-500. Three topic routes (op 21,
     :171-184): gateway rx|tx|up frames (JSON or protobuf-as-JSON
     layouts, op 17 :321-360), application device messages
@@ -339,6 +368,7 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
             "dev_addr": F.coalesce(F.col("_jn.devAddr"), F.col("_p.dev_addr")),
             "f_count": F.coalesce(F.col("_a.fCnt"), F.col("_p.f_count")),
         },
+        parse_fields=parse_fields,
     ).drop("_g", "_a", "_jn", "_i")
     return _finish(df)
 
@@ -346,7 +376,9 @@ def normalize_chirpstack(raw: DataFrame) -> DataFrame:
 # --- op 3 pipeline: TTN v2 WebSocket -------------------------------------
 
 
-def normalize_ttn_v2(raw: DataFrame) -> DataFrame:
+def normalize_ttn_v2(
+    raw: DataFrame, parse_fields: tuple[str, ...] | None = None
+) -> DataFrame:
     """TTNCollector.py:160-262. Keepalive 'h' frames dropped by the
     length>1 filter (op 29, :164-166); frames routed by substring
     markers then sliced down to their JSON body (op 22, :181-192);
@@ -404,6 +436,7 @@ def normalize_ttn_v2(raw: DataFrame) -> DataFrame:
             .otherwise(F.col("_p.m_type")),
             "dev_eui": F.coalesce(F.col("_p.dev_eui"), topic_eui),
         },
+        parse_fields=parse_fields,
     )
     return _finish(df.drop("_f", "_s"))
 
@@ -411,7 +444,9 @@ def normalize_ttn_v2(raw: DataFrame) -> DataFrame:
 # --- op 4 pipeline: TTN v3 SSE -------------------------------------------
 
 
-def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
+def normalize_ttn_v3(
+    raw: DataFrame, parse_fields: tuple[str, ...] | None = None
+) -> DataFrame:
     """TTNv3Collector.py:205-330. Event-name routing (op 23,
     :214-229): gs.up.receive / gs.down.send are frames,
     gs.status.receive carries antenna locations, events.stream.start
@@ -470,5 +505,6 @@ def normalize_ttn_v3(raw: DataFrame) -> DataFrame:
             "m_type": F.when(F.col("_is_status"), F.lit("GatewayStatus"))
             .otherwise(F.col("_p.m_type")),
         },
+        parse_fields=parse_fields,
     )
     return _finish(df.drop("_j"))

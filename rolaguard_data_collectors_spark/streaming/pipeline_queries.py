@@ -37,6 +37,10 @@ GOLDEN_B64 = "QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI="
 GOLDEN = {"m_type": "UnconfirmedDataUp", "dev_addr": "017fc1c4",
           "f_count": 17, "f_port": 93, "mic": "74c540a2"}
 
+# The parse fields the golden projection consumes — the pipelines
+# prune the decode UDF's output struct to exactly these.
+GOLDEN_FIELDS = ("m_type", "dev_addr", "f_count", "f_port", "mic")
+
 _GOLDEN_ORACLE_COLS = """
        'UnconfirmedDataUp' AS m_type, '017fc1c4' AS dev_addr,
        CAST(17 AS BIGINT) AS f_count, 93 AS f_port, '74c540a2' AS mic
@@ -104,7 +108,9 @@ def pipeline_chirpstack_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(7).alias("data_collector_id"),
         F.lit(1).alias("organization_id"),
     )
-    out = normalize_chirpstack(raw)
+    # Prune the codec UDF output to the consumed parse fields (the
+    # golden columns) — Catalyst can't prune inside a Python UDF.
+    out = normalize_chirpstack(raw, parse_fields=GOLDEN_FIELDS)
     return out.select(
         F.col("_seq").alias("event_id"),
         "topic", "gateway", "chan", "rfch", "stat", "codr", "rssi", "lsnr",
@@ -167,7 +173,9 @@ def pipeline_mqtt_forwarder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).alias("data_collector_id"),
         F.lit(1).alias("organization_id"),
     )
-    out = normalize_mqtt_forwarder(raw)
+    out = normalize_mqtt_forwarder(
+        raw, parse_fields=GOLDEN_FIELDS + ("dev_eui",)
+    )
     return out.select(
         F.col("_seq").alias("event_id"),
         "topic", "data", "chan", "stat", "lsnr", "rssi", "tmst", "rfch",
@@ -245,7 +253,7 @@ def pipeline_ttn_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("data_collector_id"),
         F.lit(1).alias("organization_id"),
     )
-    out = normalize_ttn_v2(raw)
+    out = normalize_ttn_v2(raw, parse_fields=("m_type", "dev_eui"))
     return out.select(
         F.col("_seq").alias("event_id"),
         "gateway", "m_type", "lsnr", "rssi", "tmst", "rfch", "freq", "codr",
@@ -351,7 +359,7 @@ def pipeline_ttn_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4).alias("data_collector_id"),
         F.lit(1).alias("organization_id"),
     )
-    out = normalize_ttn_v3(raw)
+    out = normalize_ttn_v3(raw, parse_fields=("m_type",))
     return out.select(
         F.col("_seq").alias("event_id"),
         "gateway", "m_type", "lsnr", "rssi", "freq", "codr", "tmst",

@@ -118,3 +118,42 @@ def test_bruteforce_always_cracks_with_true_key(spark, sf_dir):
     frames = {r.event_id for r in rows}
     assert set(by_frame) == frames, "some frame was not cracked by its true key"
     assert all(n == 1 for n in by_frame.values())
+
+
+def test_pruned_decode_matches_full(spark, sf_dir):
+    """decode_phypayload_for(fields) must agree with the full UDF on
+    every requested field, for real frames, a malformed frame, and a
+    null — the pruning is a serialization optimization, never a
+    semantic change."""
+    from rolaguard_data_collectors_spark.functions.lorawan_udfs import (
+        decode_phypayload,
+        decode_phypayload_for,
+    )
+
+    frames = [
+        ("QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI=",),  # golden data-up
+        ("AAEBAQEBAQEBAgICAgICAgIwOUr/h8c=",),       # join-request shape
+        ("%%%not-base64%%%",),
+        (None,),
+    ]
+    df = spark.createDataFrame(frames, "data string")
+    fields = ("m_type", "dev_eui", "dev_addr", "f_count", "mic", "error")
+    full = df.select(
+        decode_phypayload("data", F.lit(None), F.lit(None)).alias("p")
+    ).select(*[F.col("p")[f].alias(f) for f in fields])
+    pruned = df.select(
+        decode_phypayload_for(fields)("data", F.lit(None), F.lit(None)).alias("p")
+    ).select(*[F.col("p")[f].alias(f) for f in fields])
+    assert full.schema == pruned.schema
+    assert sorted(map(tuple, full.collect()), key=repr) == sorted(
+        map(tuple, pruned.collect()), key=repr
+    )
+
+
+def test_pruned_decode_rejects_unknown_field():
+    from rolaguard_data_collectors_spark.functions.lorawan_udfs import (
+        decode_phypayload_for,
+    )
+
+    with pytest.raises(ValueError, match="unknown parse fields"):
+        decode_phypayload_for(("m_type", "nope"))
