@@ -4,14 +4,19 @@ property the round-4 shard-packing bug (nondeterministic
 repartitionByRange sampling leaking into offsets) violated while
 still passing single-run oracle checks at small SF.
 
-A representative slice keeps CI time bounded: one query per plan
-family that uses windows, multi-job driver state, runtime
-partitioning, or Python kernels (the mechanisms that can go
-nondeterministic). Pure narrow projections can't diverge and are
-covered by the oracle gate.
+Coverage = 8 always-on mechanism probes (one per plan family that
+uses windows, multi-job driver state, runtime partitioning, or Python
+kernels — the mechanisms that can go nondeterministic) PLUS a
+date-rotating slice of the rest of the registry, so every registered
+query gets soaked within a few runs while any single run stays
+time-bounded. Set DETERMINISM_SOAK_ALL=1 to soak the full registry in
+one run (nightly mode).
 """
 
 from __future__ import annotations
+
+import datetime
+import os
 
 import pytest
 
@@ -30,6 +35,22 @@ PROBES = [
     "topk_global_orders",       # TakeOrderedAndProject
 ]
 
+# Rotating slice over the remaining registry: a contiguous window that
+# advances by its own size each day, so the full registry is covered
+# every ceil(len/_ROTATION)*1 days of runs — deterministic within a
+# day (no flaky test identity), exhaustive across days.
+_ROTATION = 12
+_REST = sorted(set(SPECS) - set(PROBES))
+if os.environ.get("DETERMINISM_SOAK_ALL"):
+    ROTATED = _REST
+elif _REST:
+    _start = (datetime.date.today().toordinal() * _ROTATION) % len(_REST)
+    ROTATED = sorted(
+        {_REST[(_start + i) % len(_REST)] for i in range(min(_ROTATION, len(_REST)))}
+    )
+else:
+    ROTATED = []
+
 
 def _rows(spark, sf_dir, name):
     return sorted(
@@ -40,4 +61,9 @@ def _rows(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", PROBES)
 def test_two_runs_identical(spark, sf_dir, name):
+    assert _rows(spark, sf_dir, name) == _rows(spark, sf_dir, name)
+
+
+@pytest.mark.parametrize("name", ROTATED)
+def test_rotating_slice_two_runs_identical(spark, sf_dir, name):
     assert _rows(spark, sf_dir, name) == _rows(spark, sf_dir, name)
