@@ -26,6 +26,7 @@ from ..portable_sql import hex_byte
 from ..registry import QuerySpec
 from .lorawan_udfs import (
     decode_phypayload,
+    decode_phypayload_for,
     derive_session_keys,
     encode_data_frame_b64,
     encode_join_request_b64,
@@ -157,8 +158,18 @@ def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # MIC validation happens inside the decode UDF (p.mic_ok) — one
     # Arrow pass instead of two, and the per-key cipher/CMAC contexts
-    # are cached across rows in the codec layer.
-    parsed = framed.withColumn("p", decode_phypayload("data", "key_hex", "key_hex"))
+    # are cached across rows in the codec layer. Pruned to the 8
+    # consumed fields: the keyed decode stage is Arrow-serialization
+    # bound, not crypto bound (measured ~20us/row crypto vs ~0.9s
+    # stage cost at sf0.1), so shipping 18 struct fields for 8 was
+    # the larger share.
+    parsed = framed.withColumn(
+        "p",
+        decode_phypayload_for(
+            ("m_type", "dev_addr", "f_count", "f_port", "frm_payload",
+             "f_opts", "mic_ok", "error")
+        )("data", "key_hex", "key_hex"),
+    )
     parsed = parsed.withColumn(
         "m", mac_commands_roundtrip(F.col("p.f_opts"), F.lit(True))
     )
@@ -198,7 +209,10 @@ def lorawan_join_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UDF uses it as the AppKey to validate the MIC in-parse (no
     # second validate_mic pass)
     parsed = framed.withColumn(
-        "p", decode_phypayload("jr_b64", "app_key", F.lit(None).cast("string"))
+        "p",
+        decode_phypayload_for(("m_type", "join_eui", "dev_eui", "dev_nonce", "mic_ok"))(
+            "jr_b64", "app_key", F.lit(None).cast("string")
+        ),
     ).withColumn(
         "keys",
         derive_session_keys(
@@ -396,7 +410,10 @@ def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jr_b64", encode_join_request_b64("app_key", "join_eui", "dev_eui", "dev_nonce")
     )
     parsed = framed.withColumn(
-        "p", decode_phypayload("jr_b64", "app_key", F.lit(None).cast("string"))
+        "p",
+        decode_phypayload_for(("m_type", "join_eui", "dev_eui", "dev_nonce", "mic_ok"))(
+            "jr_b64", "app_key", F.lit(None).cast("string")
+        ),
     ).withColumn(
         "keys",
         derive_session_keys("app_key", F.lit("010203"), F.lit("130000"), "dev_nonce"),
@@ -411,7 +428,10 @@ def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_port", F.lit(None).cast("string"),
         ),
     ).withColumn(
-        "sp", decode_phypayload("sdata", F.col("keys.nwk_s_key"), F.col("keys.nwk_s_key"))
+        "sp",
+        decode_phypayload_for(("frm_payload", "mic_ok"))(
+            "sdata", F.col("keys.nwk_s_key"), F.col("keys.nwk_s_key")
+        ),
     )
     jw = sess.select(
         "event_id",
