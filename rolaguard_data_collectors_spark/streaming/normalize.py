@@ -93,13 +93,20 @@ def _decoded(data_col: Column, fields: tuple[str, ...] | None = None):
 # ttn_v2 2.06 vs 3.22, ttn_v3 2.43 vs 2.87) because the distinct side
 # re-scans the source and re-runs the JSON chain that derives the
 # frame column — on this corpus that reparse costs more than the
-# crypto it saves. "distinct" pays off only when per-frame decode cost
-# x duplication factor exceeds the reparse+shuffle — dup-heavy
-# multi-gateway traffic (the reference's rx_info fan-out,
-# LoraServerIOCollector.py:368-399) with session keys attached (full
-# AES/CMAC per frame). That regime is real at 100 TB, so the plan
-# stays available behind this knob and keeps its own plan test; the
-# default is the measured winner.
+# crypto it saves.
+#
+# Round-5 keyed A/B at the multi-gateway fan-out regime (1M rows,
+# duplicates spread ACROSS partitions, session keys attached so every
+# decode pays CMAC+decrypt; min-of-3, local[32]): memo wins at EVERY
+# duplication factor — 1x: 2.9 vs 6.6 s, 10x (the rx_info fan-out
+# ratio, LoraServerIOCollector.py:368-399): 2.2 vs 4.1 s, 1000x: 1.6
+# vs 3.1 s. The distinct path's dropDuplicates + join-back shuffles
+# of the FULL row set cost more than the ~20us/frame crypto they
+# save; its crossover needs a per-frame decode far heavier than
+# LoRaWAN's (e.g. multi-KB payload decrypt). The knob stays (the plan
+# shape is proven by its own plan test and is the right one for such
+# heavy decoders), but "memo" is the measured winner across the whole
+# regime this engine targets.
 DECODE_STRATEGY = "memo"
 
 
