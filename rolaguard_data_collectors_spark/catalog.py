@@ -126,20 +126,27 @@ def spread(df: DataFrame) -> DataFrame:
     if not need:
         return df
     # Pushdown barrier above the exchange: a nondeterministic
-    # always-true filter (rand() ∈ [0,1) is never < 0). Without it,
-    # Catalyst pushes deterministic filters — substituting whatever
-    # expensive expressions they reference (from_json chains, even
-    # deterministic pandas UDFs, which then evaluate TWICE) — below
-    # the repartition into the scan stage, and on the one-row-group
-    # layout spread() exists for, that serializes the pushed work onto
-    # a single task (measured at sf0.1 with the barrier: ttn_v2
-    # 2.1->1.9 s, ttn_v3 2.5->2.2 s, chirpstack 3.8->3.1 s).
-    # CombineFilters/PushPredicateThroughNonJoin
+    # always-true filter. Without it, Catalyst pushes deterministic
+    # filters — substituting whatever expensive expressions they
+    # reference (from_json chains, even deterministic pandas UDFs,
+    # which then evaluate TWICE) — below the repartition into the scan
+    # stage, and on the one-row-group layout spread() exists for, that
+    # serializes the pushed work onto a single task (measured at
+    # sf0.1 with the barrier: ttn_v2 2.1->1.9 s, ttn_v3 2.5->2.2 s,
+    # chirpstack 3.8->3.1 s). CombineFilters/PushPredicateThroughNonJoin
     # both require the inner filter to be deterministic, so nothing
     # crosses it; row content is unaffected. At production scale
     # inputs are well-split, spread() is a no-op, and scan-level
     # pushdown behaves normally.
-    return df.repartition(n).where(F.rand() >= 0)
+    #
+    # Predicate choice: Spark 4.1's range-aware constant folding
+    # REMOVES ``rand() >= 0`` (it knows rand ∈ [0,1)), silently
+    # killing the barrier — tests/test_plans.py pins that the barrier
+    # survives the optimizer. monotonically_increasing_id() is
+    # nondeterministic with no folded range, and its values are
+    # always >= 0 by construction (partition_id << 33 + row index),
+    # so the predicate keeps every row.
+    return df.repartition(n).where(F.monotonically_increasing_id() >= 0)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

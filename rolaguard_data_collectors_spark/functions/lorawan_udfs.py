@@ -262,7 +262,18 @@ def pb_uplink_to_json(value: pd.Series) -> pd.Series:
     body isn't JSON, try base64-encoded gw.UplinkFrame protobuf and
     render the MessageToJson shape the JSON path consumes. Non-base64
     input (every normal JSON body) fails the strict decode in ~1us and
-    yields null, so the fallback costs nothing on the JSON path."""
+    yields null, so the fallback costs nothing on the JSON path.
+
+    Declared nondeterministic below (it IS pure): Spark 4 pushes
+    filters through deterministic projections wholesale, substituting
+    the referenced aliases' definitions — a route filter referencing
+    the parsed gateway struct gets the whole from_json(pb_udf(...))
+    expression copied into its pushed-down twin, and ExtractPythonUDFs
+    then plans the UDF TWICE (two extra Arrow crossings per row,
+    ~1s/100k rows). A nondeterministic projection field is the one
+    thing alias substitution refuses to copy, pinning the single eval
+    site; the only semantic cost is disabling optimizations that would
+    re-execute it, which is exactly what we want."""
     import json as _json
 
     from . import protobuf_codec as pbc
@@ -279,6 +290,10 @@ def pb_uplink_to_json(value: pd.Series) -> pd.Series:
         except Exception:
             out.append(None)
     return pd.Series(out, dtype=object)
+
+
+# See the docstring: purity is real, the flag is a pushdown pin.
+pb_uplink_to_json = pb_uplink_to_json.asNondeterministic()
 
 
 SESSION_KEYS_SCHEMA = T.StructType(

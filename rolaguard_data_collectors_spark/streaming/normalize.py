@@ -275,28 +275,45 @@ def normalize_chirpstack(
     # call alone still ships every JSON body through Arrow. With the
     # condition inside, non-pb rows reach the UDF as nulls and skip the
     # base64 attempt entirely.
+    #
+    # The UDF is referenced exactly ONCE, inside the gateway route's
+    # from_json (pb fallback only applies there — the reference tries
+    # it only on gateway up frames, :253-263). An earlier version
+    # rewrote the shared ``value`` column instead; CollapseProject then
+    # inlined the UDF expression into consumers at different plan
+    # depths with different expression texts, and ExtractPythonUDFs
+    # planned it TWICE (a second full Arrow crossing per row, ~1s at
+    # sf0.1). The UDF is also declared nondeterministic (it is pure —
+    # see its docstring): that is what stops alias substitution from
+    # copying _g's definition into pushed-down filters, which would
+    # re-plan the UDF a second time.
     pb_cond = is_gw & F.col("topic").rlike("/up$") & ~F.col("value").startswith("{")
-    base = base.withColumn(
-        "value",
-        F.coalesce(pb_uplink_to_json(F.when(pb_cond, F.col("value"))), F.col("value")),
+    gw_body = F.coalesce(
+        pb_uplink_to_json(F.when(pb_cond, F.col("value"))), F.col("value")
     )
 
-    df = base.select(
+    # Early route filter, deliberately BELOW the parse projection:
+    # it's pure topic-regex work, so letting Catalyst push it to the
+    # scan prunes off-route rows before they pay the JSON parse + UDF
+    # crossing (the parse projection itself is a pushdown fence now —
+    # see above — so this cheap disjunction must be planted early by
+    # hand).
+    df = base.filter(is_gw | is_app | is_join).select(
         "*",
-        F.when(is_gw, F.from_json("value", CHIRPSTACK_GATEWAY_SCHEMA)).alias("_g"),
+        F.when(is_gw, F.from_json(gw_body, CHIRPSTACK_GATEWAY_SCHEMA)).alias("_g"),
         F.when(is_app, F.from_json("value", CHIRPSTACK_APPLICATION_SCHEMA)).alias("_a"),
         F.when(is_join, F.from_json("value", CHIRPSTACK_JOIN_SCHEMA)).alias("_jn"),
         is_gw.alias("_is_gw"),
         is_app.alias("_is_app"),
         is_join.alias("_is_join"),
     )
-    # op 31: PHYPayload size guard, gateway route only (:312-315).
+    # op 31: PHYPayload size guard, gateway route only (:312-315);
+    # evaluates against the materialized _g above the parse.
     gw_ok = (
-        F.col("_is_gw")
-        & F.col("_g.phyPayload").isNotNull()
+        F.col("_g.phyPayload").isNotNull()
         & (F.length("_g.phyPayload") <= 300)
     )
-    df = df.filter(gw_ok | F.col("_is_app") | F.col("_is_join"))
+    df = df.filter(~F.col("_is_gw") | gw_ok)
 
     is_tx = F.col("topic").rlike("/tx$")
     info = F.when(is_tx, F.col("_g.txInfo")).otherwise(F.col("_g.rxInfo"))

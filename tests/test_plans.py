@@ -151,3 +151,35 @@ def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges
     plan = _plan(spark, sf_dir, name, mode="simple")
     assert plan.count("FileScan parquet") <= max_scans, plan
     assert plan.count("Exchange") <= max_exchanges, plan
+
+
+def test_pushdown_barrier_survives_optimizer(spark):
+    """Spark 4.1's range-aware folding removes ``rand() >= 0`` — the
+    round-4 barrier predicate — silently re-enabling pushdown below
+    spread()'s exchange. Pin that the current barrier predicate
+    survives optimization AND actually blocks a deterministic filter
+    from crossing it."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(100)
+        .where(F.monotonically_increasing_id() >= 0)
+        .select((F.col("id") * 2).alias("x"))
+        .filter(F.col("x") > 3)
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "monotonically_increasing_id" in plan, plan
+    # the x>3 filter must sit ABOVE the barrier, not below it
+    above, below = plan.split("monotonically_increasing_id", 1)
+    assert "(id" in above and "(id" not in below.split("Range")[0], plan
+
+
+def test_chirpstack_pb_fallback_single_eval(spark, sf_dir):
+    """The protobuf-fallback UDF must be planned exactly once: alias
+    substitution used to copy it into pushed-down filters, costing a
+    second full Arrow crossing per row (~1s at sf0.1). Guarded by the
+    UDF's nondeterministic flag + the single textual reference in
+    normalize_chirpstack."""
+    plan = _plan(spark, sf_dir, "pipeline_chirpstack_gateway", mode="simple")
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert plan.count("pb_uplink_to_json") == 1, plan
