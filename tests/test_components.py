@@ -75,3 +75,38 @@ def test_summary_counts(spark, sf_dir):
     summary = cluster_summary(spark, sf_dir).collect()
     assert sum(r.n_docs for r in summary) == total
     assert all(r.n_docs >= 2 for r in summary)
+
+
+def test_counting_percentiles_matches_percentile_udaf(spark):
+    """The bounded-memory counting percentile must agree with Spark's
+    value-buffering percentile aggregate on duplicates, 1-row groups,
+    2-row interpolation, and null values."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.operators.relational import (
+        counting_percentiles,
+    )
+
+    rows = (
+        [("a", float(v)) for v in [1, 1, 1, 2, 5, 5, 9]]
+        + [("b", 42.0)]                       # single row: all fractions = 42
+        + [("c", 10.0), ("c", 20.0)]          # pure interpolation
+        + [("d", 7.0), ("d", None), ("d", 3.0)]  # nulls ignored
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    fr = [0.0, 0.25, 0.5, 0.75, 1.0]
+    names = ["p0", "p25", "p50", "p75", "p100"]
+    got = {
+        r["g"]: [r[n] for n in names]
+        for r in counting_percentiles(df, "g", "v", fr, names).collect()
+    }
+    ref = {
+        r["g"]: list(r["p"])
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.0D,0.25D,0.5D,0.75D,1.0D))").alias("p"))
+        .collect()
+    }
+    assert got.keys() == ref.keys()
+    for g in ref:
+        assert got[g] == pytest.approx(ref[g]), (g, got[g], ref[g])
