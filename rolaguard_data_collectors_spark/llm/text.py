@@ -251,7 +251,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is unique on (doc_id, term) by construction, so document
+    # frequency is a plain count — countDistinct here planned a
+    # redundant two-phase distinct aggregate over already-distinct
+    # rows.
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
