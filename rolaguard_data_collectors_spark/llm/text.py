@@ -299,6 +299,117 @@ QUALIFY rank <= 3
 """
 
 
+# --- repetition quality (Gopher-style) -----------------------------------
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Fraction of tokens covered by the most common word 2-gram per
+    doc — the repetition family of quality rules (a high value means
+    boilerplate / keyword-stuffing / degenerate text a curation pass
+    drops). Shape: explode 2-grams, (doc, gram) partial-agg count,
+    per-doc max/sum — two hash aggregates on co-partitioned keys, no
+    skew (doc_id is unique), linear in corpus size."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                " i -> concat(element_at(split(text, ' '), i), ' ',"
+                " element_at(split(text, ' '), least(i + 1, size(split(text, ' '))))))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("_c"))
+    return per_gram.groupBy("doc_id").agg(
+        _round6(F.max("_c") / F.sum("_c")).alias("top_2gram_frac"),
+        F.sum("_c").alias("n_2grams"),
+    )
+
+
+REPETITION_SQL = """
+SELECT doc_id,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac,
+       sum(c) AS n_2grams
+FROM (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[least(i + 1, len(string_split(text, ' ')))])) AS gram
+    FROM documents
+  ) GROUP BY doc_id, gram
+) GROUP BY doc_id
+"""
+
+
+# --- eval-set decontamination ---------------------------------------------
+
+# Deterministic held-out "benchmark" slice of the corpus: every 97th
+# doc stands in for an eval set (the driver testdata has no separate
+# benchmark table). A training doc is contaminated when it shares a
+# word 5-gram with a DIFFERENT benchmark doc — the standard n-gram
+# decontamination rule (eval answers leaking into training data).
+BENCH_MOD = 97
+CONTAM_N = 5
+
+
+def decontamination(docs: DataFrame) -> DataFrame:
+    """Per-doc benchmark-overlap: number of distinct word-5-grams the
+    doc shares with the held-out slice, excluding self-matches.
+
+    Scale shape: benchmark grams are the SMALL side (eval sets are
+    thousands of docs vs billions of training docs) — distinct +
+    broadcast; the corpus side streams through an explode + broadcast
+    hash join + per-doc count, never shuffling the corpus by gram
+    (gram keys are skewed: stopword runs appear everywhere)."""
+    toks = F.split(F.col("text"), " ")
+    gram_expr = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - %d, 1)),"
+        " i -> array_join(slice(split(text, ' '), i, %d), ' '))" % (CONTAM_N - 1, CONTAM_N)
+    )
+    grams = docs.select("doc_id", F.explode(gram_expr).alias("gram")).where(
+        F.size(toks) >= CONTAM_N
+    )
+    bench = (
+        grams.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("_bdoc"), "gram")
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "gram")
+        .where(F.col("doc_id") != F.col("_bdoc"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("contam_gram_hits"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("contam_gram_hits", F.lit(0)).alias("contam_gram_hits"),
+        (F.coalesce("contam_gram_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+DECONTAMINATION_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - {CONTAM_N - 1}, 1)),
+           i -> array_to_string(string_split(text, ' ')[i : i + {CONTAM_N - 1}], ' '))) AS gram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {CONTAM_N}
+), bench AS (
+  SELECT DISTINCT doc_id AS bdoc, gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS contam_gram_hits
+  FROM grams g JOIN bench b ON g.gram = b.gram AND g.doc_id <> b.bdoc
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.contam_gram_hits, 0) AS contam_gram_hits,
+       coalesce(h.contam_gram_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # --- compound document profile (registry consolidation, round 2) ---------
 
 
@@ -351,7 +462,15 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("und")
         .alias("lang_pred"),
     )
-    return base.join(doc_fingerprints(spark, sf_dir), "doc_id")
+    return (
+        base.join(doc_fingerprints(spark, sf_dir), "doc_id")
+        # round-5 consolidations: Gopher-style repetition quality +
+        # eval-set decontamination, as extra profile columns (all four
+        # branches are per-doc aggregates joining on the unique
+        # doc_id — co-partitioned, skew-free).
+        .join(repetition_metrics(docs), "doc_id")
+        .join(decontamination(docs), "doc_id")
+    )
 
 
 TEXT_PROFILE_ORACLE = f"""
@@ -388,8 +507,13 @@ WITH t AS (
   GROUP BY doc_id
 )
 SELECT base.*, fp.fp_min, fp.fp_max, fp.n_shingles,
-       base.quality_score >= 0.2 AS keep
-FROM base JOIN fp USING (doc_id)
+       base.quality_score >= 0.2 AS keep,
+       rep.top_2gram_frac, rep.n_2grams,
+       dec.contam_gram_hits, dec.contaminated
+FROM base
+JOIN fp USING (doc_id)
+JOIN ({REPETITION_SQL}) rep USING (doc_id)
+JOIN ({DECONTAMINATION_SQL}) dec USING (doc_id)
 """
 
 

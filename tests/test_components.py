@@ -110,3 +110,43 @@ def test_counting_percentiles_matches_percentile_udaf(spark):
     assert got.keys() == ref.keys()
     for g in ref:
         assert got[g] == pytest.approx(ref[g]), (g, got[g], ref[g])
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from rolaguard_data_collectors_spark.llm.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # 2-grams: ab ba ab ba -> top 2/4
+            (2, "x y z"),          # xy yz -> top 1/2
+            (3, "solo"),           # degenerate single token -> "solo solo"
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["top_2gram_frac"], r["n_2grams"])
+           for r in repetition_metrics(df).collect()}
+    assert got[1] == (0.5, 4)
+    assert got[2] == (0.5, 2)
+    assert got[3] == (1.0, 1)
+
+
+def test_decontamination_hand_computed(spark):
+    from rolaguard_data_collectors_spark.llm.text import decontamination
+
+    # doc 0 is the benchmark slice (0 % 97 == 0). doc 1 shares the
+    # 5-gram "a b c d e"; doc 2 shares nothing; doc 3 is too short.
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "z a b c d e"),
+            (2, "p q r s t u"),
+            (3, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["contam_gram_hits"], r["contaminated"])
+           for r in decontamination(df).collect()}
+    assert got[0] == (0, False)   # self-matches excluded
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
