@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread
 from ..portable_sql import HASH_PRIME, hex32, minhash_term
 from ..registry import QuerySpec
+from . import incremental
 
 # (a_i, b_i) parameters of the minhash family — fixed, public-knowledge
 # construction h_i(x) = (a_i*h(x) + b_i) mod P over a base 32-bit hash.
@@ -81,25 +82,54 @@ FROM documents GROUP BY md5(text)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup in ONE aggregate pass: the survivor (min doc_id per
-    content hash) together with its group size — ``n_copies > 1`` rows
-    are the duplicate groups, ``n_copies = 1`` the already-unique
-    corpus. Subsumes the groups/survivors pair above (kept as the
-    composable API) in a single driver-checked query: one md5 hash
-    shuffle with map-side partial aggregation (plain load — see
-    dedup_exact_groups)."""
+    """Exact dedup suite, two legs in one driver row (tagged union):
+
+    - ``leg='corpus'``: whole-corpus dedup in ONE aggregate pass — the
+      survivor (min doc_id per content hash) with its group size;
+      ``n_copies > 1`` rows are the duplicate groups. One md5 hash
+      shuffle with map-side partial aggregation (plain load — see
+      dedup_exact_groups).
+    - ``leg='incremental_novel'``: the steady-state path — an ingest
+      batch (odd doc_ids) deduplicated AGAINST an already-accepted
+      history (even doc_ids) through the distributed Bloom prefilter +
+      exact-confirm anti-join (llm/incremental.py). The output equals
+      the plain anti-join (false positives are confirmed away), so the
+      probabilistic prefilter sits under a full hash oracle.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.md5("text").alias("content_hash"))
-        .groupBy("content_hash")
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    corpus = (
+        hashed.groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-        .select("doc_id", "content_hash", "n_copies")
+        .select(
+            F.lit("corpus").alias("leg"), "doc_id", "content_hash", "n_copies"
+        )
     )
+    history = hashed.filter(F.col("doc_id") % 2 == 0)
+    batch = hashed.filter(F.col("doc_id") % 2 == 1)
+    novel = incremental.incremental_novel(batch, history, "content_hash")
+    novel = novel.select(
+        F.lit("incremental_novel").alias("leg"),
+        "doc_id",
+        "content_hash",
+        F.lit(None).cast("long").alias("n_copies"),
+    )
+    return corpus.unionByName(novel)
 
 
 DEDUP_EXACT_ORACLE = """
-SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
+SELECT 'corpus' AS leg, min(doc_id) AS doc_id, md5(text) AS content_hash,
+       count(*) AS n_copies
 FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'incremental_novel' AS leg, d.doc_id, md5(d.text) AS content_hash,
+       CAST(NULL AS BIGINT) AS n_copies
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents h
+    WHERE h.doc_id % 2 = 0 AND md5(h.text) = md5(d.text)
+  )
 """
 
 
@@ -587,7 +617,8 @@ SIMHASH_PROFILE_ORACLE = _simhash_profile_sql()
 
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
-              "exact-dedup survivors + group sizes in one aggregate"),
+              "exact-dedup survivors/groups + bloom-prefiltered "
+              "incremental dedup of a batch vs history"),
     QuerySpec("ngram_jaccard_dedup", ngram_jaccard_dedup, NGRAM_JACCARD_ORACLE,
               "LSH-rep-verified exact Jaccard near-dedup"),
     QuerySpec("minhash_lsh_buckets", minhash_lsh_buckets, MINHASH_LSH_BUCKETS_ORACLE,

@@ -1,0 +1,121 @@
+"""Bloom-prefiltered incremental dedup (llm/incremental.py).
+
+The operator's contract: result == plain LEFT ANTI join, always — the
+sketch only routes rows between the short-circuit path and the
+confirmation join. These tests pin that equality, the bloom's
+no-false-negative guarantee, the fpp bound, and partition-invariance
+of the distributed chunked build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rolaguard_data_collectors_spark.catalog import load_table
+from rolaguard_data_collectors_spark.llm import incremental as inc
+
+
+def _hashed_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5("text").alias("content_hash"))
+
+
+def test_incremental_equals_plain_anti_join(spark, sf_dir):
+    hashed = _hashed_docs(spark, sf_dir)
+    history = hashed.filter(F.col("doc_id") % 2 == 0)
+    batch = hashed.filter(F.col("doc_id") % 2 == 1)
+
+    got = {
+        (r.doc_id, r.content_hash)
+        for r in inc.incremental_novel(batch, history, "content_hash").collect()
+    }
+    want = {
+        (r.doc_id, r.content_hash)
+        for r in batch.join(
+            history.select("content_hash"), "content_hash", "left_anti"
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture must exercise the novel path"
+
+
+def test_incremental_exact_under_aggressive_fpp(spark, sf_dir):
+    """With fpp ~ 0.5 most novel rows become false positives and take
+    the confirmation join — the result must not change (the two paths
+    must agree row-for-row)."""
+    hashed = _hashed_docs(spark, sf_dir)
+    history = hashed.filter(F.col("doc_id") % 3 == 0)
+    batch = hashed.filter(F.col("doc_id") % 3 != 0)
+
+    tight = inc.incremental_novel(batch, history, "content_hash", fpp=0.001)
+    loose = inc.incremental_novel(batch, history, "content_hash", fpp=0.5)
+    key = lambda r: (r.doc_id, r.content_hash)  # noqa: E731
+    assert sorted(map(key, tight.collect())) == sorted(map(key, loose.collect()))
+
+
+def test_bloom_no_false_negatives_and_fpp_bound(spark):
+    n, fpp = 5000, 0.01
+    keys = spark.range(n).select(F.md5(F.col("id").cast("string")).alias("k"))
+    m, k = inc.bloom_params(n, fpp)
+    bits = inc.build_bloom(keys.select(*inc.hash_columns("k")), m, k)
+    probe = inc.might_contain_udf(spark, bits, m, k)
+
+    present = keys.select(probe(*[c for c in inc.hash_columns("k")]).alias("hit"))
+    assert present.filter(~F.col("hit")).count() == 0, "bloom false negative"
+
+    absent = (
+        spark.range(n, 3 * n)
+        .select(F.md5(F.col("id").cast("string")).alias("k"))
+        .select(probe(*[c for c in inc.hash_columns("k")]).alias("hit"))
+    )
+    fp = absent.filter(F.col("hit")).count()
+    # 2n probes at target fpp=1%: expect ~100; 3x headroom for hash luck
+    assert fp / (2 * n) < 3 * fpp, f"false-positive rate {fp / (2 * n):.4f}"
+
+
+def test_chunked_build_partition_invariant(spark, monkeypatch):
+    """The distributed OR-merge must be bit-identical whatever the
+    input partitioning, including with chunking forced on (chunk size
+    below the bitmap size)."""
+    monkeypatch.setattr(inc, "BLOOM_CHUNK_BYTES", 256)
+    keys = spark.range(2000).select(F.md5(F.col("id").cast("string")).alias("k"))
+    m, k = inc.bloom_params(2000, 0.01)
+    assert m // 8 > 256, "fixture must span multiple chunks"
+    keyed = keys.select(*inc.hash_columns("k"))
+    one = inc.build_bloom(keyed.coalesce(1), m, k)
+    many = inc.build_bloom(keyed.repartition(13), m, k)
+    assert one == many
+    assert np.frombuffer(one, dtype=np.uint8).any()
+
+
+def test_bloom_params_sizing():
+    m, k = inc.bloom_params(1_000_000, 0.01)
+    # textbook values: ~9.59 bits/key, k ~ 7
+    assert 9.0e6 < m < 1.05e7
+    assert k == 7
+    # degenerate inputs still produce a usable filter
+    m0, k0 = inc.bloom_params(0, 0.01)
+    assert m0 >= 1024 and 1 <= k0 <= 16
+
+
+def test_dedup_exact_plan_budget(spark, sf_dir):
+    """The consolidated dedup suite: corpus-agg scan, history (anti
+    side) scan, and TWO batch scans — the short-circuit leg and the
+    confirm leg of the bloom split each read the (small) increment;
+    in the streaming ingest form the probe runs inside the single
+    ingest pass, but a stateless registered query pays the re-scan.
+    Bounded exchanges; probe UDF enters via Arrow. (Bloom build jobs
+    run at build time and are not part of this plan.)"""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    df = collect_all()["dedup_exact"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("FileScan parquet") <= 4, plan
+    assert plan.count("Exchange") <= 6, plan
+    assert "bloom_might_contain" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
