@@ -175,12 +175,48 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _golden_media() -> tuple[bytes, str, int]:
+    """Deterministic 4x4 PPM + the md5/byte-count of its 2x2
+    nearest-neighbor resize, computed from the pure codec. The
+    registered query re-derives these THROUGH the distributed
+    mapInPandas resize plan — the driver hash-check then proves the
+    Spark plumbing (binary schema, Arrow batching, kernel dispatch)
+    reproduces the pure-Python codec, whose pixel-exactness is pinned
+    independently in tests/test_multimodal.py."""
+    import hashlib
+
+    from . import codecs
+
+    px = (np.arange(48, dtype=np.int64) * 37 % 256).astype(np.uint8)
+    ppm = codecs.encode_ppm(px.reshape(4, 4, 3))
+    resized = codecs.resize_image(ppm, 2, 2)
+    return ppm, hashlib.md5(resized).hexdigest(), len(resized)
+
+
 def multimodal_decode_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-registered shape of decode_features: array columns
     (byte_hist, mean_rgb) flattened to scalar doubles so the result is
     hashable row-wise and fully oracle-checkable. The array-typed
-    builder above stays the composable API."""
+    builder above stays the composable API.
+
+    Also carries the golden-resize columns: a 1-row golden PPM runs
+    through the REAL resize kernel (multimodal_resize's mapInPandas
+    plan) and the md5/shape of the output broadcast-joins onto every
+    row — the resize/resample op's driver-checked proof (_golden_media
+    explains the trust chain)."""
+    ppm, _, _ = _golden_media()
+    golden = (
+        spark.createDataFrame([(0, ppm)], "doc_id long, payload binary")
+        .mapInPandas(make_resize_kernel(2, 2), schema=RESIZE_SCHEMA)
+        .select(
+            F.md5("out_payload").alias("golden_resize_md5"),
+            F.col("out_width").alias("golden_out_w"),
+            F.col("out_height").alias("golden_out_h"),
+            F.col("n_out_bytes").alias("golden_out_bytes"),
+        )
+    )
     feats = multimodal_decode_features(spark, sf_dir)
+    feats = feats.crossJoin(F.broadcast(golden))
     return feats.select(
         "doc_id",
         "decoder",
@@ -199,6 +235,10 @@ def multimodal_decode_features_flat(spark: SparkSession, sf_dir: str) -> DataFra
         F.element_at("mean_rgb", 1).alias("rgb_r"),
         F.element_at("mean_rgb", 2).alias("rgb_g"),
         F.element_at("mean_rgb", 3).alias("rgb_b"),
+        "golden_resize_md5",
+        "golden_out_w",
+        "golden_out_h",
+        "golden_out_bytes",
     )
 
 
@@ -245,9 +285,13 @@ SELECT hx.doc_id,
        coalesce(agg.hist_q3, 0.0) AS hist_q3,
        CAST(NULL AS DOUBLE) AS rgb_r,
        CAST(NULL AS DOUBLE) AS rgb_g,
-       CAST(NULL AS DOUBLE) AS rgb_b
+       CAST(NULL AS DOUBLE) AS rgb_b,
+       '{golden_md5}' AS golden_resize_md5,
+       CAST(2 AS INTEGER) AS golden_out_w,
+       CAST(2 AS INTEGER) AS golden_out_h,
+       CAST({golden_bytes} AS BIGINT) AS golden_out_bytes
 FROM hx LEFT JOIN agg USING (doc_id)
-"""
+""".format(golden_md5=_golden_media()[1], golden_bytes=_golden_media()[2])
 
 
 RESIZE_SCHEMA = (

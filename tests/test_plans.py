@@ -140,8 +140,9 @@ def test_decode_distinct_strategy_plan(spark, sf_dir):
         ("curation_sample_pack", 2, 4),
         # narrow regex chain: spread exchange only
         ("pii_redaction_profile", 1, 1),
-        # mapInPandas over one pruned scan
-        ("multimodal_decode_features", 1, 1),
+        # mapInPandas over one pruned scan; +1 broadcast exchange for
+        # the 1-row golden-resize leg (local scan, not a file scan)
+        ("multimodal_decode_features", 1, 2),
     ],
 )
 def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges):
