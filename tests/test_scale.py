@@ -167,3 +167,39 @@ def test_corpus_ops_invariant_under_duplication(spark, sf_dir, tmp_path):
     assert n_drop_big >= k * n_drop_base > 0
     assert n_drop_big <= k * n_docs  # O(N) contract: <=1 drop per doc
     assert n_drop_base <= n_docs
+
+
+def test_bloom_prefilter_bounds_confirm_join_input(spark):
+    """Scale contract of the incremental-dedup bloom (llm/incremental):
+    the exact-confirm anti-join must only ever see (true-dup rate +
+    ~fpp) of the increment, whatever the corpus size — that bounded
+    candidate set IS the shuffle-volume win over the plain anti-join.
+
+    Synthetic regime: 20k-key history, 10k-row increment with 10% true
+    dups. At fpp=1% the bloom-positive fraction must stay under 13%
+    (10% dups + 1% fpp + hash luck), nowhere near the 100% a plain
+    join would shuffle."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm import incremental as inc
+
+    hist = spark.range(20_000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    # 10% of the increment collides with history keys, 90% is novel
+    batch = spark.range(19_000, 29_000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    m, k = inc.bloom_params(20_000, fpp=0.01)
+    bits = inc.build_bloom(hist.select(*inc.hash_columns("k")), m, k)
+    probe = inc.might_contain_udf(spark, bits, m, k)
+    tagged = batch.select("*", *inc.hash_columns("k")).withColumn(
+        "_maybe", probe("_h1", "_h2")
+    )
+    n_candidates = tagged.filter(F.col("_maybe")).count()
+    assert n_candidates >= 1000  # no false negatives: every true dup probes in
+    assert n_candidates <= 1300, f"candidate fraction {n_candidates / 10_000:.3f}"
+
+    # and the operator's output stays the exact anti-join
+    novel = inc.incremental_novel(batch, hist, "k", n_history=20_000)
+    assert novel.count() == 9000
