@@ -364,14 +364,119 @@ def _pii_oracle_sql() -> str:
     return f"SELECT doc_id, {counts}, {red} AS redacted_text FROM documents"
 
 
+# --- RAG chunking ---------------------------------------------------------
+
+CHUNK_CHARS = 256
+CHUNK_OVERLAP = 64
+_CHUNK_STRIDE = CHUNK_CHARS - CHUNK_OVERLAP
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str,
+                    chunk_chars: int = CHUNK_CHARS,
+                    overlap: int = CHUNK_OVERLAP) -> DataFrame:
+    """Overlapping character-window chunking — the retrieval/RAG twin
+    of ``pack_sequence_spans``: chunk i covers ``[i*stride, i*stride +
+    chunk_chars)`` with ``stride = chunk_chars - overlap``, so
+    consecutive chunks share ``overlap`` chars of context. Emits the
+    chunk table an embedding/indexing stage consumes: offsets, length,
+    and the chunk-content md5 (the chunk-level dedup/cache key).
+
+    All JVM-side: one ``sequence()`` explode + ``substring`` per doc —
+    output is O(total_chars / stride), linear, no shuffle at all (a
+    narrow map over the corpus scan; embedding the chunks downstream
+    is where the real cost lives at 100 TB, not here)."""
+    stride = chunk_chars - overlap
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks_m1 = F.expr(
+        f"greatest(cast(ceil((length(text) - {chunk_chars}) / {stride}.0)"
+        " as bigint), 0)"
+    )
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks_m1)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk_text = F.expr(f"substring(text, chunk_id * {stride} + 1, {chunk_chars})")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("chunk_start"),
+        F.length(chunk_text).alias("chunk_len"),
+        F.md5(chunk_text).alias("chunk_md5"),
+    )
+
+
+def chunk_documents_oracle_sql(chunk_chars: int = CHUNK_CHARS,
+                               overlap: int = CHUNK_OVERLAP) -> str:
+    stride = chunk_chars - overlap
+    return f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+             greatest(CAST(ceil((length(text) - {chunk_chars}) / {stride}.0)
+                      AS BIGINT), 0))) AS chunk_id
+  FROM documents
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {stride} AS chunk_start,
+       CAST(length(substr(text, CAST(chunk_id * {stride} + 1 AS INTEGER),
+                          {chunk_chars})) AS INTEGER) AS chunk_len,
+       md5(substr(text, CAST(chunk_id * {stride} + 1 AS INTEGER),
+                  {chunk_chars})) AS chunk_md5
+FROM c
+"""
+
+
+def pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver slot for the two span tables as a tagged union: the
+    packed-pretraining window slices (``leg='pack'``) and the RAG
+    chunk table (``leg='chunk'``; span_start/span_len are char
+    offsets there, and chunk_md5 carries the content key)."""
+    pack = pack_sequence_spans(spark, sf_dir).select(
+        F.lit("pack").alias("leg"),
+        "doc_id",
+        F.col("seq_id").alias("span_id"),
+        F.col("span_start"),
+        F.col("span_tokens").alias("span_len"),
+        "doc_offset",
+        F.lit(None).cast("string").alias("chunk_md5"),
+    )
+    chunk = chunk_documents(spark, sf_dir).select(
+        F.lit("chunk").alias("leg"),
+        "doc_id",
+        F.col("chunk_id").alias("span_id"),
+        F.col("chunk_start").alias("span_start"),
+        F.col("chunk_len").cast("long").alias("span_len"),
+        F.lit(None).cast("long").alias("doc_offset"),
+        "chunk_md5",
+    )
+    return pack.unionByName(chunk)
+
+
+def pack_and_chunk_oracle_sql() -> str:
+    return f"""
+SELECT 'pack' AS leg, doc_id, seq_id AS span_id, span_start,
+       span_tokens AS span_len, doc_offset,
+       CAST(NULL AS VARCHAR) AS chunk_md5
+FROM ({pack_sequence_spans_oracle_sql()})
+UNION ALL
+SELECT 'chunk' AS leg, doc_id, chunk_id AS span_id,
+       chunk_start AS span_start, CAST(chunk_len AS BIGINT) AS span_len,
+       CAST(NULL AS BIGINT) AS doc_offset, chunk_md5
+FROM ({chunk_documents_oracle_sql()})
+"""
+
+
 QUERIES = [
     QuerySpec("curation_sample_pack", curation_sample_pack,
               _sample_pack_oracle_sql(),
               "hash/stratified/k-per-stratum sampling + token-shard packing"),
-    QuerySpec("pack_sequence_spans", pack_sequence_spans,
-              pack_sequence_spans_oracle_sql(),
-              "fixed-length sequence packing: per-(doc, training window) "
-              "slice table for a packed dataloader / attention-mask builder"),
+    QuerySpec("pack_sequence_spans", pack_and_chunk,
+              pack_and_chunk_oracle_sql(),
+              "fixed-length sequence packing + overlapping RAG chunk "
+              "table (tagged union of the two span tables)"),
     QuerySpec("pii_redaction_profile", pii_redaction_profile,
               _pii_oracle_sql(),
               "per-doc PII hit counts + redacted text"),

@@ -206,3 +206,47 @@ def test_pack_token_shards_sf01_regression(spark):
         map(tuple, _con(sf).execute(curate.pack_shards_oracle_sql(20000)).fetchall())
     )
     assert got == want
+
+
+def test_chunk_documents_tiling_invariants(spark, sf_dir):
+    """Chunk windows must tile every document: chunk 0 starts at 0,
+    consecutive chunks advance by exactly stride (= chunk_chars -
+    overlap), the last chunk reaches the end of the text, and every
+    full chunk is exactly chunk_chars long."""
+    C, O = curate.CHUNK_CHARS, curate.CHUNK_OVERLAP
+    stride = C - O
+    chunks = curate.chunk_documents(spark, sf_dir).collect()
+    n_chars = {
+        r.doc_id: r.n
+        for r in curate.load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_chars)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        for r in rows:
+            assert r.chunk_start == r.chunk_id * stride
+        full, last = rows[:-1], rows[-1]
+        assert all(r.chunk_len == C for r in full)
+        # last chunk covers through the end of the doc
+        assert last.chunk_start + last.chunk_len == max(n_chars[doc_id], 0) or (
+            n_chars[doc_id] <= C and len(rows) == 1
+        )
+        # no window starts beyond the text
+        assert last.chunk_start < max(n_chars[doc_id], 1)
+
+
+def test_chunk_documents_duckdb_parity(spark, sf_dir):
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_start, r.chunk_len, r.chunk_md5)
+        for r in curate.chunk_documents(spark, sf_dir).collect()
+    )
+    want = sorted(
+        map(tuple, _con(sf_dir).execute(curate.chunk_documents_oracle_sql()).fetchall())
+    )
+    assert got == want
