@@ -185,6 +185,174 @@ def might_contain_udf(spark, bloom_bits: bytes, m: int, k: int):
     return bloom_might_contain
 
 
+class IngestDedupSink:
+    """Streaming twin of ``incremental_novel``: a ``foreachBatch`` sink
+    that admits only rows whose key has never been accepted before —
+    across micro-batches, query restarts, and crashes mid-batch.
+
+    On-disk state under ``root``:
+
+    - ``keys/epoch=N/``  accepted-key parquet per committed epoch (the
+      exact side of the membership test; bucketed key table at scale);
+    - ``bloom.bin``      the persisted filter, OR-updated per epoch —
+      the next batch's prefilter never rebuilds from history;
+    - ``out/epoch=N/``   the admitted (novel) rows;
+    - ``commits``        epoch log; an epoch absent from it is replayed
+      idempotently.
+
+    Crash-safety ordering per epoch: write out + keys dirs, OR the
+    batch bloom into ``bloom.bin`` (tmp+rename), then append the
+    commit record. A crash between bloom write and commit leaves the
+    bloom OVERSHOOTING the accepted set — bloom false positives are
+    harmless (the exact join confirms), and the exact side reads only
+    COMMITTED epochs, so the replayed batch is re-admitted exactly
+    once. The bloom can overshoot but never undershoot — undershoot
+    (false negatives) is the one state that would admit a duplicate.
+
+    ``capacity``/``fpp`` size the filter once; when accepted keys
+    exceed capacity the filter is rebuilt doubled from the key table
+    (rare, amortized — the same policy any persisted bloom uses)."""
+
+    def __init__(self, root: str, key: str, capacity: int = 100_000,
+                 fpp: float = 0.01):
+        import os
+
+        self.root = root
+        self.key = key
+        self.capacity = capacity
+        self.fpp = fpp
+        self.commit_path = os.path.join(root, "commits")
+        self.bloom_path = os.path.join(root, "bloom.bin")
+        os.makedirs(root, exist_ok=True)
+
+    # -- state ------------------------------------------------------------
+    def _commits(self) -> list[int]:
+        import os
+
+        if not os.path.exists(self.commit_path):
+            return []
+        out = []
+        with open(self.commit_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    try:
+                        out.append(int(line.split(",", 1)[0]))
+                    except ValueError:
+                        continue  # torn write: uncommitted
+        return out
+
+    def _load_bloom(self) -> tuple[bytes, int, int, int]:
+        """(bits, m, k, n_keys) — header-prefixed bitmap file."""
+        import os
+        import struct
+
+        if os.path.exists(self.bloom_path):
+            with open(self.bloom_path, "rb") as fh:
+                m, k, n = struct.unpack("<QQQ", fh.read(24))
+                return fh.read(), int(m), int(k), int(n)
+        m, k = bloom_params(self.capacity, self.fpp)
+        return bytes(m // 8), m, k, 0
+
+    def _store_bloom(self, bits: bytes, m: int, k: int, n: int) -> None:
+        import os
+        import struct
+
+        tmp = self.bloom_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(struct.pack("<QQQ", m, k, n))
+            fh.write(bits)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.bloom_path)
+
+    def _accepted_keys(self, spark, epochs: list[int]):
+        import os
+
+        paths = [
+            os.path.join(self.root, "keys", f"epoch={e}")
+            for e in epochs
+            if os.path.exists(os.path.join(self.root, "keys", f"epoch={e}"))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    # -- the foreachBatch body -------------------------------------------
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        committed = self._commits()
+        if epoch_id in committed:
+            return  # replayed micro-batch
+
+        # within-batch collapse to one survivor per key (arbitrary
+        # survivor, like dropDuplicates everywhere; callers needing a
+        # deterministic one pre-aggregate with min/struct-min)
+        batch = batch_df.dropDuplicates([self.key])
+
+        bits, m, k, n_keys = self._load_bloom()
+        accepted = self._accepted_keys(spark, committed)
+        if accepted is not None:
+            probe = might_contain_udf(spark, bits, m, k)
+            tagged = batch.select("*", *hash_columns(self.key)).withColumn(
+                "_maybe", probe("_h1", "_h2")
+            )
+            novel = (
+                tagged.filter(~F.col("_maybe"))
+                .unionByName(
+                    tagged.filter(F.col("_maybe")).join(
+                        accepted.select(self.key), on=self.key, how="left_anti"
+                    )
+                )
+                .drop("_h1", "_h2", "_maybe")
+            )
+        else:
+            novel = batch
+
+        out_dir = os.path.join(self.root, "out", f"epoch={epoch_id}")
+        keys_dir = os.path.join(self.root, "keys", f"epoch={epoch_id}")
+        novel.write.mode("overwrite").parquet(out_dir)
+        novel_keys = spark.read.parquet(out_dir).select(self.key)
+        novel_keys.write.mode("overwrite").parquet(keys_dir)
+
+        n_new = novel_keys.count()
+        if n_keys + n_new > self.capacity:
+            # rebuild doubled from the full committed key table + batch
+            self.capacity = max(2 * self.capacity, 2 * (n_keys + n_new))
+            m, k = bloom_params(self.capacity, self.fpp)
+            all_keys = self._accepted_keys(
+                spark, committed + [epoch_id]
+            )
+            bits_arr = np.frombuffer(
+                build_bloom(all_keys.select(*hash_columns(self.key)), m, k),
+                dtype=np.uint8,
+            )
+        else:
+            delta = build_bloom(novel_keys.select(*hash_columns(self.key)), m, k)
+            bits_arr = np.frombuffer(bits, dtype=np.uint8) | np.frombuffer(
+                delta, dtype=np.uint8
+            )
+        self._store_bloom(bits_arr.tobytes(), m, k, n_keys + n_new)
+
+        with open(self.commit_path, "a", encoding="utf-8") as fh:
+            fh.write(f"{epoch_id},{n_new}\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def accepted(self, spark) -> DataFrame | None:
+        """All rows admitted so far (committed epochs only)."""
+        import os
+
+        paths = [
+            os.path.join(self.root, "out", f"epoch={e}")
+            for e in self._commits()
+            if os.path.exists(os.path.join(self.root, "out", f"epoch={e}"))
+        ]
+        return spark.read.parquet(*paths) if paths else None
+
+
 def incremental_novel(
     incoming: DataFrame,
     history: DataFrame,

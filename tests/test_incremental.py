@@ -119,3 +119,103 @@ def test_dedup_exact_plan_budget(spark, sf_dir):
     assert plan.count("Exchange") <= 6, plan
     assert "bloom_might_contain" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# --- streaming ingest dedup (IngestDedupSink) ----------------------------
+
+
+def _batch(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"key-{i}", f"payload-{i}") for i in ids],
+        "row_id long, k string, payload string",
+    )
+
+
+def test_ingest_sink_cross_batch_dedup(spark, tmp_path):
+    sink = inc.IngestDedupSink(str(tmp_path / "s1"), key="k")
+    sink(_batch(spark, [1, 2, 3, 3]), 0)   # within-batch dup collapses
+    sink(_batch(spark, [2, 3, 4]), 1)      # 2,3 seen in epoch 0
+    sink(_batch(spark, [4, 5]), 2)         # 4 seen in epoch 1
+    acc = sink.accepted(spark)
+    assert sorted(r.k for r in acc.collect()) == [
+        "key-1", "key-2", "key-3", "key-4", "key-5"
+    ]
+
+
+def test_ingest_sink_replay_idempotent(spark, tmp_path):
+    sink = inc.IngestDedupSink(str(tmp_path / "s2"), key="k")
+    sink(_batch(spark, [1, 2]), 0)
+    sink(_batch(spark, [1, 2]), 0)  # replayed micro-batch: no-op
+    acc = sink.accepted(spark)
+    assert acc.count() == 2
+
+
+def test_ingest_sink_crash_before_commit_readmits_once(spark, tmp_path):
+    """Crash window: state dirs + bloom written, commit record absent.
+    The replay must re-admit the batch exactly once (the bloom
+    overshoots, the exact side reads only committed epochs)."""
+    root = str(tmp_path / "s3")
+    sink = inc.IngestDedupSink(root, key="k")
+    sink(_batch(spark, [1, 2]), 0)
+
+    # simulate the crash: run epoch 1 fully, then delete its commit line
+    sink(_batch(spark, [2, 3]), 1)
+    with open(sink.commit_path, encoding="utf-8") as fh:
+        lines = [l for l in fh if not l.startswith("1,")]
+    with open(sink.commit_path, "w", encoding="utf-8") as fh:
+        fh.writelines(lines)
+
+    sink2 = inc.IngestDedupSink(root, key="k")
+    sink2(_batch(spark, [2, 3]), 1)  # replay
+    acc = sink2.accepted(spark)
+    assert sorted(r.k for r in acc.collect()) == ["key-1", "key-2", "key-3"]
+    # key-3 admitted exactly once despite the bloom already containing it
+    assert acc.filter(acc.k == "key-3").count() == 1
+
+
+def test_ingest_sink_bloom_growth_rebuild(spark, tmp_path):
+    """Exceeding capacity must rebuild the filter doubled and keep
+    deduplicating correctly (no false negatives after the rebuild)."""
+    sink = inc.IngestDedupSink(str(tmp_path / "s4"), key="k", capacity=10)
+    sink(_batch(spark, range(30)), 0)       # blows past capacity=10
+    assert sink.capacity >= 60
+    sink(_batch(spark, range(20, 40)), 1)   # 20-29 must NOT re-admit
+    acc = sink.accepted(spark)
+    assert acc.count() == 40
+    assert acc.select("k").distinct().count() == 40
+
+
+def test_ingest_sink_under_structured_streaming(spark, tmp_path):
+    """End-to-end under a real streaming query: a file source feeding
+    foreachBatch(IngestDedupSink) with availableNow, restarted over a
+    second overlapping drop — accepted rows stay unique across the two
+    query runs."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    root = str(tmp_path / "s5")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "row_id long, k string, payload string"
+
+    def run_once():
+        sink = inc.IngestDedupSink(root, key="k")
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sink
+
+    _batch(spark, [1, 2, 3]).write.mode("append").parquet(src)
+    run_once()
+    _batch(spark, [3, 4, 5]).write.mode("append").parquet(src)
+    sink = run_once()
+    acc = sink.accepted(spark)
+    assert sorted(r.k for r in acc.collect()) == [
+        "key-1", "key-2", "key-3", "key-4", "key-5"
+    ]
