@@ -359,6 +359,7 @@ def incremental_novel(
     key: str,
     fpp: float = 0.01,
     n_history: int | None = None,
+    bloom: tuple[bytes, int, int] | None = None,
 ) -> DataFrame:
     """Rows of ``incoming`` whose ``key`` value does not occur in
     ``history`` — semantically ``incoming LEFT ANTI JOIN history ON
@@ -366,15 +367,24 @@ def incremental_novel(
     candidates reach the join (module docstring).
 
     ``n_history`` sizes the filter; when omitted it is counted here
-    (at scale it comes from table statistics, not a count job). The
-    result is exact regardless of ``fpp`` — the sketch only decides
-    how many rows pay for the confirmation join."""
+    (at scale it comes from table statistics, not a count job).
+    ``bloom`` = (bits, m, k) injects a prebuilt/persisted filter —
+    the steady-state shape, where the filter lives with the lake
+    (``IngestDedupSink``) instead of being rebuilt per query. The
+    result is exact regardless of ``fpp`` or filter staleness toward
+    OVERSHOOT — the sketch only decides how many rows pay for the
+    confirmation join (an undershooting filter would break the
+    no-false-negative contract; never inject one built from a subset
+    of ``history``)."""
     spark = incoming.sparkSession
     hkeys = history.select(key).where(F.col(key).isNotNull())
-    if n_history is None:
-        n_history = hkeys.count()
-    m, k = bloom_params(n_history, fpp)
-    bits = build_bloom(hkeys.select(*hash_columns(key)), m, k)
+    if bloom is not None:
+        bits, m, k = bloom
+    else:
+        if n_history is None:
+            n_history = hkeys.count()
+        m, k = bloom_params(n_history, fpp)
+        bits = build_bloom(hkeys.select(*hash_columns(key)), m, k)
     probe = might_contain_udf(spark, bits, m, k)
 
     tagged = incoming.select("*", *hash_columns(key)).withColumn(
