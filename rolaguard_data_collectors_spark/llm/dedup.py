@@ -335,7 +335,18 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns), the banding (bucket keys), and the candidate criterion
     (n_docs) that ``lsh_band_buckets``/``minhash_signatures`` proved
     separately. Same plan skeleton: one explode + one groupBy for the
-    signature, inline-array band explode, one window for occupancy."""
+    signature, inline-array band explode, one window for occupancy.
+
+    Round 5 adds FUZZY decontamination on the same rows: with the
+    held-out benchmark slice of ``llm/text.py`` (doc_id % BENCH_MOD),
+    ``fuzzy_contam_band`` flags a (doc, band) whose bucket also holds
+    a DIFFERENT benchmark doc — the MinHash near-dup analogue of the
+    exact 5-gram contamination rule (eval lookalikes, not just eval
+    copies, leaking into training data). Both extra columns ride the
+    existing (band, bucket) window partition: zero additional
+    exchanges."""
+    from .text import BENCH_MOD
+
     sig = minhash_signatures(spark, sf_dir)
     entries = []
     for band in range(BANDS):
@@ -352,7 +363,16 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         *mh_cols,
     )
     w = Window.partitionBy("band", "bucket")
-    return assign.withColumn("n_docs", F.count("*").over(w))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    n_bench = F.count(F.when(is_bench, 1)).over(w)
+    return (
+        assign.withColumn("n_docs", F.count("*").over(w))
+        .withColumn("n_bench_docs", n_bench)
+        .withColumn(
+            "fuzzy_contam_band",
+            (n_bench - is_bench.cast("long")) > 0,
+        )
+    )
 
 
 def _minhash_lsh_sql() -> str:
@@ -363,11 +383,19 @@ def _minhash_lsh_sql() -> str:
         for band in range(BANDS)
     )
     mh_cols = ", ".join(f"s.mh{i}" for i in range(len(MINHASH_PARAMS)))
+    from .text import BENCH_MOD
+
     return f"""
 WITH sig AS ({_minhash_sig_sql()}),
 bands AS ({bands_sql})
 SELECT b.doc_id, b.band, b.bucket, {mh_cols},
-       count(*) OVER (PARTITION BY b.band, b.bucket) AS n_docs
+       count(*) OVER (PARTITION BY b.band, b.bucket) AS n_docs,
+       count(CASE WHEN b.doc_id % {BENCH_MOD} = 0 THEN 1 END)
+         OVER (PARTITION BY b.band, b.bucket) AS n_bench_docs,
+       (count(CASE WHEN b.doc_id % {BENCH_MOD} = 0 THEN 1 END)
+          OVER (PARTITION BY b.band, b.bucket)
+        - CASE WHEN b.doc_id % {BENCH_MOD} = 0 THEN 1 ELSE 0 END) > 0
+         AS fuzzy_contam_band
 FROM bands b JOIN sig s USING (doc_id)
 """
 
