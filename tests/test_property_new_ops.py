@@ -1,0 +1,86 @@
+"""Property-based coverage for the round-5 operators: the bloom bit
+kernel's no-false-negative guarantee over arbitrary hash values, and
+the chunker's tiling contract over arbitrary (including empty and
+non-ASCII) texts."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rolaguard_data_collectors_spark.llm import incremental as inc
+from rolaguard_data_collectors_spark.llm import curate
+
+i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    pairs=st.lists(st.tuples(i64, i64), min_size=1, max_size=200),
+    n_expected=st.integers(min_value=1, max_value=10_000),
+)
+def test_bloom_bit_kernel_no_false_negatives(pairs, n_expected):
+    """Set bits for arbitrary (h1, h2) pairs with the same position
+    kernel the distributed build uses; every inserted pair must probe
+    positive — the shift/mask layout must agree between set and test
+    for any hash values (negatives, zeros, extremes included)."""
+    m, k = inc.bloom_params(n_expected, 0.01)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    h1 = np.array([a for a, _ in pairs], dtype=np.int64)
+    h2 = np.array([b for _, b in pairs], dtype=np.int64)
+    for pos in inc._probe_positions(h1, h2, m, k):
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)),
+        )
+    acc = np.ones(len(pairs), dtype=bool)
+    for pos in inc._probe_positions(h1, h2, m, k):
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        acc &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1) != 0
+    assert acc.all()
+
+
+# BMP, no surrogates: Spark/DuckDB/Python all agree on code-point
+# length there (the chunker's contract is code-point offsets).
+_bmp_text = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0xFFFD,
+                           exclude_categories=("Cs",)),
+    max_size=900,
+)
+
+
+def _expected_chunks(text: str, C: int, S: int):
+    L = len(text)
+    n = max(math.ceil((L - C) / S), 0) + 1
+    out = []
+    for i in range(n):
+        sub = text[i * S : i * S + C]
+        out.append((i, i * S, len(sub), hashlib.md5(sub.encode()).hexdigest()))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(_bmp_text, min_size=1, max_size=20))
+def test_chunker_matches_reference_model(spark, tmp_path_factory, texts):
+    """chunk_documents against a direct Python model: same chunk
+    count, offsets, lengths, and content md5 for arbitrary texts
+    (empty, short, multi-chunk, non-ASCII)."""
+    root = str(tmp_path_factory.mktemp("prop") / "corpus")
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(root + "/documents.parquet")
+
+    C, S = curate.CHUNK_CHARS, curate.CHUNK_CHARS - curate.CHUNK_OVERLAP
+    got: dict[int, list] = {}
+    for r in curate.chunk_documents(spark, root).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.chunk_start, r.chunk_len, r.chunk_md5)
+        )
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == _expected_chunks(t, C, S), (i, repr(t))
