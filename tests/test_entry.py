@@ -24,3 +24,16 @@ def test_queries_and_oracles_consistent(spark):
     assert set(oracles) <= set(qs)
     for name, sql in oracles.items():
         assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_registry_window_is_exactly_full():
+    """The driver checks a bounded window of 50 registry entries; new
+    operators must consolidate into existing slots (tagged unions /
+    extra columns), never silently push a query out of the window."""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    specs = collect_all()
+    assert len(specs) == 50
+    # and every entry except none is oracle-checked (round-5 state:
+    # zero rows-only entries)
+    assert all(s.oracle is not None for s in specs.values())
