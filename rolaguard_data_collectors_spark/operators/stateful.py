@@ -252,15 +252,25 @@ WHERE prev_status IS NULL OR prev_status <> event_type
 def dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark batch shadow: keep the first
     arrival per (user_id, event_type). Spark's dropDuplicates keeps an
-    arbitrary row, so the deterministic formulation is row_number = 1
-    in arrival order — which is also what the watermarked streaming
-    dedup guarantees (first seen wins)."""
+    arbitrary row, so the deterministic formulation is the minimum in
+    arrival order — which is also what the watermarked streaming dedup
+    guarantees (first seen wins). Computed as a STRUCT-MIN hash
+    aggregate, not a row_number window: (ts, event_id) is a total
+    arrival order, so min(struct) is the first row, and the aggregate
+    partial-combines map-side — one surviving row per key crosses the
+    shuffle, where the window form ships every duplicate into a sort
+    (the same rewrite as asof_join_orders_lineitem)."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id", "event_type").orderBy(*_ARRIVAL)
+    first = F.min(F.struct(*_ARRIVAL)).alias("_first")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts")
+        ev.groupBy("user_id", "event_type")
+        .agg(first)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("_first.event_id").alias("event_id"),
+            F.col("_first.ts").alias("ts"),
+        )
     )
 
 
