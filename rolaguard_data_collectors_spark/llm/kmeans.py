@@ -105,6 +105,73 @@ def assign_clusters(spark: SparkSession, sf_dir: str,
     return _assign(_emb(spark, sf_dir), centroids).drop("v")
 
 
+def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
+                      k: int = 8, iters: int = 5) -> list[list[float]]:
+    """Train and WRITE the IVF index as a lake artifact:
+
+    - ``<path>/centroids.parquet``: the k x dim codebook;
+    - ``<path>/postings/cluster=N/``: per-cluster posting lists
+      (vec_id, embedding), partitioned by cluster.
+
+    The directory layout IS the index: ``partitionBy(cluster)`` turns
+    an n_probe search into a PartitionFilter scan of n_probe
+    directories — the reader never opens the other k - n_probe
+    partitions (proven in tests/test_kmeans.py). This is the same
+    write-time lever as plans/scale.write_partitioned, applied to ANN;
+    at 100 TB the posting payload would be the int8 codes from
+    similarity.quantize_embeddings rather than raw float vectors."""
+    centroids = kmeans_fit(spark, sf_dir, k, iters)[0]
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(path + "/centroids.parquet")
+    assigned = _assign(_emb(spark, sf_dir), centroids)
+    (
+        assigned.select("vec_id", "v", "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path + "/postings")
+    )
+    return centroids
+
+
+def ivf_index_topk(spark: SparkSession, path: str, query: list[float],
+                   top_k: int = 10, n_probe: int = 2,
+                   exclude_vec_id: int | None = None) -> DataFrame:
+    """Search a persisted IVF index: rank the codebook driver-side
+    (k x dim floats), then scan ONLY the n_probe nearest posting
+    partitions (PartitionFilters at the reader). Semantics match
+    ``ivf_topk`` over the same centroids exactly."""
+    import math
+
+    cent = {
+        r["cluster"]: [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(path + "/centroids.parquet").collect()
+    }
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(c, query))
+
+    probe = sorted(cent, key=lambda i: (sq(cent[i]), i))[:n_probe]
+    posts = spark.read.parquet(path + "/postings").filter(
+        F.col("cluster").isin(probe)
+    )
+    if exclude_vec_id is not None:
+        posts = posts.filter(F.col("vec_id") != exclude_vec_id)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(F.zip_with("v", qlit, lambda x, y: x * y),
+                      F.lit(0.0), lambda a, z: a + z)
+    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                             F.lit(0.0), lambda a, z: a + z))
+    qn = math.sqrt(sum(x * x for x in query))
+    cos = F.round(dot / (nrm * F.lit(qn)), 6)
+    return (
+        posts.select("vec_id", "cluster", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(top_k)
+    )
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str, centroids: list[list[float]],
              query_vec_id: int = 0, top_k: int = 10,
              n_probe: int = 2) -> DataFrame:

@@ -58,3 +58,51 @@ def test_ivf_pruned_probe_is_subset_of_probed_clusters(spark, sf_dir):
     out = ivf_topk(spark, sf_dir, centroids, n_probe=2).collect()
     assert 0 < len(out) <= TOP_K
     assert len({r.cluster for r in out}) <= 2
+
+
+def test_persisted_index_matches_inplan_ivf(spark, sf_dir, tmp_path):
+    """The persisted index must return exactly what the in-plan IVF
+    returns for the same centroids/probes, and the probe scan must
+    prune partitions at the reader (PartitionFilters on cluster)."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        _emb,
+        ivf_index_topk,
+        persist_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    centroids = persist_ivf_index(spark, sf_dir, path, k=K, iters=2)
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]["v"]
+
+    got_df = ivf_index_topk(spark, path, list(q), n_probe=2, exclude_vec_id=0)
+    got = [(r.vec_id, r.cosine) for r in got_df.collect()]
+    want = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk(spark, sf_dir, centroids, query_vec_id=0,
+                          n_probe=2).collect()
+    ]
+    assert got == want and got
+
+    plan = got_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines()
+                if "PartitionFilters" in l and "cluster" in l]
+    assert pf_lines, plan
+
+    # n_probe = k through the index == brute force
+    full = [
+        (r.vec_id, r.cosine)
+        for r in ivf_index_topk(spark, path, list(q), n_probe=K,
+                                exclude_vec_id=0).collect()
+    ]
+    brute = [
+        (r.vec_id, r.cosine)
+        for r in cosine_topk_bruteforce(spark, sf_dir).collect()
+    ]
+    assert full == brute
