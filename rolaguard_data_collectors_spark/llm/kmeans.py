@@ -106,31 +106,44 @@ def assign_clusters(spark: SparkSession, sf_dir: str,
 
 
 def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
-                      k: int = 8, iters: int = 5) -> list[list[float]]:
+                      k: int = 8, iters: int = 5,
+                      quantize: bool = False) -> list[list[float]]:
     """Train and WRITE the IVF index as a lake artifact:
 
     - ``<path>/centroids.parquet``: the k x dim codebook;
     - ``<path>/postings/cluster=N/``: per-cluster posting lists
-      (vec_id, embedding), partitioned by cluster.
+      (vec_id, embedding), partitioned by cluster;
+    - with ``quantize=True``: postings carry int8-range codes instead
+      of float vectors plus ``<path>/scales.parquet`` (the per-dim
+      max|x| codebook) — the IVF-PQ-lite shape, 4x fewer bytes per
+      probed vector.
 
     The directory layout IS the index: ``partitionBy(cluster)`` turns
     an n_probe search into a PartitionFilter scan of n_probe
     directories — the reader never opens the other k - n_probe
     partitions (proven in tests/test_kmeans.py). This is the same
-    write-time lever as plans/scale.write_partitioned, applied to ANN;
-    at 100 TB the posting payload would be the int8 codes from
-    similarity.quantize_embeddings rather than raw float vectors."""
+    write-time lever as plans/scale.write_partitioned, applied to
+    ANN."""
     centroids = kmeans_fit(spark, sf_dir, k, iters)[0]
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(path + "/centroids.parquet")
     assigned = _assign(_emb(spark, sf_dir), centroids)
-    (
-        assigned.select("vec_id", "v", "cluster")
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(path + "/postings")
+    if quantize:
+        from .similarity import _quant_expr, embedding_scales
+
+        scales = embedding_scales(spark, sf_dir)
+        spark.createDataFrame(
+            [(scales,)], "scales array<double>"
+        ).write.mode("overwrite").parquet(path + "/scales.parquet")
+        payload = assigned.select(
+            "vec_id", _quant_expr("v", scales).alias("codes"), "cluster"
+        )
+    else:
+        payload = assigned.select("vec_id", "v", "cluster")
+    payload.write.mode("overwrite").partitionBy("cluster").parquet(
+        path + "/postings"
     )
     return centroids
 
@@ -140,9 +153,13 @@ def ivf_index_topk(spark: SparkSession, path: str, query: list[float],
                    exclude_vec_id: int | None = None) -> DataFrame:
     """Search a persisted IVF index: rank the codebook driver-side
     (k x dim floats), then scan ONLY the n_probe nearest posting
-    partitions (PartitionFilters at the reader). Semantics match
-    ``ivf_topk`` over the same centroids exactly."""
+    partitions (PartitionFilters at the reader). Float postings score
+    exact cosine (matches ``ivf_topk`` over the same centroids
+    exactly); quantized postings score the rescaled integer dot
+    (matches ``similarity.cosine_topk_int8``'s ranking at
+    n_probe=k)."""
     import math
+    import os
 
     cent = {
         r["cluster"]: [float(x) for x in r["centroid"]]
@@ -158,15 +175,36 @@ def ivf_index_topk(spark: SparkSession, path: str, query: list[float],
     )
     if exclude_vec_id is not None:
         posts = posts.filter(F.col("vec_id") != exclude_vec_id)
-    qlit = F.array(*[F.lit(float(x)) for x in query])
-    dot = F.aggregate(F.zip_with("v", qlit, lambda x, y: x * y),
-                      F.lit(0.0), lambda a, z: a + z)
-    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
-                             F.lit(0.0), lambda a, z: a + z))
-    qn = math.sqrt(sum(x * x for x in query))
-    cos = F.round(dot / (nrm * F.lit(qn)), 6)
+    if os.path.exists(path + "/scales.parquet"):
+        scales = [
+            float(s)
+            for s in spark.read.parquet(path + "/scales.parquet")
+            .collect()[0]["scales"]
+        ]
+        q_codes = [
+            0 if s == 0 else math.copysign(
+                math.floor(abs(x) / s * 127 + 0.5), x
+            )
+            for x, s in zip(query, scales)
+        ]
+        arr = ", ".join(f"{(s / 127.0) * (s / 127.0)!r}D" for s in scales)
+        qarr = ", ".join(str(int(c)) for c in q_codes)
+        dot = F.expr(
+            f"aggregate(zip_with(zip_with(codes, array({qarr}),"
+            " (x, y) -> CAST(x AS DOUBLE) * y),"
+            f" array({arr}), (p, w) -> p * w), 0D, (acc, v) -> acc + v)"
+        )
+        score = F.round(dot, 6).alias("cosine")
+    else:
+        qlit = F.array(*[F.lit(float(x)) for x in query])
+        dot = F.aggregate(F.zip_with("v", qlit, lambda x, y: x * y),
+                          F.lit(0.0), lambda a, z: a + z)
+        nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                                 F.lit(0.0), lambda a, z: a + z))
+        qn = math.sqrt(sum(x * x for x in query))
+        score = F.round(dot / (nrm * F.lit(qn)), 6).alias("cosine")
     return (
-        posts.select("vec_id", "cluster", cos.alias("cosine"))
+        posts.select("vec_id", "cluster", score)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(top_k)
     )

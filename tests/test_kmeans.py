@@ -106,3 +106,31 @@ def test_persisted_index_matches_inplan_ivf(spark, sf_dir, tmp_path):
         for r in cosine_topk_bruteforce(spark, sf_dir).collect()
     ]
     assert full == brute
+
+
+def test_quantized_index_matches_int8_bruteforce(spark, sf_dir, tmp_path):
+    """quantize=True postings: at n_probe=k the index ranking must
+    equal the int8 brute-force scan (same codes, same rescaled integer
+    dot, same query quantization)."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        _emb,
+        ivf_index_topk,
+        persist_ivf_index,
+    )
+    from rolaguard_data_collectors_spark.llm.similarity import cosine_topk_int8
+
+    path = str(tmp_path / "ivf_q")
+    persist_ivf_index(spark, sf_dir, path, k=K, iters=2, quantize=True)
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]["v"]
+
+    got = [
+        (r.vec_id, r.cosine)
+        for r in ivf_index_topk(spark, path, list(q), n_probe=K,
+                                exclude_vec_id=0).collect()
+    ]
+    want = [
+        (r.vec_id, r.approx_dot) for r in cosine_topk_int8(spark, sf_dir).collect()
+    ]
+    assert got == want and got
