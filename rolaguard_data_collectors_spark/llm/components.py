@@ -30,6 +30,14 @@ Iterative fixpoints are not one SQL statement, so this module is
 driver-unregistered like kmeans; tests/test_components.py pins it
 against a driver-side union-find oracle on the same edges.
 
+(Round 5 measured the registration alternative and rejected it: a
+recursive-CTE transitive-closure oracle DOES hash-match this operator
+exactly at every SF, but closure is O(sum of component^2) rows and the
+dup-heavy corpus makes DuckDB pay ~38 s per run at sf0.1 — 90 s of
+bench wall for coverage the union-find pytest oracle already provides.
+The contracted rep-graph closure would fix the oracle cost; not worth
+the complexity while the driver gate is already 50/50.)
+
 Reference parity note: the reference engine has no graph surface —
 this is part of the LLM-corpus extension (brief: dedup as first-class
 components), not a ported operator.
