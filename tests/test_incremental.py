@@ -219,3 +219,20 @@ def test_ingest_sink_under_structured_streaming(spark, tmp_path):
     assert sorted(r.k for r in acc.collect()) == [
         "key-1", "key-2", "key-3", "key-4", "key-5"
     ]
+
+
+def test_incremental_null_keys_match_anti_join(spark):
+    """Null incoming keys must behave exactly like the plain left-anti
+    join (null never matches, row is kept), whatever the bloom says."""
+    inc_df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "row_id long, k string"
+    )
+    hist = spark.createDataFrame([("a",), ("c",)], "k string")
+    got = sorted(
+        (r.row_id, r.k) for r in inc.incremental_novel(inc_df, hist, "k").collect()
+    )
+    want = sorted(
+        (r.row_id, r.k)
+        for r in inc_df.join(hist, "k", "left_anti").collect()
+    )
+    assert got == want == [(2, None), (3, "b")]
