@@ -332,6 +332,15 @@ WHERE round({_DOT_AB_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) >= {NEAR_DUP_THR
 # sign*floor(+0.5) instead of round(): SQL ROUND semantics differ
 # between engines on negative halves; this form is identical
 # everywhere.
+#
+# Measured honestly (round 5, 1M x 64 vectors, local[32]): the int8
+# scan is NOT faster at this scale — 0.56 s vs 0.42 s fp — because the
+# working set fits in page cache (scan isn't bandwidth-bound) and the
+# int8 dot pays a per-element cast; parquet also already compresses
+# the float arrays (90 MB vs 66 MB on disk). The lever engages when
+# the posting payload exceeds memory/disk bandwidth — i.e. the actual
+# 100 TB regime — which local bench scale cannot exhibit. Claimed
+# accordingly: a capacity/bandwidth lever, not a local-latency one.
 
 
 def embedding_scales(spark: SparkSession, sf_dir: str) -> list[float]:
