@@ -14,7 +14,17 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Shuffle partitions default to the core count; override independently
+# (SPARK_GRAFT_SHUFFLE_PARTITIONS) to tune exchange width without
+# changing executor parallelism — measured round 5: small aggregate
+# queries at sf0.1 lose ~0.2-0.3 s each to 32-task exchange scheduling
+# that 8-16 tasks avoid, while scan/UDF-bound stages are unaffected
+# (their parallelism comes from input splits, not exchanges).
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+)
 
 
 def get_spark(
