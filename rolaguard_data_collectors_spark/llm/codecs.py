@@ -210,3 +210,25 @@ def decode_media(b: bytes) -> dict | None:
         return DECODERS[kind](b)
     except ValueError:
         return None
+
+
+def dhash64(b: bytes) -> int:
+    """64-bit difference hash (dHash) of a BMP/PPM payload — the
+    perceptual near-dup key for image dedup: decode -> integer-mean
+    grayscale -> nearest-neighbor 9x8 downsample -> 64 horizontal
+    gradient sign bits. Robust to resizing and small pixel noise
+    (hamming distance ~ perceptual distance); bit-identical across
+    platforms because every step is integer arithmetic on uint8
+    (grayscale = (r + g + b) // 3, the floor(i*src/dst) index map from
+    resize_image)."""
+    px = _rgb_pixels(b).astype(np.uint16)
+    gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+    h, w = gray.shape
+    ri = (np.arange(8) * h) // 8
+    ci = (np.arange(9) * w) // 9
+    g = gray[ri][:, ci]
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out

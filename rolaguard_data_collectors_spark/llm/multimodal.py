@@ -428,6 +428,101 @@ FROM documents d JOIN fr USING (doc_id)
 """
 
 
+# --- perceptual image dedup (dHash) ---------------------------------------
+
+PHASH_SCHEMA = "doc_id long, decoder string, dhash string"
+
+
+def image_phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 64-bit dHash (codecs.dhash64) for decodable
+    image payloads, null for everything else — the perceptual near-dup
+    key. Same dispatch-on-magic contract as decode_features."""
+    from . import codecs
+
+    for pdf in batches:
+        ids, dec, hh = [], [], []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(raw) if raw is not None else b""
+            kind = codecs.sniff(b)
+            ids.append(doc_id)
+            if kind in ("bmp", "ppm"):
+                try:
+                    hh.append(f"{codecs.dhash64(b):016x}")
+                    dec.append(kind)
+                    continue
+                except ValueError:
+                    pass
+            hh.append(None)
+            dec.append("raw")
+        yield pd.DataFrame({"doc_id": ids, "decoder": dec, "dhash": hh})
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "payload").mapInPandas(
+        image_phash_kernel, schema=PHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Image near-dup candidate pairs over a (doc_id, dhash) frame:
+    pigeonhole-banded like simhash — split the 64-bit hash into 4
+    16-bit bands; any pair within hamming distance <= 3 MUST collide
+    in at least one band (and max_hamming=4 still catches everything
+    except the adversarial 1-bit-per-band split). Exact hamming verify
+    is JVM-side: bit_count(xor) on the conv'd int64 — no Python in
+    the join or verify path, and the band join is O(sum bucket^2),
+    never all-pairs."""
+    # hex -> signed int64 via two 32-bit halves: conv().cast(long) of
+    # the full 16 hex chars overflows for top-bit hashes; shiftleft
+    # wraps into the sign bit without an overflow check.
+    hi = F.conv(F.substring("dhash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("dhash", 9, 8), 16, 10).cast("long")
+    h = hashes.where(F.col("dhash").isNotNull()).select(
+        "doc_id",
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("_h"),
+        *[
+            F.substring("dhash", 1 + 4 * i, 4).alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+    bands = h.select(
+        "doc_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"band{i}").alias("key")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_h", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("_h").alias("b_h"),
+        "band",
+        "key",
+    ).alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b_doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b_doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a._h").bitwiseXOR(F.col("b_h"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
 QUERIES = [
     QuerySpec("multimodal_binary_profile", multimodal_binary_profile,
               MULTIMODAL_BINARY_PROFILE_ORACLE,
