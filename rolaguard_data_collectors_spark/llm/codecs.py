@@ -232,3 +232,34 @@ def dhash64(b: bytes) -> int:
     for bit in bits:
         out = (out << 1) | int(bit)
     return out
+
+
+def ahash64(b: bytes) -> int:
+    """64-bit audio fingerprint of a PCM WAV payload — the audio twin
+    of dhash64: downmix to mono, split into 17 equal time frames,
+    4 spectral-band energies per frame (rfft magnitude, linear quarter
+    bands), bit = band energy RISES from frame f to f+1 (16 deltas x 4
+    bands = 64 bits). Energy-delta signs are invariant under uniform
+    amplitude scaling and robust to small noise; unrelated audio gives
+    ~32-bit hamming distance (random signs)."""
+    with wave.open(io.BytesIO(b)) as w:
+        n_ch, width = w.getnchannels(), w.getsampwidth()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    if width not in _WAV_DTYPES:
+        raise ValueError(f"unsupported sample width {width}")
+    arr = np.frombuffer(frames, dtype=_WAV_DTYPES[width]).astype(np.float64)
+    mono = arr.reshape(-1, n_ch).mean(axis=1) if n_ch > 1 else arr
+    if mono.size < 34:  # need >= 2 samples per time frame
+        mono = np.pad(mono, (0, 34 - mono.size))
+    energies = np.empty((17, 4))
+    for f, chunk in enumerate(np.array_split(mono, 17)):
+        spec = np.abs(np.fft.rfft(chunk)) ** 2
+        spec = spec[1:] if spec.size > 1 else spec  # drop DC
+        for q, band in enumerate(np.array_split(spec, 4)):
+            energies[f, q] = band.sum()
+    bits = (energies[1:] > energies[:-1]).flatten()
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out

@@ -464,6 +464,37 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Modality-dispatching fingerprint kernel: dHash for images,
+    ahash64 (spectral-delta fingerprint) for WAV audio — one 64-bit
+    perceptual key column across modalities, so the SAME banded pair
+    generator (image_near_dup_pairs) dedups the whole media table.
+    Cross-modality collisions are impossible at the pair stage only by
+    hash luck, so pair consumers should group by ``decoder`` first."""
+    from . import codecs
+
+    for pdf in batches:
+        ids, dec, hh = [], [], []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(raw) if raw is not None else b""
+            kind = codecs.sniff(b)
+            ids.append(doc_id)
+            try:
+                if kind in ("bmp", "ppm"):
+                    hh.append(f"{codecs.dhash64(b):016x}")
+                    dec.append(kind)
+                    continue
+                if kind == "wav":
+                    hh.append(f"{codecs.ahash64(b):016x}")
+                    dec.append("wav")
+                    continue
+            except ValueError:
+                pass
+            hh.append(None)
+            dec.append("raw")
+        yield pd.DataFrame({"doc_id": ids, "decoder": dec, "dhash": hh})
+
+
 def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Image near-dup candidate pairs over a (doc_id, dhash) frame:
     pigeonhole-banded like simhash — split the 64-bit hash into 4

@@ -83,3 +83,73 @@ def test_phash_kernel_and_near_dup_pairs(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "BatchEvalPython" not in plan
+
+
+# --- audio fingerprint (ahash64) -----------------------------------------
+
+
+def _wav(samples, rate=8000) -> bytes:
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def _tone(freqs, n=4000, amp=8000):
+    t = np.arange(n)
+    sig = sum(np.sin(2 * np.pi * f * t / 8000.0) for f in freqs)
+    return (amp * sig / len(freqs)).astype(np.int16)
+
+
+def test_ahash_deterministic_and_scale_invariant():
+    sig = _tone([440, 1200])
+    base = codecs.ahash64(_wav(sig))
+    assert base == codecs.ahash64(_wav(sig))
+    # uniform amplitude scaling preserves energy-delta signs
+    half = codecs.ahash64(_wav((sig * 0.5).astype(np.int16)))
+    assert _hamming(base, half) <= 4
+
+
+def test_ahash_noise_robust_and_discriminative():
+    sig = _tone([440, 1200])
+    base = codecs.ahash64(_wav(sig))
+    rng = np.random.RandomState(0)
+    noisy = (sig + rng.randint(-50, 50, sig.shape)).astype(np.int16)
+    assert _hamming(base, codecs.ahash64(_wav(noisy))) <= 12
+    other = codecs.ahash64(_wav(_tone([3100], n=5000)))
+    assert _hamming(base, other) > 16
+
+
+def test_media_phash_kernel_cross_modality(spark):
+    from rolaguard_data_collectors_spark.llm.multimodal import (
+        media_phash_kernel,
+    )
+
+    px = _img(11, 32, 32)
+    sig = _tone([700])
+    rows = [
+        (0, bytearray(_ppm(px))),
+        (1, bytearray(_wav(sig))),
+        (2, bytearray(_wav((sig * 0.7).astype(np.int16)))),  # audio near-dup
+        (3, bytearray(b"plain text")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = df.mapInPandas(
+        media_phash_kernel, "doc_id long, decoder string, dhash string"
+    )
+    got = {r.doc_id: (r.decoder, r.dhash) for r in hashes.collect()}
+    assert got[0][0] == "ppm" and got[1][0] == "wav" and got[3] == ("raw", None)
+    assert got[1][1] == f"{codecs.ahash64(_wav(sig)):016x}"
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in image_near_dup_pairs(hashes, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs       # the two tones match
+    assert (0, 1) not in pairs and (0, 2) not in pairs
