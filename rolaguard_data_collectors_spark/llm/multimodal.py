@@ -554,6 +554,12 @@ def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
     return pairs
 
 
+# The banded pair generator is hash-agnostic: any (doc_id, 16-hex-char
+# 64-bit key) frame works, so the audio fingerprints from
+# media_phash_kernel flow through the same plan.
+media_near_dup_pairs = image_near_dup_pairs
+
+
 QUERIES = [
     QuerySpec("multimodal_binary_profile", multimodal_binary_profile,
               MULTIMODAL_BINARY_PROFILE_ORACLE,
