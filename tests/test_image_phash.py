@@ -153,3 +153,36 @@ def test_media_phash_kernel_cross_modality(spark):
     }
     assert (1, 2) in pairs       # the two tones match
     assert (0, 1) not in pairs and (0, 2) not in pairs
+
+
+def test_media_pairs_compose_with_connected_components(spark):
+    """The perceptual pair list feeds the generic CC operator: chains
+    A~B~C collapse to one cluster with the min doc_id as survivor —
+    the media dedup ledger end-to-end."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.components import (
+        connected_components,
+    )
+    from rolaguard_data_collectors_spark.llm.multimodal import (
+        media_phash_kernel,
+        media_near_dup_pairs,
+    )
+
+    base = _img(21, 48, 48).astype(np.int16)
+    rows = [
+        (10, bytearray(_ppm(base.astype(np.uint8)))),
+        (11, bytearray(_ppm(np.clip(base + 1, 0, 255).astype(np.uint8)))),
+        (12, bytearray(_ppm(np.clip(base + 2, 0, 255).astype(np.uint8)))),
+        (13, bytearray(_ppm(_img(77, 48, 48)))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = df.mapInPandas(
+        media_phash_kernel, "doc_id long, decoder string, dhash string"
+    )
+    pairs = media_near_dup_pairs(hashes, max_hamming=10).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert labels.get(10) == labels.get(11) == labels.get(12) == 10
+    assert 13 not in labels  # unrelated image joins no cluster
