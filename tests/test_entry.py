@@ -37,3 +37,23 @@ def test_registry_window_is_exactly_full():
     # and every entry except none is oracle-checked (round-5 state:
     # zero rows-only entries)
     assert all(s.oracle is not None for s in specs.values())
+
+
+def test_queries_md_in_sync():
+    """QUERIES.md is generated from the registry; regenerate after
+    registry changes (python scripts/gen_queries_md.py)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "QUERIES.md"), encoding="utf-8") as fh:
+        before = fh.read()
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "gen_queries_md.py")],
+        check=True,
+        capture_output=True,
+    )
+    with open(os.path.join(repo, "QUERIES.md"), encoding="utf-8") as fh:
+        after = fh.read()
+    assert before == after, "QUERIES.md stale: run scripts/gen_queries_md.py"
