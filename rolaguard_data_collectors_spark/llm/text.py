@@ -343,6 +343,64 @@ FROM (
 """
 
 
+# --- unigram self-perplexity ----------------------------------------------
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Perplexity-style quality signal without an external LM: mean
+    -ln p(token) under the corpus's OWN unigram distribution. Rare-
+    token-heavy docs (garbled text, codes, boilerplate-free noise)
+    score high; stopword-heavy running text scores low — the classic
+    perplexity-filter shape with the corpus itself as the model.
+
+    Scale: one token explode -> vocab count (map-side combining) ->
+    join back. The vocabulary is the broadcast side at 100 TB (vocab
+    grows ~log corpus); joining on raw tokens would shuffle-skew on
+    stopwords. Determinism: the per-doc float sum runs over
+    ``sort_array(collect_list(...))`` so the IEEE addition order is
+    value-pinned — identical in the DuckDB oracle's
+    list_sort+list_reduce, whatever the partitioning (same trick as
+    the fingerprint digest's ORDER BY)."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("_tf"))
+    total = toks.groupBy().agg(F.count("*").alias("_n"))
+    scored = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+    lnterm = -F.log(F.col("_tf").cast("double") / F.col("_n"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(lnterm)).alias("_ls"),
+            F.count("*").alias("_c"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate("_ls", F.lit(0.0), lambda a, x: a + x) / F.col("_c"),
+                6,
+            ).alias("unigram_logprob"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH utoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), uvocab AS (
+  SELECT tok, count(*) AS tf FROM utoks GROUP BY tok
+), utotal AS (
+  SELECT count(*) AS n FROM utoks
+)
+SELECT doc_id,
+       round(list_reduce(list_sort(list(lnv)), (x, y) -> x + y)
+             / count(*), 6) AS unigram_logprob
+FROM (
+  SELECT t.doc_id, -ln(f.tf / CAST(tt.n AS DOUBLE)) AS lnv
+  FROM utoks t JOIN uvocab f USING (tok) CROSS JOIN utotal tt
+) scored
+GROUP BY doc_id
+"""
+
+
 # --- eval-set decontamination ---------------------------------------------
 
 # Deterministic held-out "benchmark" slice of the corpus: every 97th
@@ -464,12 +522,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.join(doc_fingerprints(spark, sf_dir), "doc_id")
-        # round-5 consolidations: Gopher-style repetition quality +
-        # eval-set decontamination, as extra profile columns (all four
-        # branches are per-doc aggregates joining on the unique
-        # doc_id — co-partitioned, skew-free).
+        # round-5 consolidations: Gopher-style repetition quality,
+        # eval-set decontamination, and unigram self-perplexity, as
+        # extra profile columns (all branches are per-doc aggregates
+        # joining on the unique doc_id — co-partitioned, skew-free).
         .join(repetition_metrics(docs), "doc_id")
         .join(decontamination(docs), "doc_id")
+        .join(unigram_logprob(docs), "doc_id")
     )
 
 
@@ -509,11 +568,13 @@ WITH t AS (
 SELECT base.*, fp.fp_min, fp.fp_max, fp.n_shingles,
        base.quality_score >= 0.2 AS keep,
        rep.top_2gram_frac, rep.n_2grams,
-       dec.contam_gram_hits, dec.contaminated
+       dec.contam_gram_hits, dec.contaminated,
+       ppl.unigram_logprob
 FROM base
 JOIN fp USING (doc_id)
 JOIN ({REPETITION_SQL}) rep USING (doc_id)
 JOIN ({DECONTAMINATION_SQL}) dec USING (doc_id)
+JOIN ({UNIGRAM_LOGPROB_SQL}) ppl USING (doc_id)
 """
 
 
