@@ -222,6 +222,60 @@ FROM sh GROUP BY doc_id
 # --- TF-IDF top terms (SURVEY.md §2B text analysis) -----------------------
 
 
+def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
+                  counters: int = 500) -> DataFrame:
+    """EXACT global top-k over a massive-cardinality column with
+    BOUNDED executor memory: per-partition Misra-Gries summaries
+    (``counters`` counters each, mapInPandas) -> candidate union ->
+    exact count of only the candidates (broadcast semi-join) -> top-k.
+
+    Why not plain groupBy().count().orderBy().limit(k)? Its map-side
+    partial aggregation holds a hash map keyed by every distinct value
+    a partition sees — O(partition vocabulary) executor memory, which
+    OOMs at the trillion-distinct-n-gram scale. The MG summary is O(c)
+    memory regardless of cardinality, and mergeable: any item with
+    global frequency > N/(c+1) is guaranteed to survive in at least
+    one partition's summary (mergeable-summaries bound), so with c
+    chosen so the k-th frequency clears N/(c+1), the candidate set
+    provably contains the true top-k and the exact confirm pass makes
+    the output EQUAL to the full aggregation — which is what lets the
+    registered leg carry a plain-SQL oracle.
+
+    Ties at rank k break by value ascending, deterministic."""
+    import pandas as pd
+
+    def _mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > counters:
+                cut = sorted(counts.values(), reverse=True)[counters]
+                counts = {
+                    i: c - cut for i, c in counts.items() if c - cut > 0
+                }
+        if counts:
+            yield pd.DataFrame({col: list(counts.keys())})
+
+    spark = tokens.sparkSession
+    candidates = (
+        tokens.mapInPandas(_mg, schema=f"{col} string").distinct()
+    )
+    exact = (
+        tokens.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc(col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(col, "freq", "rank")
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF top-3 terms. Tokenize (lowercase, strip
     non-alpha), tf per (doc, term), df via countDistinct, idf =
@@ -270,11 +324,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
+    per_doc = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "tf", "tfidf", "rank")
+        .select(
+            F.lit("doc").alias("leg"), "doc_id", "term", "tf", "tfidf", "rank"
+        )
     )
+    # Round-5 leg: corpus-wide top-10 terms through the bounded-memory
+    # Misra-Gries heavy-hitter operator — exact by construction (see
+    # heavy_hitters), so the oracle is the plain SQL global top-k.
+    corpus = heavy_hitters(toks, "term", k=10, counters=500).select(
+        F.lit("corpus").alias("leg"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "term",
+        F.col("freq").alias("tf"),
+        F.lit(None).cast("double").alias("tfidf"),
+        "rank",
+    )
+    return per_doc.unionByName(corpus)
 
 
 TFIDF_ORACLE = """
@@ -292,10 +360,17 @@ WITH toks AS (
          round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df), 6) AS tfidf
   FROM tf JOIN dfreq USING (term)
 )
-SELECT doc_id, term, tf, tfidf,
+SELECT 'doc' AS leg, doc_id, term, tf, tfidf,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 3
+UNION ALL
+SELECT 'corpus' AS leg, CAST(NULL AS BIGINT) AS doc_id, term,
+       count(*) AS tf, CAST(NULL AS DOUBLE) AS tfidf,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC) AS INTEGER) AS rank
+FROM toks
+GROUP BY term
+QUALIFY rank <= 10
 """
 
 

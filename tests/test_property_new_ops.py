@@ -84,3 +84,36 @@ def test_chunker_matches_reference_model(spark, tmp_path_factory, texts):
         )
     for i, t in enumerate(texts):
         assert sorted(got[i]) == _expected_chunks(t, C, S), (i, repr(t))
+
+
+def test_heavy_hitters_exact_vs_full_aggregation(spark):
+    """MG candidates + exact confirm must EQUAL the plain global
+    top-k, including on a skew-free adversarial stream where no single
+    item dominates, as long as the k-th frequency clears N/(c+1)."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.text import heavy_hitters
+
+    # zipf-ish: item i appears ~ 3000/i times; plus a uniform tail
+    rows = []
+    for i in range(1, 60):
+        rows += [(f"item{i:03d}",)] * (3000 // i)
+    rows += [(f"tail{j}",) for j in range(2000)]
+    df = spark.createDataFrame(rows, "tok string").repartition(16)
+
+    got = [(r.tok, r.freq, r.rank)
+           for r in heavy_hitters(df, "tok", k=10, counters=100).collect()]
+    want = [
+        (r.tok, r.freq, r.rank)
+        for r in df.groupBy("tok").agg(F.count("*").alias("freq"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.orderBy(F.desc("freq"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .collect()
+    ]
+    assert got == want and len(got) == 10
