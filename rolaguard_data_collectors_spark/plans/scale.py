@@ -111,3 +111,37 @@ def write_partitioned(
     and millions of tiny files cost more than they prune.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def detect_skew(df, key: str, top: int = 10, counters: int = 500):
+    """Pre-join skew diagnosis: the share of rows held by each of the
+    hottest join keys, computed with the bounded-memory heavy-hitter
+    operator (llm/text.heavy_hitters — O(counters) executor memory, so
+    it is safe to run on the 100 TB fact table you are ABOUT to join,
+    unlike a full groupBy on the key). Returns (key, freq, rank,
+    share, skewed) where ``skewed`` flags keys holding more than
+    2x a fair partition's share under the session's shuffle
+    partitioning — the keys to route through salted_join (or AQE's
+    skew-join splitting)."""
+    from pyspark.sql import functions as F
+
+    from ..llm.text import heavy_hitters
+
+    spark = df.sparkSession
+    n = df.count()
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        n_part = spark.sparkContext.defaultParallelism
+    hh = heavy_hitters(
+        df.select(F.col(key).cast("string").alias("k")), "k", k=top,
+        counters=counters,
+    )
+    fair = 1.0 / max(n_part, 1)
+    return hh.select(
+        F.col("k").alias(key),
+        "freq",
+        "rank",
+        F.round(F.col("freq") / F.lit(float(n)), 6).alias("share"),
+        (F.col("freq") / F.lit(float(n)) > 2 * fair).alias("skewed"),
+    )

@@ -203,3 +203,20 @@ def test_bloom_prefilter_bounds_confirm_join_input(spark):
     # and the operator's output stays the exact anti-join
     novel = inc.incremental_novel(batch, hist, "k", n_history=20_000)
     assert novel.count() == 9000
+
+
+def test_detect_skew_flags_hot_key(spark):
+    """A key holding half the table must be flagged; uniform keys must
+    not."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.plans.scale import detect_skew
+
+    hot = spark.range(5000).select(F.lit("HOT").alias("k"))
+    cold = spark.range(5000).select(
+        F.concat(F.lit("c"), (F.col("id") % 1000).cast("string")).alias("k")
+    )
+    df = hot.unionByName(cold)
+    out = {r.k: (r.share, r.skewed) for r in detect_skew(df, "k").collect()}
+    assert out["HOT"][1] is True and abs(out["HOT"][0] - 0.5) < 0.01
+    assert all(not v[1] for k, v in out.items() if k != "HOT")
