@@ -314,12 +314,25 @@ def curation_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = Window.partitionBy("lang").orderBy(
         _doc_hash("doc_id", "s2").asc(), F.col("doc_id").asc()
     )
+    # Leakage-safe train/val/test split (round 5): the split hash is
+    # keyed on md5(text) — the exact-dup GROUP key — not the doc_id,
+    # so every copy of a duplicated document lands in the SAME split
+    # (GroupShuffleSplit semantics; doc-keyed splits leak dup content
+    # from train into eval). 90/5/5 by hash thresholds, deterministic
+    # under any partitioning.
+    split_h = F.expr(hex32("concat(md5(text), 'split')"))
+    split = (
+        F.when(split_h < int(0.90 * _H_SPACE), "train")
+        .when(split_h < int(0.95 * _H_SPACE), "val")
+        .otherwise("test")
+    )
     flags = docs.select(
         "doc_id",
         "lang",
         (_doc_hash("doc_id", "s1") < int(_SAMPLE_FRAC * _H_SPACE)).alias("in_sample"),
         (_doc_hash("doc_id", "s1") < cut).alias("in_stratified"),
         (F.row_number().over(wk) <= _K_PER_LANG).alias("in_k_per_lang"),
+        split.alias("split"),
     )
     return pack.join(flags, "doc_id")
 
@@ -327,6 +340,7 @@ def curation_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sample_pack_oracle_sql() -> str:
     h1 = hex32("concat(cast(doc_id as string), 's1')")
     h2 = hex32("concat(cast(doc_id as string), 's2')")
+    hsplit = hex32("concat(md5(text), 'split')")
     case = " ".join(
         f"WHEN lang = '{lang}' THEN {int(frac * _H_SPACE)}"
         for lang, frac in _STRATA.items()
@@ -340,10 +354,17 @@ flags AS (
          row_number() OVER (PARTITION BY lang ORDER BY {h2}, doc_id)
              <= {_K_PER_LANG} AS in_k_per_lang
   FROM documents
+), splits AS (
+  SELECT doc_id,
+         CASE WHEN {hsplit} < {int(0.90 * _H_SPACE)} THEN 'train'
+              WHEN {hsplit} < {int(0.95 * _H_SPACE)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
 )
 SELECT p.doc_id, p.n_tokens, p.shard_id, p.shard_offset,
-       f.lang, f.in_sample, f.in_stratified, f.in_k_per_lang
-FROM pack p JOIN flags f USING (doc_id)
+       f.lang, f.in_sample, f.in_stratified, f.in_k_per_lang,
+       s.split
+FROM pack p JOIN flags f USING (doc_id) JOIN splits s USING (doc_id)
 """
 
 

@@ -250,3 +250,29 @@ def test_chunk_documents_duckdb_parity(spark, sf_dir):
         map(tuple, _con(sf_dir).execute(curate.chunk_documents_oracle_sql()).fetchall())
     )
     assert got == want
+
+
+def test_split_is_leakage_safe_group_split(spark, tmp_path):
+    """Exact duplicates must land in the SAME split (the split hash is
+    keyed on md5(text), not doc_id), and split fractions roughly hold."""
+    rows = []
+    for i in range(300):
+        rows.append((i, f"unique text number {i}", "en", "web", 20))
+    for i in range(300, 340):  # 20 dup pairs with far-apart doc_ids
+        rows.append((i, f"duplicated text {i % 20}", "en", "web", 18))
+        rows.append((i + 1000, f"duplicated text {i % 20}", "en", "web", 18))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    root = str(tmp_path / "splitcorpus")
+    docs.write.mode("overwrite").parquet(root + "/documents.parquet")
+
+    out = curate.curation_sample_pack(spark, root).select("doc_id", "split")
+    texts = {r.doc_id: t for r in docs.collect() for t in [r.text]}
+    by_text: dict[str, set] = {}
+    for r in out.collect():
+        by_text.setdefault(texts[r.doc_id], set()).add(r.split)
+    assert all(len(s) == 1 for s in by_text.values()), "split leaked across dups"
+    splits = [next(iter(s)) for s in by_text.values()]
+    assert splits.count("train") > 0.8 * len(splits)
+    assert set(splits) <= {"train", "val", "test"}
