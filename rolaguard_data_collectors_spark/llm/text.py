@@ -180,28 +180,39 @@ FROM t
 # --- document fingerprinting (shingle sketch) ----------------------------
 
 
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bottom-sketch fingerprint over character 5-gram shingles: hash
+def _fingerprint_cols() -> dict:
+    """Per-row fingerprint columns over character 5-gram shingles: hash
     every 5-gram (portable md5-based h32), keep min / max / distinct
     count per doc. The min-hash value is the 1-perm MinHash; equal
-    fingerprints => near-identical shingle sets. Shingle explosion is
-    map-local (explode then partial agg by doc_id)."""
-    docs = _docs(spark, sf_dir)
-    shingled = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))")
-        ).alias("shingle"),
+    fingerprints => near-identical shingle sets.
+
+    Shape: a PURE ROW EXPRESSION — transform the in-row shingle array
+    and reduce with array_min/array_max/array_distinct. No explode, no
+    shuffle, no join-back: per-doc state is bounded by the document's
+    own length (a 1 MB doc is a ~1M-element int64 array, megabytes),
+    so at 100 TB this never moves O(total_shingles) rows through an
+    exchange the way the explode+groupBy formulation does."""
+    hashes = F.expr(
+        "transform(transform(sequence(1, greatest(length(text) - 4, 1)),"
+        " i -> substring(text, i, 5)), s -> " + hex32("s") + ")"
     )
-    h = F.expr(hex32("shingle"))
-    return (
-        shingled.select("doc_id", h.alias("h"))
-        .groupBy("doc_id")
-        .agg(
-            F.min("h").alias("fp_min"),
-            F.max("h").alias("fp_max"),
-            F.countDistinct("h").alias("n_shingles"),
-        )
+    return {
+        "fp_min": F.array_min(hashes),
+        "fp_max": F.array_max(hashes),
+        "n_shingles": F.size(F.array_distinct(hashes)).cast("bigint"),
+    }
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame form of ``_fingerprint_cols`` (kept for tests and
+    composition; `text_profile` inlines the columns instead of
+    joining)."""
+    cols = _fingerprint_cols()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        cols["fp_min"].alias("fp_min"),
+        cols["fp_max"].alias("fp_max"),
+        cols["n_shingles"].alias("n_shingles"),
     )
 
 
@@ -377,27 +388,56 @@ QUALIFY rank <= 10
 # --- repetition quality (Gopher-style) -----------------------------------
 
 
-def repetition_metrics(docs: DataFrame) -> DataFrame:
-    """Fraction of tokens covered by the most common word 2-gram per
-    doc — the repetition family of quality rules (a high value means
-    boilerplate / keyword-stuffing / degenerate text a curation pass
-    drops). Shape: explode 2-grams, (doc, gram) partial-agg count,
-    per-doc max/sum — two hash aggregates on co-partitioned keys, no
-    skew (doc_id is unique), linear in corpus size."""
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-                " i -> concat(element_at(split(text, ' '), i), ' ',"
-                " element_at(split(text, ' '), least(i + 1, size(split(text, ' '))))))"
-            )
-        ).alias("gram"),
+_GRAMS_2_EXPR = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+    " i -> concat(element_at(split(text, ' '), i), ' ',"
+    " element_at(split(text, ' '), least(i + 1, size(split(text, ' '))))))"
+)
+
+
+def _repetition_cols() -> dict:
+    """Per-row repetition-quality columns: fraction of tokens covered
+    by the most common word 2-gram per doc — the repetition family of
+    quality rules (a high value means boilerplate / keyword-stuffing /
+    degenerate text a curation pass drops).
+
+    Shape: a PURE ROW EXPRESSION — sort the in-row 2-gram array and
+    fold it with ``aggregate`` tracking the longest equal-run (the
+    mode count of a sorted array is its longest run). O(n log n) per
+    doc, zero shuffle — the explode + two hash aggregates + join-back
+    formulation moved every 2-gram of the corpus through an exchange."""
+    sorted_grams = F.expr(f"array_sort({_GRAMS_2_EXPR})")
+    best_run = F.aggregate(
+        sorted_grams,
+        F.expr(
+            "named_struct('prev', CAST(NULL AS STRING),"
+            " 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT))"
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
-    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("_c"))
-    return per_gram.groupBy("doc_id").agg(
-        _round6(F.max("_c") / F.sum("_c")).alias("top_2gram_frac"),
-        F.sum("_c").alias("n_2grams"),
+    n_grams = F.expr(f"size({_GRAMS_2_EXPR})").cast("bigint")
+    return {
+        "top_2gram_frac": _round6(best_run / n_grams),
+        "n_2grams": n_grams,
+    }
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """DataFrame form of ``_repetition_cols`` (kept for tests and
+    composition; `text_profile` inlines the columns)."""
+    cols = _repetition_cols()
+    return docs.select(
+        "doc_id",
+        cols["top_2gram_frac"].alias("top_2gram_frac"),
+        cols["n_2grams"].alias("n_2grams"),
     )
 
 
@@ -552,12 +592,16 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data curation pass (score every doc once, write one wide
     profile table).
 
-    Plan: the three projection families share a single narrow scan;
-    the fingerprint branch explodes shingles and partial-aggregates by
-    doc_id, then joins back on doc_id (co-partitioned equi-join — at
-    100 TB both sides hash-shuffle on the same key, no skew since
-    doc_id is unique). Component builders above keep the standalone
-    semantics for tests."""
+    Plan: ALL per-doc families (tokens, quality, lang-id, fingerprint,
+    repetition) are row expressions over ONE narrow scan — zero
+    shuffle, zero join for those branches (round-5: the fingerprint
+    and repetition branches were rewritten from explode+groupBy+join
+    to in-row array folds, removing four exchanges from this plan and,
+    at 100 TB, removing an O(total_shingles) shuffle). Only the two
+    genuinely corpus-global branches (decontamination's benchmark gram
+    set, unigram perplexity's vocabulary) keep a join — each a
+    broadcast of the small global side plus one co-partitioned doc_id
+    equi-join (no skew: doc_id is unique)."""
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     n_toks = F.size(toks)
@@ -575,6 +619,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_ratio = stop_hits / n_toks
     th_grams = F.size(F.expr("regexp_extract_all(text, 'th', 0)"))
+    fp = _fingerprint_cols()
+    rep = _repetition_cols()
     base = docs.select(
         "doc_id",
         # token counting
@@ -594,15 +640,17 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(th_grams > 5, "en_weak")
         .otherwise("und")
         .alias("lang_pred"),
+        # fingerprint + repetition: in-row folds, no shuffle
+        fp["fp_min"].alias("fp_min"),
+        fp["fp_max"].alias("fp_max"),
+        fp["n_shingles"].alias("n_shingles"),
+        rep["top_2gram_frac"].alias("top_2gram_frac"),
+        rep["n_2grams"].alias("n_2grams"),
     )
     return (
-        base.join(doc_fingerprints(spark, sf_dir), "doc_id")
-        # round-5 consolidations: Gopher-style repetition quality,
-        # eval-set decontamination, and unigram self-perplexity, as
-        # extra profile columns (all branches are per-doc aggregates
-        # joining on the unique doc_id — co-partitioned, skew-free).
-        .join(repetition_metrics(docs), "doc_id")
-        .join(decontamination(docs), "doc_id")
+        # corpus-global branches: broadcast small side + one
+        # co-partitioned doc_id equi-join each (skew-free).
+        base.join(decontamination(docs), "doc_id")
         .join(unigram_logprob(docs), "doc_id")
     )
 
