@@ -506,26 +506,30 @@ def counting_percentiles(
     Spark's ``percentile`` aggregate holds every (value, count) of a
     group in an executor-memory map — at 100 TB / few groups that is
     an OOM, and even at bench scale its boxed updates dominate
-    (measured 1.2 s vs 0.5 s for this plan at sf0.1). This operator is
-    the scale path: (1) groupBy (group, value) count — partial-agg
-    combines duplicates map-side; (2) a per-group running sum over the
-    sorted distinct values (sort-based window, spillable); (3) a tiny
-    final agg picks and interpolates the bracketing rows. Every stage
-    is whole-stage-codegen arithmetic with bounded memory."""
-    counts = (
-        df.select(group_col, value_col)
-        .where(F.col(value_col).isNotNull())
-        .groupBy(group_col, value_col)
-        .agg(F.count("*").alias("_c"))
-    )
+    (measured 1.2 s vs 0.5 s at sf0.1). This operator is the scale
+    path: rank rows inside each group with a SORT-BASED window
+    (row_number — the sort spills, and the single-row frame never
+    buffers the partition in a hash map), then a tiny final agg picks
+    the two bracketing order statistics and interpolates. Every stage
+    is whole-stage-codegen arithmetic with bounded memory.
+
+    Round 5: a (group, value) pre-dedup before the window was measured
+    and REMOVED — it halved neither shuffle bytes nor sort cost on
+    realistic near-unique values but added a full hash-agg pass
+    (1.29 s vs 0.75 s at sf0.1). Under heavy value duplication the
+    dedup shrinks the window's input, but the window's spillable sort
+    keeps memory bounded either way, so the extra pass only pays for
+    itself when duplicates dominate. Tie order inside the sort is
+    arbitrary yet the VALUE at any rank is deterministic, so the
+    output is stable under any partitioning."""
+    raw = df.select(group_col, value_col).where(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(value_col)
     wall = Window.partitionBy(group_col)
-    ranked = counts.select(
+    ranked = raw.select(
         group_col,
         value_col,
-        (F.sum("_c").over(w) - F.col("_c")).alias("_prev"),
-        F.sum("_c").over(w).alias("_cum"),
-        F.sum("_c").over(wall).alias("_n"),
+        F.row_number().over(w).alias("_i"),
+        F.count("*").over(wall).alias("_n"),
     )
     aggs, outs = [], [F.col(group_col)]
     for p, name in zip(fractions, out_names):
@@ -535,9 +539,8 @@ def counting_percentiles(
         k = F.lit(p) * (F.col("_n") - 1)
         i_lo = F.floor(k) + 1
         i_hi = i_lo + 1
-        covers = lambda i: (i > F.col("_prev")) & (i <= F.col("_cum"))  # noqa: E731
-        aggs.append(F.max(F.when(covers(i_lo), F.col(value_col))).alias(f"_{name}_lo"))
-        aggs.append(F.max(F.when(covers(i_hi), F.col(value_col))).alias(f"_{name}_hi"))
+        aggs.append(F.max(F.when(F.col("_i") == i_lo, F.col(value_col))).alias(f"_{name}_lo"))
+        aggs.append(F.max(F.when(F.col("_i") == i_hi, F.col(value_col))).alias(f"_{name}_hi"))
         aggs.append(F.max(k - F.floor(k)).alias(f"_{name}_w"))
         lo, hi, wgt = (F.col(f"_{name}_lo"), F.col(f"_{name}_hi"), F.col(f"_{name}_w"))
         outs.append((lo + wgt * (F.coalesce(hi, lo) - lo)).alias(name))
