@@ -80,6 +80,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def compute_parallelism(spark: SparkSession) -> int:
+    """CPU-side fan-out for narrow compute-bound stages (UDF sweeps,
+    spread() redistributions): the executor core count, NOT
+    ``spark.sql.shuffle.partitions``. Round 5 decoupled the two so
+    exchange width can shrink — 32-task exchanges cost small
+    aggregate queries ~0.1-0.3 s each in pure task scheduling — while
+    crypto/decode sweeps keep every core busy (the bruteforce sweep
+    measured 2.3 s -> 4.2 s when its fan-out followed the shuffle
+    conf down to 12)."""
+    return max(spark.sparkContext.defaultParallelism, 1)
+
+
 # Split-count decisions memoized per input-file set: spread() sits on
 # the hot build path of every UDF-heavy query, so it must not pay a
 # per-call planning cost (an earlier version called
@@ -105,7 +117,7 @@ def spread(df: DataFrame) -> DataFrame:
     alone clears the bar) and this is a no-op; non-local filesystems
     without stat access also fall through to the no-op."""
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = compute_parallelism(spark)
     files = tuple(df.inputFiles())
     need = _SPREAD_CACHE.get(files)
     if need is None:

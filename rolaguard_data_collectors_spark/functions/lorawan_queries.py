@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, spread
+from ..catalog import compute_parallelism, load_table, spread
 from ..portable_sql import hex_byte
 from ..registry import QuerySpec
 from .lorawan_udfs import (
@@ -295,12 +295,8 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_keys = frames.select(
         F.md5(F.format_string("dev-%d", F.col("user_id"))).alias("cand_key")
     ).distinct()
-    # shuffle.partitions resolves to "auto" on AQE-managed platforms;
-    # fall back to the cluster's default parallelism there.
-    try:
-        n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:
-        n_par = spark.sparkContext.defaultParallelism
+    # CPU fan-out, decoupled from exchange width (catalog helper).
+    n_par = compute_parallelism(spark)
     candidates = (
         reference_keyspaces(spark, BRUTE_KEYS_PER_FAMILY)
         .select("cand_key")

@@ -129,10 +129,9 @@ def detect_skew(df, key: str, top: int = 10, counters: int = 500):
 
     spark = df.sparkSession
     n = df.count()
-    try:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:
-        n_part = spark.sparkContext.defaultParallelism
+    from ..catalog import compute_parallelism
+
+    n_part = compute_parallelism(spark)
     hh = heavy_hitters(
         df.select(F.col(key).cast("string").alias("k")), "k", k=top,
         counters=counters,

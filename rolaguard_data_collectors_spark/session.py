@@ -14,15 +14,19 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Shuffle partitions default to the core count; override independently
-# (SPARK_GRAFT_SHUFFLE_PARTITIONS) to tune exchange width without
-# changing executor parallelism — measured round 5: small aggregate
-# queries at sf0.1 lose ~0.2-0.3 s each to 32-task exchange scheduling
-# that 8-16 tasks avoid, while scan/UDF-bound stages are unaffected
-# (their parallelism comes from input splits, not exchanges).
+# Exchange width, decoupled from CPU fan-out (catalog.
+# compute_parallelism covers the latter): small aggregate queries at
+# sf0.1 lose ~0.1-0.3 s each to 32-task exchange scheduling that
+# 8-16 tasks avoid, while scan/UDF-bound stages are unaffected (their
+# parallelism comes from input splits or explicit spread/repartition).
+# Full-bench A/B at sf0.1: 45.9 s at width 32 vs 41.1 s at width 12
+# with identical results and pipeline throughput. On a real cluster
+# pass SPARK_GRAFT_SHUFFLE_PARTITIONS sized to the executor fleet
+# (AQE coalesces down from it at runtime).
 DEFAULT_SHUFFLE_PARTITIONS = int(
     os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 12),
     )
 )
 
