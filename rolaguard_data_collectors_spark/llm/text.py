@@ -180,26 +180,50 @@ FROM t
 # --- document fingerprinting (shingle sketch) ----------------------------
 
 
-def _fingerprint_cols() -> dict:
+# In-row array of h32 hashes of the doc's character 5-gram shingles.
+# IMPORTANT: consumers must evaluate this ONCE via the _arrays_barrier
+# Generate (below) — higher-order functions run interpreted (no
+# whole-stage codegen, no subexpression elimination), so every column
+# referencing the raw expression re-runs the full md5 fold. Measured in
+# round 5: the same fold inlined into 8 MinHash columns regressed
+# 0.9 s -> 3.3 s; behind the barrier each array materializes once.
+_SHINGLE_HASHES_EXPR = (
+    "transform(transform(sequence(1, greatest(length(text) - 4, 1)),"
+    " i -> substring(text, i, 5)), s -> " + hex32("s") + ")"
+)
+
+
+def _arrays_barrier(docs: DataFrame, keep: list, arrays: dict) -> DataFrame:
+    """Materialize expensive in-row arrays EXACTLY ONCE: wrap them in a
+    single-element array-of-struct and explode it. The Generate node is
+    a projection barrier — CollapseProject cannot inline expressions
+    through it, so downstream columns read the materialized attribute
+    instead of re-evaluating the fold (interpreted HOFs get no CSE).
+    Row count is unchanged (one struct per row)."""
+    packed = F.explode(
+        F.array(F.struct(*[v.alias(k) for k, v in arrays.items()]))
+    ).alias("_arr")
+    out = docs.select(*keep, packed)
+    return out.select(*keep, *[F.col(f"_arr.{k}").alias(k) for k in arrays])
+
+
+def _fingerprint_cols(harr) -> dict:
     """Per-row fingerprint columns over character 5-gram shingles: hash
     every 5-gram (portable md5-based h32), keep min / max / distinct
     count per doc. The min-hash value is the 1-perm MinHash; equal
     fingerprints => near-identical shingle sets.
 
-    Shape: a PURE ROW EXPRESSION — transform the in-row shingle array
-    and reduce with array_min/array_max/array_distinct. No explode, no
-    shuffle, no join-back: per-doc state is bounded by the document's
-    own length (a 1 MB doc is a ~1M-element int64 array, megabytes),
-    so at 100 TB this never moves O(total_shingles) rows through an
-    exchange the way the explode+groupBy formulation does."""
-    hashes = F.expr(
-        "transform(transform(sequence(1, greatest(length(text) - 4, 1)),"
-        " i -> substring(text, i, 5)), s -> " + hex32("s") + ")"
-    )
+    Shape: PURE ROW EXPRESSIONS over a materialized shingle-hash array
+    (``harr`` must be an attribute produced by _arrays_barrier). No
+    explode-per-shingle, no shuffle, no join-back: per-doc state is
+    bounded by the document's own length (a 1 MB doc is a ~1M-element
+    int64 array, megabytes), so at 100 TB this never moves
+    O(total_shingles) rows through an exchange the way the
+    explode+groupBy formulation does."""
     return {
-        "fp_min": F.array_min(hashes),
-        "fp_max": F.array_max(hashes),
-        "n_shingles": F.size(F.array_distinct(hashes)).cast("bigint"),
+        "fp_min": F.array_min(harr),
+        "fp_max": F.array_max(harr),
+        "n_shingles": F.size(F.array_distinct(harr)).cast("bigint"),
     }
 
 
@@ -207,8 +231,11 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame form of ``_fingerprint_cols`` (kept for tests and
     composition; `text_profile` inlines the columns instead of
     joining)."""
-    cols = _fingerprint_cols()
-    return _docs(spark, sf_dir).select(
+    staged = _arrays_barrier(
+        _docs(spark, sf_dir), ["doc_id"], {"_sh": F.expr(_SHINGLE_HASHES_EXPR)}
+    )
+    cols = _fingerprint_cols(F.col("_sh"))
+    return staged.select(
         "doc_id",
         cols["fp_min"].alias("fp_min"),
         cols["fp_max"].alias("fp_max"),
@@ -413,18 +440,19 @@ _GRAMS_2_EXPR = (
 )
 
 
-def _repetition_cols() -> dict:
+def _repetition_cols(garr) -> dict:
     """Per-row repetition-quality columns: fraction of tokens covered
     by the most common word 2-gram per doc — the repetition family of
     quality rules (a high value means boilerplate / keyword-stuffing /
     degenerate text a curation pass drops).
 
-    Shape: a PURE ROW EXPRESSION — sort the in-row 2-gram array and
-    fold it with ``aggregate`` tracking the longest equal-run (the
-    mode count of a sorted array is its longest run). O(n log n) per
-    doc, zero shuffle — the explode + two hash aggregates + join-back
+    Shape: PURE ROW EXPRESSIONS — sort the in-row 2-gram array
+    (``garr``, an attribute from _arrays_barrier) and fold it with
+    ``aggregate`` tracking the longest equal-run (the mode count of a
+    sorted array is its longest run). O(n log n) per doc, zero
+    shuffle — the explode + two hash aggregates + join-back
     formulation moved every 2-gram of the corpus through an exchange."""
-    sorted_grams = F.expr(f"array_sort({_GRAMS_2_EXPR})")
+    sorted_grams = F.array_sort(garr)
     best_run = F.aggregate(
         sorted_grams,
         F.expr(
@@ -441,7 +469,7 @@ def _repetition_cols() -> dict:
         ),
         lambda acc: acc.best,
     )
-    n_grams = F.expr(f"size({_GRAMS_2_EXPR})").cast("bigint")
+    n_grams = F.size(garr).cast("bigint")
     return {
         "top_2gram_frac": _round6(best_run / n_grams),
         "n_2grams": n_grams,
@@ -451,8 +479,9 @@ def _repetition_cols() -> dict:
 def repetition_metrics(docs: DataFrame) -> DataFrame:
     """DataFrame form of ``_repetition_cols`` (kept for tests and
     composition; `text_profile` inlines the columns)."""
-    cols = _repetition_cols()
-    return docs.select(
+    staged = _arrays_barrier(docs, ["doc_id"], {"_g2": F.expr(_GRAMS_2_EXPR)})
+    cols = _repetition_cols(F.col("_g2"))
+    return staged.select(
         "doc_id",
         cols["top_2gram_frac"].alias("top_2gram_frac"),
         cols["n_2grams"].alias("n_2grams"),
@@ -637,9 +666,14 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_ratio = stop_hits / n_toks
     th_grams = F.size(F.expr("regexp_extract_all(text, 'th', 0)"))
-    fp = _fingerprint_cols()
-    rep = _repetition_cols()
-    base = docs.select(
+    staged = _arrays_barrier(
+        docs,
+        ["doc_id", "text", "lang"],
+        {"_sh": F.expr(_SHINGLE_HASHES_EXPR), "_g2": F.expr(_GRAMS_2_EXPR)},
+    )
+    fp = _fingerprint_cols(F.col("_sh"))
+    rep = _repetition_cols(F.col("_g2"))
+    base = staged.select(
         "doc_id",
         # token counting
         n_toks.alias("ws_tokens"),
