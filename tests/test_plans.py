@@ -154,6 +154,31 @@ def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges
     assert plan.count("Exchange") <= max_exchanges, plan
 
 
+@pytest.mark.parametrize(
+    "name,max_scans,max_exchanges",
+    [
+        # raw-row rank window: ONE scan, ONE exchange (round 5 removed
+        # the (group, value) pre-dedup shuffle)
+        ("exact_percentiles", 1, 1),
+        # base+sketches, exact-distinct leg, counting-percentile leg +
+        # two co-partitioned joins
+        ("approx_aggregates", 3, 6),
+        # fingerprint + repetition are in-row folds behind the
+        # _arrays_barrier Generate: only the two corpus-global branches
+        # (decontamination, unigram perplexity) may scan/join — the
+        # former explode+groupBy+join-back form planned 9+ scans
+        ("text_profile", 7, 19),
+    ],
+)
+def test_round5_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges):
+    """Budgets locking the round-5 plan rewrites (see SURVEY.md §6
+    round-5 tuning): regressions that reintroduce removed shuffles or
+    duplicate scans fail here before they reach bench."""
+    plan = _plan(spark, sf_dir, name, mode="simple")
+    assert plan.count("FileScan parquet") <= max_scans, plan
+    assert plan.count("Exchange") <= max_exchanges, plan
+
+
 def test_pushdown_barrier_survives_optimizer(spark):
     """Spark 4.1's range-aware folding removes ``rand() >= 0`` — the
     round-4 barrier predicate — silently re-enabling pushdown below
