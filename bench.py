@@ -61,7 +61,13 @@ def main() -> None:
         decode_phypayload,
     )
 
-    n_workers = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Spin up one Python/Arrow worker per CORE (compute fan-out, not
+    # the narrower exchange width — spread() repartitions UDF stages
+    # to core count, so a conf-width warm-up would leave cold workers
+    # to the first measured UDF query).
+    from rolaguard_data_collectors_spark.catalog import compute_parallelism
+
+    n_workers = compute_parallelism(spark)
     spark.range(256).repartition(n_workers).select(
         decode_phypayload(
             F.lit("QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI="), F.lit(None), F.lit(None)
