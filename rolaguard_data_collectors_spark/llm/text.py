@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
-from ..portable_sql import hex32
+from ..portable_sql import hex32, hex32_array
 from ..registry import QuerySpec
 
 # A BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
@@ -187,9 +187,9 @@ FROM t
 # referencing the raw expression re-runs the full md5 fold. Measured in
 # round 5: the same fold inlined into 8 MinHash columns regressed
 # 0.9 s -> 3.3 s; behind the barrier each array materializes once.
-_SHINGLE_HASHES_EXPR = (
-    "transform(transform(sequence(1, greatest(length(text) - 4, 1)),"
-    " i -> substring(text, i, 5)), s -> " + hex32("s") + ")"
+_SHINGLE_HASHES_EXPR = hex32_array(
+    "transform(sequence(1, greatest(length(text) - 4, 1)),"
+    " i -> substring(text, i, 5))"
 )
 
 

@@ -30,6 +30,36 @@ def hex32(expr: str) -> str:
     return HEX32_TEMPLATE.format(e=expr)
 
 
+# Digit-parse of an ALREADY-COMPUTED 8-hex-char md5 prefix. hex32()
+# inlines md5({e}) into each of its 8 digit terms — free under
+# whole-stage codegen (subexpression elimination), but inside
+# higher-order-function lambdas (interpreted, no CSE) every element
+# would pay 8 md5 calls. Hash arrays in two transform steps instead:
+# transform(xs, s -> substr(md5(s), 1, 8)) then transform(ms, m ->
+# hex32_of_prefix('m')) — the lambda variable is a bound value, so the
+# 8 digit terms reference it for free.
+HEX32_PREFIX_TEMPLATE = "(" + " + ".join(
+    f"CAST(instr('0123456789abcdef', substr({{m}}, {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+
+def hex32_of_prefix(expr: str) -> str:
+    """hex32 given an expression that is already substr(md5(x), 1, 8)."""
+    return HEX32_PREFIX_TEMPLATE.format(m=expr)
+
+
+def hex32_array(array_expr: str, lambda_var: str = "s") -> str:
+    """Portable-hash every element of a string-array SQL expression
+    with ONE md5 per element (see HEX32_PREFIX_TEMPLATE): the
+    md5-prefix transform runs first, the digit parse second."""
+    return (
+        f"transform(transform({array_expr}, {lambda_var} -> "
+        f"substr(md5({lambda_var}), 1, 8)), _m -> {hex32_of_prefix('_m')})"
+    )
+
+
 def minhash_term(expr: str, a: int, b: int) -> str:
     """One member of a universal-ish hash family over hex32(expr)."""
     return f"(({a} * {hex32(expr)} + {b}) % {HASH_PRIME})"
