@@ -433,10 +433,16 @@ QUALIFY rank <= 10
 # --- repetition quality (Gopher-style) -----------------------------------
 
 
+# 2-gram array from a MATERIALIZED token-array attribute `_tk` (stage
+# the tokens with _arrays_barrier first): referencing split(text, ' ')
+# inside the lambda would re-split the whole text per element per
+# reference — interpreted HOFs don't cache enclosing-row subtrees, so
+# the direct form is O(3·N²) characters per doc. Array access on the
+# bound attribute is O(1).
 _GRAMS_2_EXPR = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-    " i -> concat(element_at(split(text, ' '), i), ' ',"
-    " element_at(split(text, ' '), least(i + 1, size(split(text, ' '))))))"
+    "transform(sequence(1, greatest(size(_tk) - 1, 1)),"
+    " i -> concat(element_at(_tk, i), ' ',"
+    " element_at(_tk, least(i + 1, size(_tk)))))"
 )
 
 
@@ -479,7 +485,10 @@ def _repetition_cols(garr) -> dict:
 def repetition_metrics(docs: DataFrame) -> DataFrame:
     """DataFrame form of ``_repetition_cols`` (kept for tests and
     composition; `text_profile` inlines the columns)."""
-    staged = _arrays_barrier(docs, ["doc_id"], {"_g2": F.expr(_GRAMS_2_EXPR)})
+    toked = _arrays_barrier(
+        docs, ["doc_id"], {"_tk": F.split(F.col("text"), " ")}
+    )
+    staged = _arrays_barrier(toked, ["doc_id"], {"_g2": F.expr(_GRAMS_2_EXPR)})
     cols = _repetition_cols(F.col("_g2"))
     return staged.select(
         "doc_id",
@@ -650,7 +659,15 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the small global side plus one co-partitioned doc_id
     equi-join (no skew: doc_id is unique)."""
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
+    toked = _arrays_barrier(
+        docs, ["doc_id", "text", "lang"], {"_tk": F.split(F.col("text"), " ")}
+    )
+    staged = _arrays_barrier(
+        toked,
+        ["doc_id", "text", "lang", "_tk"],
+        {"_sh": F.expr(_SHINGLE_HASHES_EXPR), "_g2": F.expr(_GRAMS_2_EXPR)},
+    )
+    toks = F.col("_tk")
     n_toks = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     mean_wlen = (F.length("text") - (n_toks - 1)) / n_toks
@@ -666,11 +683,6 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_ratio = stop_hits / n_toks
     th_grams = F.size(F.expr("regexp_extract_all(text, 'th', 0)"))
-    staged = _arrays_barrier(
-        docs,
-        ["doc_id", "text", "lang"],
-        {"_sh": F.expr(_SHINGLE_HASHES_EXPR), "_g2": F.expr(_GRAMS_2_EXPR)},
-    )
     fp = _fingerprint_cols(F.col("_sh"))
     rep = _repetition_cols(F.col("_g2"))
     base = staged.select(
