@@ -262,13 +262,38 @@ def _minhash_aggs():
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-permutation MinHash signature per document over distinct
-    whitespace tokens. One explode + one groupBy(doc_id) — linear, the
-    scale path for near-dedup candidate generation."""
+    whitespace tokens, as PURE ROW EXPRESSIONS: hash the in-row
+    distinct-token array once (one md5 per token — hex32_array), stage
+    it behind a Generate barrier (text._arrays_barrier: interpreted
+    HOFs get no CSE, so an unstaged fold re-evaluates per referencing
+    column — a first, barrier-less attempt measured 0.9s -> 3.3s), and
+    take each permutation's array_min over the materialized attribute.
+
+    Zero shuffle: the former explode + groupBy(doc_id) moved every
+    distinct token of the corpus through an exchange to compute a
+    per-doc value that never needed cross-row state. At 100 TB the
+    signature stage is now embarrassingly parallel; only the (doc,
+    band) bucket rows downstream — 8 small rows per doc, no token
+    data — ever shuffle."""
+    from .text import _arrays_barrier
+    from ..portable_sql import hex32_array
+
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    staged = _arrays_barrier(
+        docs,
+        ["doc_id"],
+        {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},
     )
-    return toks.groupBy("doc_id").agg(*_minhash_aggs())
+    harr = F.col("_th")
+    return staged.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(harr, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME)
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ],
+    )
 
 
 def _minhash_sig_sql() -> str:
@@ -427,25 +452,33 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash: per bit j, sign of sum over tokens of
     (+1 if bit j of h32(tok) else -1); fingerprint packs the signs.
     Near-dups differ in few bits (compare with bit_count(xor)).
-    Expressed as 32 conditional sums in one aggregate pass."""
+
+    PURE ROW EXPRESSIONS over the staged token-hash array (same
+    barrier + one-md5-per-token recipe as minhash_signatures): bit j
+    of the fingerprint is set iff more than half the token hashes have
+    bit j set (sign of the +-1 sum), i.e. a size(filter(...))
+    majority test per bit. Zero shuffle — the former explode +
+    32-conditional-sum groupBy(doc_id) moved every distinct token
+    through an exchange."""
+    from .text import _arrays_barrier
+    from ..portable_sql import hex32_array
+
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    staged = _arrays_barrier(
+        docs,
+        ["doc_id"],
+        {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},
     )
-    h = F.expr(hex32("tok"))
-    toks = toks.select("doc_id", h.alias("h"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(32)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    harr = F.col("_th")
+    n = F.size(harr)
     fp = None
     for j in range(32):
-        term = F.when(F.col(f"s{j}") > 0, 2 ** j).otherwise(0).cast("long")
+        ones = F.size(
+            F.filter(harr, lambda h: F.shiftright(h, j).bitwiseAND(1) == 1)
+        )
+        term = F.when(2 * ones > n, 2 ** j).otherwise(0).cast("long")
         fp = term if fp is None else fp + term
-    return agg.select("doc_id", fp.alias("simhash"))
+    return staged.select("doc_id", fp.alias("simhash"))
 
 
 def _simhash_band_assignments(fp: DataFrame, max_hamming: int) -> DataFrame:
