@@ -80,6 +80,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def arrays_barrier(df: DataFrame, keep: list, arrays: dict) -> DataFrame:
+    """Materialize expensive in-row array expressions EXACTLY ONCE:
+    wrap them in a single-element array-of-struct and explode it. The
+    Generate node is a projection barrier — CollapseProject cannot
+    inline expressions through it, so downstream columns read the
+    materialized attribute instead of re-evaluating the fold.
+
+    Why it exists: higher-order functions (transform/aggregate/filter
+    lambdas) evaluate INTERPRETED — outside whole-stage codegen, with
+    no common-subexpression elimination — so a fold inlined into N
+    referencing columns runs N times (measured: an unstaged 8-column
+    MinHash fold regressed 0.9 s -> 3.3 s at sf0.1). Staging behind
+    the barrier pins single evaluation at any scale; row count is
+    unchanged (one struct per row)."""
+    packed = F.explode(
+        F.array(F.struct(*[v.alias(k) for k, v in arrays.items()]))
+    ).alias("_arr")
+    out = df.select(*keep, packed)
+    return out.select(*keep, *[F.col(f"_arr.{k}").alias(k) for k in arrays])
+
+
 def compute_parallelism(spark: SparkSession) -> int:
     """CPU-side fan-out for narrow compute-bound stages (UDF sweeps,
     spread() redistributions): the executor core count, NOT

@@ -275,11 +275,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature stage is now embarrassingly parallel; only the (doc,
     band) bucket rows downstream — 8 small rows per doc, no token
     data — ever shuffle."""
-    from .text import _arrays_barrier
+    from ..catalog import arrays_barrier
     from ..portable_sql import hex32_array
 
     docs = _docs(spark, sf_dir)
-    staged = _arrays_barrier(
+    staged = arrays_barrier(
         docs,
         ["doc_id"],
         {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},
@@ -460,11 +460,11 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority test per bit. Zero shuffle — the former explode +
     32-conditional-sum groupBy(doc_id) moved every distinct token
     through an exchange."""
-    from .text import _arrays_barrier
+    from ..catalog import arrays_barrier
     from ..portable_sql import hex32_array
 
     docs = _docs(spark, sf_dir)
-    staged = _arrays_barrier(
+    staged = arrays_barrier(
         docs,
         ["doc_id"],
         {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},

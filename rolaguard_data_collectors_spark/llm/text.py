@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, spread
+from ..catalog import arrays_barrier, load_table, spread
 from ..portable_sql import hex32, hex32_array
 from ..registry import QuerySpec
 
@@ -193,18 +193,9 @@ _SHINGLE_HASHES_EXPR = hex32_array(
 )
 
 
-def _arrays_barrier(docs: DataFrame, keep: list, arrays: dict) -> DataFrame:
-    """Materialize expensive in-row arrays EXACTLY ONCE: wrap them in a
-    single-element array-of-struct and explode it. The Generate node is
-    a projection barrier — CollapseProject cannot inline expressions
-    through it, so downstream columns read the materialized attribute
-    instead of re-evaluating the fold (interpreted HOFs get no CSE).
-    Row count is unchanged (one struct per row)."""
-    packed = F.explode(
-        F.array(F.struct(*[v.alias(k) for k, v in arrays.items()]))
-    ).alias("_arr")
-    out = docs.select(*keep, packed)
-    return out.select(*keep, *[F.col(f"_arr.{k}").alias(k) for k in arrays])
+# Shared plan machinery: see catalog.arrays_barrier (moved there in
+# round 5 once llm/dedup.py adopted the same staging recipe).
+_arrays_barrier = arrays_barrier
 
 
 def _fingerprint_cols(harr) -> dict:
