@@ -271,10 +271,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves the expected block, so pair work shrinks ~4x per bit; at
     production scale the table is written partitioned by bucket so the
     self-join never shuffles at query time."""
+    # Norms are per-VECTOR — compute them once per side before the
+    # join, not per candidate pair (the vector folds are interpreted
+    # HOFs with no CSE, so every reference is a real 64-dim pass).
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         "embedding",
         _signbit_bucket("embedding", NEAR_DUP_BITS).alias("bucket"),
+        _norm("embedding").alias("nrm"),
     )
     a = emb.alias("a")
     b = (
@@ -282,6 +286,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("b_vec_id"),
             F.col("embedding").alias("b_embedding"),
             F.col("bucket").alias("b_bucket"),
+            F.col("nrm").alias("b_nrm"),
         )
     ).alias("b")
     pairs = a.join(
@@ -289,19 +294,27 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.bucket") == F.col("b_bucket"))
         & (F.col("a.vec_id") < F.col("b_vec_id")),
     )
+    flat = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b_vec_id").alias("vec_b"),
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.embedding").alias("a_emb"),
+        "b_embedding",
+        F.col("a.nrm").alias("a_nrm"),
+        "b_nrm",
+    )
     cos = F.round(
-        _dot("embedding", "b_embedding") / (_norm("embedding") * _norm("b_embedding")),
-        6,
+        _dot("a_emb", "b_embedding") / (F.col("a_nrm") * F.col("b_nrm")), 6
     )
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b_vec_id").alias("vec_b"),
-            F.col("a.bucket").alias("bucket"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+    # Stage the cosine behind the Generate barrier BEFORE filtering:
+    # a pushed-down predicate substitutes the alias definition, so the
+    # threshold filter would otherwise re-run the per-pair dot fold.
+    from ..catalog import arrays_barrier
+
+    scored = arrays_barrier(
+        flat, ["vec_a", "vec_b", "bucket"], {"cosine": cos}
     )
+    return scored.filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
 
 
 _DOT_AB_SQL = (
