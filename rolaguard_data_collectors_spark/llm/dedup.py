@@ -264,7 +264,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-permutation MinHash signature per document over distinct
     whitespace tokens, as PURE ROW EXPRESSIONS: hash the in-row
     distinct-token array once (one md5 per token — hex32_array), stage
-    it behind a Generate barrier (text._arrays_barrier: interpreted
+    it behind a Generate barrier (catalog.arrays_barrier: interpreted
     HOFs get no CSE, so an unstaged fold re-evaluates per referencing
     column — a first, barrier-less attempt measured 0.9s -> 3.3s), and
     take each permutation's array_min over the materialized attribute.
