@@ -1,4 +1,4 @@
-"""Scale toolkit (SURVEY.md §4, §6): the three layout levers that decide
+"""Scale toolkit (SURVEY.md §4, §6): the four layout levers that decide
 whether the engine's joins and scans survive 100 TB.
 
 The reference never needed any of this — it holds its whole state in one
@@ -25,6 +25,15 @@ layout decisions, made once at write time and repaid on every query:
   parquet so predicates become PartitionFilters — a scan that touches
   the partitions the query names and nothing else. This is the batch
   analog of the reference's per-collector topic subscription.
+
+* **Z-order clustering** (`write_zordered`): directory partitioning
+  prunes on ONE column; interleaving the bit ranks of two columns and
+  range-sorting files by the z-value makes parquet footer min/max
+  tight on BOTH, so a two-sided box predicate skips most files before
+  any IO (proven via footer stats in tests/test_layout.py: >=50% of
+  files skippable z-ordered vs <=10% round-robin on the same rows).
+  This is the periodic OPTIMIZE-style compaction pass for hot fact
+  partitions.
 """
 
 from __future__ import annotations
@@ -144,3 +153,133 @@ def detect_skew(df, key: str, top: int = 10, counters: int = 500):
         F.round(F.col("freq") / F.lit(float(n)), 6).alias("share"),
         (F.col("freq") / F.lit(float(n)) > 2 * fair).alias("skewed"),
     )
+
+
+# --- Z-order clustering (multi-column data skipping) ----------------------
+
+ZORDER_BITS = 16
+
+
+def zorder_value(
+    x, y, xmin: float, xmax: float, ymin: float, ymax: float,
+    bits: int = ZORDER_BITS,
+):
+    """Morton/Z-order key for two numeric columns: normalize each to a
+    ``bits``-bit integer rank over its [min, max] range, then
+    interleave the bits (x in even positions, y in odd). Rows close in
+    BOTH dimensions get close z-values, so sorting by z co-locates 2-D
+    neighborhoods — the layout trick behind multi-column data skipping
+    (a directory partition prunes on ONE column; z-clustering makes
+    parquet min/max footer stats tight on TWO at once).
+
+    The [min, max] ranges come from the caller (one tiny aggregate —
+    O(1) driver data, same class as the k-means centroid collects);
+    pure column arithmetic otherwise, whole-stage codegen'd. Degenerate
+    ranges (min == max) collapse that dimension's rank to 0."""
+    max_rank = (1 << bits) - 1
+
+    def _rank(col, lo, hi):
+        span = hi - lo
+        if span <= 0:
+            return F.lit(0).cast("bigint")
+        scaled = F.floor(
+            (col.cast("double") - F.lit(float(lo)))
+            / F.lit(float(span)) * F.lit(float(max_rank))
+        ).cast("bigint")
+        return F.greatest(F.lit(0), F.least(F.lit(max_rank), scaled))
+
+    xr, yr = _rank(x, xmin, xmax), _rank(y, ymin, ymax)
+    z = F.lit(0).cast("bigint")
+    for j in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xr, j).bitwiseAND(1), 2 * j)
+            + F.shiftleft(F.shiftright(yr, j).bitwiseAND(1), 2 * j + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    files: int = 16,
+    bits: int = ZORDER_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite a table Z-clustered on two columns: range-partition on
+    the z-value into ``files`` output files and sort within each, so
+    every file's parquet footer carries TIGHT min/max for BOTH columns
+    and a two-sided box predicate skips most files before any IO.
+
+    This is the compaction/OPTIMIZE-style lake maintenance pass: run it
+    periodically over hot fact partitions; every subsequent scan repays
+    it through footer-level pruning (PushedFilters + row-group stats).
+    repartitionByRange's sampled boundaries are nondeterministic across
+    runs, which is fine HERE — any valid range split yields a correct,
+    well-clustered layout (determinism matters for query results, not
+    physical placement)."""
+    lo_hi = df.agg(
+        F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
+    ).first()
+    z = zorder_value(
+        F.col(xcol), F.col(ycol),
+        lo_hi[0], lo_hi[1], lo_hi[2], lo_hi[3], bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_minmax_stats(path: str, cols: list[str]):
+    """Per-file [min, max] of ``cols`` from the parquet FOOTERS (no
+    data read) — the exact stats a scan's row-group pruning consults.
+    Returns {file: {col: (min, max)}}. Used to PROVE a layout skips:
+    a box predicate can skip every file whose stat range misses it."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict = {}
+        for col in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[col]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            stats[col] = (lo, hi)
+        out[name] = stats
+    return out
+
+
+def skippable_fraction(
+    stats: dict, box: dict[str, tuple]
+) -> float:
+    """Fraction of files a conjunctive box predicate can skip given
+    ``file_minmax_stats`` output: a file is skippable when ANY
+    predicate column's [min, max] misses its box interval."""
+    if not stats:
+        return 0.0
+    skipped = 0
+    for f_stats in stats.values():
+        for col, (lo, hi) in box.items():
+            fmin, fmax = f_stats.get(col, (None, None))
+            if fmin is not None and (fmax < lo or fmin > hi):
+                skipped += 1
+                break
+    return skipped / len(stats)
