@@ -284,13 +284,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
         {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},
     )
-    harr = F.col("_th")
-    return staged.select(
+    # selectExpr with generated SQL strings: the Column-object form of
+    # these 8 folds cost ~100 py4j round trips per plan build.
+    return staged.selectExpr(
         "doc_id",
         *[
-            F.array_min(
-                F.transform(harr, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME)
-            ).alias(f"mh{i}")
+            f"array_min(transform(_th, h -> ({a} * h + {b}) % {HASH_PRIME}))"
+            f" AS mh{i}"
             for i, (a, b) in enumerate(MINHASH_PARAMS)
         ],
     )
@@ -469,16 +469,14 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
         {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},
     )
-    harr = F.col("_th")
-    n = F.size(harr)
-    fp = None
-    for j in range(32):
-        ones = F.size(
-            F.filter(harr, lambda h: F.shiftright(h, j).bitwiseAND(1) == 1)
-        )
-        term = F.when(2 * ones > n, 2 ** j).otherwise(0).cast("long")
-        fp = term if fp is None else fp + term
-    return staged.select("doc_id", fp.alias("simhash"))
+    # One generated SQL expression (the 32-term Column-object loop cost
+    # ~300 py4j round trips per plan build).
+    terms = " + ".join(
+        f"CAST(IF(2 * size(filter(_th, h -> (shiftright(h, {j}) & 1) = 1))"
+        f" > size(_th), {2 ** j}, 0) AS BIGINT)"
+        for j in range(32)
+    )
+    return staged.selectExpr("doc_id", f"({terms}) AS simhash")
 
 
 def _simhash_band_assignments(fp: DataFrame, max_hamming: int) -> DataFrame:
