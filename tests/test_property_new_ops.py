@@ -117,3 +117,30 @@ def test_heavy_hitters_exact_vs_full_aggregation(spark):
         .collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_hex32_array_equals_elementwise_hex32(spark):
+    """hex32_array (one md5 per element, digit-parse of the bound
+    prefix) must equal element-wise hex32 (md5 inlined per digit term)
+    for arbitrary strings INCLUDING the md5-relevant edge cases —
+    the two spellings back the same oracle values, so any divergence
+    is a silent correctness bug in every signature operator."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.portable_sql import hex32, hex32_array
+
+    cases = [
+        "", " ", "a", "the quick brown fox", "héllo wörld", "\t\n",
+        "0123456789abcdef" * 8, "x" * 300, "é", "日本語テキスト",
+        "null", "NaN", "' OR 1=1 --",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = (
+        df.select(
+            F.expr(hex32_array("array(s)"))[0].alias("via_array"),
+            F.expr(hex32("s")).alias("direct"),
+        )
+        .collect()
+    )
+    for r, c in zip(got, cases):
+        assert r.via_array == r.direct, c
