@@ -525,7 +525,9 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     the fingerprint digest's ORDER BY)."""
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("_tf"))
-    total = toks.groupBy().agg(F.count("*").alias("_n"))
+    # Corpus token count as a narrow sum of per-row array sizes — same
+    # value as counting the exploded rows without generating them.
+    total = docs.agg(F.sum(F.size(F.split("text", " "))).alias("_n"))
     scored = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
     lnterm = -F.log(F.col("_tf").cast("double") / F.col("_n"))
     return (
