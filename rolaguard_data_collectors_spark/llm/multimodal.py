@@ -203,7 +203,14 @@ def multimodal_decode_features_flat(spark: SparkSession, sf_dir: str) -> DataFra
     through the REAL resize kernel (multimodal_resize's mapInPandas
     plan) and the md5/shape of the output broadcast-joins onto every
     row — the resize/resample op's driver-checked proof (_golden_media
-    explains the trust chain)."""
+    explains the trust chain).
+
+    Round 6 adds the perceptual-dedup leg: per-doc dHash of the
+    deterministic synthetic image through the REAL media_phash_kernel
+    plus the banded near-dup partner count (perceptual_dedup_table),
+    both re-derived independently by the DuckDB oracle, and the
+    golden WAV's ahash64 through the same kernel (literal-pinned like
+    the resize md5; invariances proven in tests/test_image_phash.py)."""
     ppm, _, _ = _golden_media()
     golden = (
         spark.createDataFrame([(0, ppm)], "doc_id long, payload binary")
@@ -215,8 +222,17 @@ def multimodal_decode_features_flat(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("n_out_bytes").alias("golden_out_bytes"),
         )
     )
+    golden_wav = (
+        spark.createDataFrame([(0, _golden_wav())], "doc_id long, payload binary")
+        .mapInPandas(media_phash_kernel, schema=PHASH_SCHEMA)
+        .select(F.col("dhash").alias("golden_wav_ahash"))
+    )
     feats = multimodal_decode_features(spark, sf_dir)
-    feats = feats.crossJoin(F.broadcast(golden))
+    feats = (
+        feats.crossJoin(F.broadcast(golden))
+        .crossJoin(F.broadcast(golden_wav))
+        .join(perceptual_dedup_table(spark, sf_dir), "doc_id")
+    )
     return feats.select(
         "doc_id",
         "decoder",
@@ -239,6 +255,9 @@ def multimodal_decode_features_flat(spark: SparkSession, sf_dir: str) -> DataFra
         "golden_out_w",
         "golden_out_h",
         "golden_out_bytes",
+        "pdhash",
+        "near_dup_cnt",
+        "golden_wav_ahash",
     )
 
 
@@ -247,7 +266,9 @@ def multimodal_decode_features_flat(spark: SparkSession, sf_dir: str) -> DataFra
 # None and the deterministic byte-feature stub runs): re-derive the
 # per-byte stats SQL-side via hex expansion. The real-decoder paths are
 # pinned by tests/test_multimodal.py on synthesized media bytes.
-MULTIMODAL_DECODE_FEATURES_ORACLE = """
+# Template — formatted into MULTIMODAL_DECODE_FEATURES_ORACLE at the
+# bottom of the module (the golden literals need _golden_wav/_golden_media).
+_MULTIMODAL_DECODE_FEATURES_ORACLE_T = """
 WITH hx AS (
   SELECT doc_id, lower(hex(encode(text))) AS h,
          octet_length(encode(text)) AS n
@@ -268,6 +289,28 @@ WITH hx AS (
          round(CAST(count(*) FILTER (v >= 128 AND v < 192) AS DOUBLE) / count(*), 6) AS hist_q2,
          round(CAST(count(*) FILTER (v >= 192) AS DOUBLE) / count(*), 6) AS hist_q3
   FROM b GROUP BY doc_id
+), pxl AS (
+  SELECT doc_id,
+         [CASE WHEN doc_id % 3 = 0 AND i = 4
+               THEN ((doc_id % 41) * 31 + i * 7 + 128) % 256
+               ELSE ((doc_id % 41) * 31 + i * 7) % 256 END
+          for i in generate_series(0, 71)] AS px
+  FROM documents
+), dh AS (
+  SELECT doc_id,
+         CAST(list_sum([CASE WHEN px[(k // 8) * 9 + (k % 8) + 2] > px[(k // 8) * 9 + (k % 8) + 1]
+                   THEN CAST(1 AS BIGINT) << (31 - k) ELSE CAST(0 AS BIGINT) END
+                   for k in generate_series(0, 31)]) AS BIGINT) AS hi,
+         CAST(list_sum([CASE WHEN px[((k + 32) // 8) * 9 + ((k + 32) % 8) + 2] > px[((k + 32) // 8) * 9 + ((k + 32) % 8) + 1]
+                   THEN CAST(1 AS BIGINT) << (31 - k) ELSE CAST(0 AS BIGINT) END
+                   for k in generate_series(0, 31)]) AS BIGINT) AS lo
+  FROM pxl
+), pcnt AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS near_dup_cnt
+  FROM dh a JOIN dh b
+    ON a.doc_id <> b.doc_id
+   AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+  GROUP BY a.doc_id
 )
 SELECT hx.doc_id,
        'raw' AS decoder,
@@ -289,9 +332,14 @@ SELECT hx.doc_id,
        '{golden_md5}' AS golden_resize_md5,
        CAST(2 AS INTEGER) AS golden_out_w,
        CAST(2 AS INTEGER) AS golden_out_h,
-       CAST({golden_bytes} AS BIGINT) AS golden_out_bytes
+       CAST({golden_bytes} AS BIGINT) AS golden_out_bytes,
+       printf('%08x%08x', dh.hi, dh.lo) AS pdhash,
+       coalesce(pcnt.near_dup_cnt, CAST(0 AS BIGINT)) AS near_dup_cnt,
+       '{ahash_hex}' AS golden_wav_ahash
 FROM hx LEFT JOIN agg USING (doc_id)
-""".format(golden_md5=_golden_media()[1], golden_bytes=_golden_media()[2])
+     JOIN dh USING (doc_id)
+     LEFT JOIN pcnt USING (doc_id)
+"""
 
 
 RESIZE_SCHEMA = (
@@ -495,15 +543,24 @@ def media_phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame({"doc_id": ids, "decoder": dec, "dhash": hh})
 
 
-def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
+def image_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, symmetric: bool = False
+) -> DataFrame:
     """Image near-dup candidate pairs over a (doc_id, dhash) frame:
     pigeonhole-banded like simhash — split the 64-bit hash into 4
     16-bit bands; any pair within hamming distance <= 3 MUST collide
-    in at least one band (and max_hamming=4 still catches everything
-    except the adversarial 1-bit-per-band split). Exact hamming verify
-    is JVM-side: bit_count(xor) on the conv'd int64 — no Python in
-    the join or verify path, and the band join is O(sum bucket^2),
-    never all-pairs."""
+    in at least one band, so the default (3) returns a COMPLETE pair
+    inventory. Distances above 3 can split 1 bit per band and miss
+    the band join — callers passing a larger max_hamming get recall,
+    not completeness (use 5+ bands for a guarantee at distance 4).
+    Exact hamming verify is JVM-side: bit_count(xor) on the conv'd
+    int64 — no Python in the join or verify path, and the band join
+    is O(sum bucket^2), never all-pairs.
+
+    ``symmetric=True`` emits BOTH directions (doc_a <> doc_b) so a
+    per-doc partner count is one groupBy over this frame — a
+    both-directions union of the asymmetric form would duplicate the
+    entire join subtree (2x the scans and kernel runs in the plan)."""
     # hex -> signed int64 via two 32-bit halves: conv().cast(long) of
     # the full 16 hex chars overflows for top-bit hashes; shiftleft
     # wraps into the sign bit without an overflow check.
@@ -538,9 +595,14 @@ def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
         "band",
         "key",
     ).alias("b")
+    keep = (
+        F.col("a.doc_id") != F.col("b_doc_id")
+        if symmetric
+        else F.col("a.doc_id") < F.col("b_doc_id")
+    )
     pairs = (
         a.join(b, ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b_doc_id"))
+        .where(keep)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b_doc_id").alias("doc_b"),
@@ -560,11 +622,115 @@ def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
 media_near_dup_pairs = image_near_dup_pairs
 
 
+# --- driver-registered perceptual-dedup leg (round 6) ---------------------
+#
+# The testdata payloads are utf-8 text (no image/audio magic), so to put
+# the REAL perceptual kernels under the driver's hash oracle we derive a
+# deterministic 9x8 grayscale PPM per document from doc_id alone — the
+# formula is simple integer arithmetic that a DuckDB oracle re-derives
+# bit-for-bit, including the dHash itself (9x8 is dhash64's native grid,
+# so its resize step is the identity and every gradient bit is
+# SQL-expressible). doc_id % 41 keys the image content (planned exact
+# duplicates) and doc_id % 3 == 0 perturbs one pixel (planned hamming<=2
+# near-duplicates), so the banded pair join has real work to do.
+
+_SYN_KEYS = 41  # distinct images in the synthetic corpus
+_SYN_PERTURB = 3  # every 3rd doc gets a one-pixel perturbation
+
+
+def synthetic_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id -> deterministic 9x8 grayscale P6
+    PPM payload (the stand-in for reading real image bytes from a
+    lake; generation is embarrassingly parallel and stays columnar)."""
+    from . import codecs
+
+    for pdf in batches:
+        ids, payloads = [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            v = ((d % _SYN_KEYS) * 31 + np.arange(72, dtype=np.int64) * 7) % 256
+            if d % _SYN_PERTURB == 0:
+                v[4] = (v[4] + 128) % 256
+            px = v.astype(np.uint8).reshape(8, 9)[:, :, None].repeat(3, axis=2)
+            ids.append(d)
+            payloads.append(codecs.encode_ppm(px))
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+_GOLDEN_WAV_CACHE: list = []
+
+
+def _golden_wav() -> bytes:
+    """Deterministic 16-bit mono WAV (8 kHz, 800 samples, sine + a
+    sawtooth-ish dither) — the golden asset that drives the audio
+    branch of media_phash_kernel under the driver oracle."""
+    if not _GOLDEN_WAV_CACHE:
+        import io
+        import wave
+
+        t = np.arange(800)
+        samples = (
+            np.sin(t * 0.1) * 12000 + ((t * 37) % 256 - 128) * 16
+        ).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        _GOLDEN_WAV_CACHE.append(buf.getvalue())
+    return _GOLDEN_WAV_CACHE[0]
+
+
+def perceptual_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pdhash, near_dup_cnt): the synthetic corpus through
+    the REAL media_phash_kernel (sniff -> dhash64) and the banded
+    pair generator, folded to a per-doc near-dup partner count.
+
+    Scale: hashing is one narrow mapInPandas pass; the pair stage is
+    the banded join (O(sum bucket^2), never all-pairs) and the count
+    is a groupBy on its output — at 100 TB the quadratic term is
+    bounded by the duplicate-cluster size, which is exactly the
+    quantity a dedup pass exists to find."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hashes = (
+        docs.mapInPandas(synthetic_media_kernel, schema="doc_id long, payload binary")
+        .mapInPandas(media_phash_kernel, schema=PHASH_SCHEMA)
+    )
+    pairs = image_near_dup_pairs(hashes, max_hamming=3, symmetric=True)
+    cnt = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("near_dup_cnt"))
+    )
+    return (
+        hashes.join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dhash").alias("pdhash"),
+            F.coalesce("near_dup_cnt", F.lit(0)).alias("near_dup_cnt"),
+        )
+    )
+
+
+def _ahash_hex() -> str:
+    from . import codecs
+
+    return f"{codecs.ahash64(_golden_wav()):016x}"
+
+
+MULTIMODAL_DECODE_FEATURES_ORACLE = _MULTIMODAL_DECODE_FEATURES_ORACLE_T.format(
+    golden_md5=_golden_media()[1],
+    golden_bytes=_golden_media()[2],
+    ahash_hex=_ahash_hex(),
+)
+
+
 QUERIES = [
     QuerySpec("multimodal_binary_profile", multimodal_binary_profile,
               MULTIMODAL_BINARY_PROFILE_ORACLE,
               "binary stats + chunk sampling per-asset profile"),
     QuerySpec("multimodal_decode_features", multimodal_decode_features_flat,
               MULTIMODAL_DECODE_FEATURES_ORACLE,
-              "mapInPandas decode features, flattened + byte-stats oracle"),
+              "mapInPandas decode features, flattened + byte-stats oracle + perceptual dedup leg"),
 ]

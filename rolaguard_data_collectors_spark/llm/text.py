@@ -491,7 +491,7 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
 REPETITION_SQL = """
 SELECT doc_id,
        round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac,
-       sum(c) AS n_2grams
+       CAST(sum(c) AS BIGINT) AS n_2grams
 FROM (
   SELECT doc_id, gram, count(*) AS c
   FROM (
@@ -745,8 +745,11 @@ WITH t AS (
   FROM (SELECT doc_id, {hex32("substr(text, i, 5)")} AS h FROM pos)
   GROUP BY doc_id
 )
-SELECT base.*, fp.fp_min, fp.fp_max, fp.n_shingles,
+SELECT base.doc_id, base.ws_tokens, base.bpe_tokens, base.n_bytes,
+       base.stopword_hits, base.mean_word_len, base.quality_score,
        base.quality_score >= 0.2 AS keep,
+       base.lang_label, base.stopword_ratio, base.th_bigrams, base.lang_pred,
+       fp.fp_min, fp.fp_max, fp.n_shingles,
        rep.top_2gram_frac, rep.n_2grams,
        dec.contam_gram_hits, dec.contaminated,
        ppl.unigram_logprob

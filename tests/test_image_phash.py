@@ -186,3 +186,46 @@ def test_media_pairs_compose_with_connected_components(spark):
     labels = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert labels.get(10) == labels.get(11) == labels.get(12) == 10
     assert 13 not in labels  # unrelated image joins no cluster
+
+
+def test_perceptual_dedup_table_planned_duplicates(spark):
+    """The registered perceptual leg (synthetic corpus -> real kernel
+    -> banded partner counts): docs sharing doc_id % 41 AND the same
+    doc_id % 3 perturbation class are exact hash duplicates; perturbed
+    twins of the same content key sit within hamming <= 2, so the
+    symmetric count includes them at the default bound of 3."""
+    from rolaguard_data_collectors_spark.llm.multimodal import (
+        perceptual_dedup_table,
+    )
+
+    rows = {
+        r.doc_id: (r.pdhash, r.near_dup_cnt)
+        for r in perceptual_dedup_table(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows, "empty perceptual table"
+    # exact duplicates: same content key, same perturbation class
+    same_class = [
+        d for d in rows if d % 41 == 1 % 41 and (d % 3 == 0) == (1 % 3 == 0)
+    ]
+    if len(same_class) > 1:
+        assert len({rows[d][0] for d in same_class}) == 1
+    # perturbed twin pairs stay within the pigeonhole-complete bound
+    for d, (h, _) in rows.items():
+        twin = next(
+            (t for t in rows if t != d and t % 41 == d % 41
+             and (t % 3 == 0) != (d % 3 == 0)),
+            None,
+        )
+        if twin is not None:
+            ham = bin(int(h, 16) ^ int(rows[twin][0], 16)).count("1")
+            assert ham <= 2
+            if ham:  # non-identical twins must still be counted
+                assert rows[d][1] >= 1
+            break
+    # every doc with a same-class sibling reports at least that partner
+    from collections import Counter
+
+    classes = Counter((d % 41, d % 3 == 0) for d in rows)
+    for d, (_, cnt) in rows.items():
+        if classes[(d % 41, d % 3 == 0)] > 1:
+            assert cnt >= classes[(d % 41, d % 3 == 0)] - 1

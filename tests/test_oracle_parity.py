@@ -20,3 +20,6 @@ def test_query_matches_oracle(results, name):
     r = results[name]
     assert r.ok, f"{name}: {r.detail}"
     assert r.exact_match, f"{name}: float-tolerant only — {r.detail}"
+    # belt-and-braces for a positional driver hash: build and oracle
+    # must emit the same column ORDER, not just the same column set
+    assert r.order_match, f"{name}: {r.detail}"

@@ -140,9 +140,14 @@ def test_decode_distinct_strategy_plan(spark, sf_dir):
         ("curation_sample_pack", 2, 4),
         # narrow regex chain: spread exchange only
         ("pii_redaction_profile", 1, 1),
-        # mapInPandas over one pruned scan; +1 broadcast exchange for
-        # the 1-row golden-resize leg (local scan, not a file scan)
-        ("multimodal_decode_features", 1, 2),
+        # round 6: feats scan + 3 doc_id-only pruned scans for the
+        # perceptual-dedup leg (banded self-join needs the hash frame
+        # twice, the pdhash output once — each replica reads ONE
+        # column and hashes 72-byte synthetic images, so the extra
+        # scans are metadata-cheap); exchanges: band join 2 + pair
+        # distinct + partner-count agg + hash/cnt/feats joins + two
+        # 1-row golden broadcasts
+        ("multimodal_decode_features", 4, 11),
     ],
 )
 def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges):
