@@ -81,16 +81,35 @@ FROM documents GROUP BY md5(text)
 """
 
 
-# Per-session memo of the history-half bloom, keyed by the immutable
-# testdata dir: in steady state the filter is a PERSISTED lake artifact
-# (IngestDedupSink OR-updates it per accepted batch) — rebuilding it on
-# every query invocation would misrepresent the operator's cost, and
-# repeat three driver jobs per bench run.
-_HISTORY_BLOOM_CACHE: dict[str, tuple[bytes, int, int]] = {}
+# Per-session memo of the history-half bloom: in steady state the
+# filter is a PERSISTED lake artifact (IngestDedupSink OR-updates it
+# per accepted batch) — rebuilding it on every query invocation would
+# misrepresent the operator's cost, and repeat three driver jobs per
+# bench run. Keyed on CONTENT identity (input files + mtimes, like
+# spread()'s memo), not the directory path alone: a dataset
+# regenerated in-place must invalidate the memo, or the stale filter
+# undershoots the new history and silently emits duplicates — the
+# false-negative state this module forbids.
+_HISTORY_BLOOM_CACHE: dict[tuple, tuple[bytes, int, int]] = {}
+
+
+def _history_identity(sf_dir: str, history: DataFrame) -> tuple:
+    import os
+
+    def _mtime(uri: str) -> int:
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            return os.stat(path).st_mtime_ns
+        except OSError:
+            return -1
+
+    files = tuple(sorted(history.inputFiles()))
+    return (sf_dir,) + tuple((f, _mtime(f)) for f in files)
 
 
 def _history_bloom(sf_dir: str, history: DataFrame) -> tuple[bytes, int, int]:
-    state = _HISTORY_BLOOM_CACHE.get(sf_dir)
+    key = _history_identity(sf_dir, history)
+    state = _HISTORY_BLOOM_CACHE.get(key)
     if state is None:
         hkeys = history.select("content_hash").where(
             F.col("content_hash").isNotNull()
@@ -100,7 +119,7 @@ def _history_bloom(sf_dir: str, history: DataFrame) -> tuple[bytes, int, int]:
         bits = incremental.build_bloom(
             hkeys.select(*incremental.hash_columns("content_hash")), m, k
         )
-        state = _HISTORY_BLOOM_CACHE[sf_dir] = (bits, m, k)
+        state = _HISTORY_BLOOM_CACHE[key] = (bits, m, k)
     return state
 
 

@@ -84,6 +84,15 @@ def bloom_params(n_expected: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
+def bloom_capacity(m: int, fpp: float = 0.01) -> int:
+    """Inverse of ``bloom_params``: the key capacity an m-bit filter
+    supports at the target fpp. Lets a restarted sink derive its
+    effective capacity from the PERSISTED bitmap instead of the
+    constructor default — otherwise a filter that was doubled before
+    the restart re-triggers a full rebuild on every batch."""
+    return max(1, math.floor(m * (math.log(2) ** 2) / -math.log(fpp)))
+
+
 def hash_columns(key: str) -> tuple:
     """The two JVM-side hash columns every bloom op derives probe
     positions from (Kirsch-Mitzenmacher)."""
@@ -170,7 +179,11 @@ def build_bloom(keyed: DataFrame, m: int, k: int) -> bytes:
 def might_contain_udf(spark, bloom_bits: bytes, m: int, k: int):
     """Arrow-batched membership probe over the two hash columns. The
     bitmap ships once per executor via a Spark broadcast (torrent
-    distribution), not once per task in the closure."""
+    distribution), not once per task in the closure. The broadcast
+    handle rides on the returned udf as ``bloom_broadcast`` so long-
+    running callers (a foreachBatch sink creating one probe per
+    micro-batch) can unpersist it once the batch is done instead of
+    accreting executor-memory blocks for the stream's lifetime."""
     bc = spark.sparkContext.broadcast(bloom_bits)
 
     @F.pandas_udf(T.BooleanType())
@@ -182,6 +195,7 @@ def might_contain_udf(spark, bloom_bits: bytes, m: int, k: int):
             acc &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1) != 0
         return pd.Series(acc)
 
+    bloom_might_contain.bloom_broadcast = bc
     return bloom_might_contain
 
 
@@ -293,7 +307,13 @@ class IngestDedupSink:
         batch = batch_df.dropDuplicates([self.key])
 
         bits, m, k, n_keys = self._load_bloom()
+        # effective capacity comes from the PERSISTED bitmap when it is
+        # larger than the constructor default: after a restart beyond a
+        # doubled rebuild, the instance default would re-trigger a full
+        # rebuild from the whole key table on every batch.
+        self.capacity = max(self.capacity, bloom_capacity(m, self.fpp))
         accepted = self._accepted_keys(spark, committed)
+        probe = None
         if accepted is not None:
             probe = might_contain_udf(spark, bits, m, k)
             tagged = batch.select("*", *hash_columns(self.key)).withColumn(
@@ -340,6 +360,12 @@ class IngestDedupSink:
             fh.write(f"{epoch_id},{n_new}\n")
             fh.flush()
             os.fsync(fh.fileno())
+
+        if probe is not None:
+            # the probe's bitmap broadcast is batch-scoped (novel was
+            # materialized by the out/ write above); drop it so a
+            # long-running stream doesn't accrete one block per batch
+            probe.bloom_broadcast.unpersist(blocking=False)
 
     def accepted(self, spark) -> DataFrame | None:
         """All rows admitted so far (committed epochs only)."""

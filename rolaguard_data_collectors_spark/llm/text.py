@@ -252,7 +252,8 @@ FROM sh GROUP BY doc_id
 
 
 def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
-                  counters: int = 500, weight: str | None = None) -> DataFrame:
+                  counters: int = 500, weight: str | None = None,
+                  strict: bool = True) -> DataFrame:
     """EXACT global top-k over a massive-cardinality column with
     BOUNDED executor memory: per-partition Misra-Gries summaries
     (``counters`` counters each, mapInPandas) -> candidate union ->
@@ -269,6 +270,16 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
     provably contains the true top-k and the exact confirm pass makes
     the output EQUAL to the full aggregation — which is what lets the
     registered leg carry a plain-SQL oracle.
+
+    ``strict`` (default): the exactness claim above only holds when
+    the k-th confirmed frequency clears W/(counters+1); on a flatter
+    distribution the candidate set may silently miss true top-k items.
+    The guard verifies the bound AT RUNTIME inside the plan
+    (assert_true over one extra scalar total-weight aggregate + two
+    zero-cost window columns in the existing single-partition ranking
+    stage) and fails loudly with an escalation hint instead of
+    returning a plausible-but-wrong top-k. It also (conservatively)
+    rejects runs that confirm fewer than k candidates.
 
     ``weight``: optionally consume PRE-AGGREGATED (item, weight) rows —
     e.g. the (doc, term, tf) pairs a TF-IDF pass already materialized —
@@ -312,11 +323,56 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("freq"), F.asc(col))
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(col, "freq", "rank")
-    )
+    ranked = exact.withColumn("rank", F.row_number().over(w))
+    if strict:
+        # runtime exactness guard: kth * (counters+1) > W proves no
+        # non-candidate can reach the top-k (it would then exceed
+        # W/(c+1) and be guaranteed a survivor slot). Both sides are
+        # 1-row aggregates — the stats agg ALWAYS emits a row (a
+        # row-level guard on the ranked frame silently passes when MG
+        # yields zero candidates), so the assert also catches the
+        # fewer-than-k / empty-candidate cases. Costs one recompute of
+        # the k-row confirm subtree plus one scalar scan for W.
+        total = proj.agg(
+            (F.count("*") if weight is None else F.sum(weight).cast("bigint")).alias("_W")
+        )
+        stats = ranked.agg(
+            F.count("*").alias("_nc"),
+            F.max(F.when(F.col("rank") == k, F.col("freq"))).alias("_kth"),
+        )
+        bound_ok = (F.col("_nc") >= k) & (
+            F.col("_kth") * (counters + 1) > F.col("_W")
+        )
+        guard = stats.crossJoin(total).select(
+            F.coalesce(
+                F.assert_true(
+                    bound_ok,
+                    F.lit(
+                        "heavy_hitters exactness bound violated: kth "
+                        "confirmed frequency <= total/(counters+1) — "
+                        "escalate counters or fall back to a full groupBy"
+                    ),
+                ),
+                F.lit(True),
+            ).alias("_guard_ok")
+        )
+        # sentinel union, not a crossJoin filter: a join's guard side
+        # can be skipped when the probe side is empty (AQE empty-
+        # relation propagation), which is exactly the zero-candidate
+        # case the guard must catch. A union child always executes;
+        # the ~_guard_ok filter is provably empty only at RUNTIME
+        # (after the assert has evaluated), never statically.
+        sentinel = guard.where(~F.col("_guard_ok")).select(
+            F.lit(None).cast("string").alias(col),
+            F.lit(None).cast("bigint").alias("freq"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+        return (
+            ranked.filter(F.col("rank") <= k)
+            .select(col, "freq", "rank")
+            .unionByName(sentinel)
+        )
+    return ranked.filter(F.col("rank") <= k).select(col, "freq", "rank")
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

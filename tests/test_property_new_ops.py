@@ -144,3 +144,24 @@ def test_hex32_array_equals_elementwise_hex32(spark):
     )
     for r, c in zip(got, cases):
         assert r.via_array == r.direct, c
+
+
+def test_heavy_hitters_strict_guard_rejects_flat_distribution(spark):
+    """On a distribution where the k-th frequency cannot clear
+    W/(counters+1), the MG candidate set may silently miss true top-k
+    items — the strict guard must fail the job loudly instead."""
+    import pytest
+    from pyspark.sql.utils import CapturedException
+
+    from rolaguard_data_collectors_spark.llm.text import heavy_hitters
+
+    # 5000 distinct singleton items: kth freq = 1, W = 5000,
+    # 1 * (counters+1) = 101 <= 5000 -> bound violated
+    df = spark.range(5000).selectExpr("concat('u', id) AS tok").repartition(8)
+    with pytest.raises(Exception, match="exactness bound violated"):
+        heavy_hitters(df, "tok", k=10, counters=100).collect()
+    # strict=False restores the advisory behavior — and demonstrates
+    # the silent miss the guard exists for: the flat stream decrements
+    # every MG counter away, so fewer than k (here zero) rows survive
+    rows = heavy_hitters(df, "tok", k=10, counters=100, strict=False).collect()
+    assert len(rows) < 10
