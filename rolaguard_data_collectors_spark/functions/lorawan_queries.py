@@ -25,6 +25,7 @@ from ..catalog import compute_parallelism, load_table, spread
 from ..portable_sql import hex_byte
 from ..registry import QuerySpec
 from .lorawan_udfs import (
+    data_frame_roundtrip,
     decode_phypayload,
     decode_phypayload_for,
     derive_session_keys,
@@ -150,28 +151,17 @@ def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.lit('[{"cid":"DevStatusAns","payload":"ff1f"},'
                     '{"cid":"LinkCheckReq"}]'))
     )
-    framed = ev.withColumn(
-        "data",
-        encode_data_frame_b64(
+    # Fused kernel (round 6): encode -> keyed decode (MIC in-parse) ->
+    # MAC re-marshal assertion in ONE Arrow crossing. The previous
+    # three dependent ArrowEvalPython stages were serialization-bound
+    # (each one round-trips every row's struct between JVM and
+    # Python); the constituent ops remain separately plan-labeled in
+    # the pipeline/scalar-chain queries.
+    parsed = ev.withColumn(
+        "p",
+        data_frame_roundtrip(
             "key_hex", "dev_addr", "f_cnt", "payload_text", "f_port", mac
         ),
-    )
-    # MIC validation happens inside the decode UDF (p.mic_ok) — one
-    # Arrow pass instead of two, and the per-key cipher/CMAC contexts
-    # are cached across rows in the codec layer. Pruned to the 8
-    # consumed fields: the keyed decode stage is Arrow-serialization
-    # bound, not crypto bound (measured ~20us/row crypto vs ~0.9s
-    # stage cost at sf0.1), so shipping 18 struct fields for 8 was
-    # the larger share.
-    parsed = framed.withColumn(
-        "p",
-        decode_phypayload_for(
-            ("m_type", "dev_addr", "f_count", "f_port", "frm_payload",
-             "f_opts", "mic_ok", "error")
-        )("data", "key_hex", "key_hex"),
-    )
-    parsed = parsed.withColumn(
-        "m", mac_commands_roundtrip(F.col("p.f_opts"), F.lit(True))
     )
     return parsed.select(
         "event_id",
@@ -182,8 +172,8 @@ def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decrypted payload back to text proves the crypt round trip
         F.expr("cast(unhex(p.frm_payload) AS string)").alias("payload_text"),
         F.col("p.f_opts").alias("mac_json"),
-        F.col("m.fopts_hex").alias("fopts_hex"),
-        F.col("m.fopts_roundtrip_ok").alias("fopts_roundtrip_ok"),
+        F.col("p.fopts_hex").alias("fopts_hex"),
+        F.col("p.fopts_roundtrip_ok").alias("fopts_roundtrip_ok"),
         F.col("p.mic_ok").alias("mic_ok"),
         F.col("p.error").alias("error"),
     )

@@ -171,29 +171,97 @@ MAC_ROUNDTRIP_SCHEMA = T.StructType(
 )
 
 
+def _mac_roundtrip_cell(js: str | None, uplink: bool):
+    """(fopts_hex, roundtrip_ok) for one decoded f_opts JSON value —
+    shared by the standalone mac_commands_roundtrip UDF and the fused
+    data_frame_roundtrip kernel."""
+    import json as _json
+
+    if js is None:
+        return None, None
+    try:
+        cmds = _json.loads(js)
+        raw = lc.marshal_mac_commands(cmds, uplink)
+        return raw.hex(), lc.parse_mac_commands(raw, uplink) == cmds
+    except (ValueError, KeyError):
+        return None, False
+
+
 @F.pandas_udf(MAC_ROUNDTRIP_SCHEMA)
 def mac_commands_roundtrip(f_opts_json: pd.Series, uplink: pd.Series) -> pd.DataFrame:
     """op 47 proof kernel: marshal the JSON MAC-command list (the
     decode struct's ``f_opts``) back to fOpts bytes, re-parse, and
     assert the command list survives — marshal/parse are inverses on
     the wire domain."""
-    import json as _json
-
     hexes, ok = [], []
     for js, up in zip(f_opts_json, uplink):
-        if js is None:
-            hexes.append(None)
-            ok.append(None)
-            continue
-        try:
-            cmds = _json.loads(js)
-            raw = lc.marshal_mac_commands(cmds, bool(up))
-            hexes.append(raw.hex())
-            ok.append(lc.parse_mac_commands(raw, bool(up)) == cmds)
-        except (ValueError, KeyError):
-            hexes.append(None)
-            ok.append(False)
+        h, o = _mac_roundtrip_cell(js, bool(up))
+        hexes.append(h)
+        ok.append(o)
     return pd.DataFrame({"fopts_hex": hexes, "fopts_roundtrip_ok": ok})
+
+
+DATA_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("m_type", T.StringType()),
+        T.StructField("dev_addr", T.StringType()),
+        T.StructField("f_count", T.LongType()),
+        T.StructField("f_port", T.IntegerType()),
+        T.StructField("frm_payload", T.StringType()),
+        T.StructField("f_opts", T.StringType()),
+        T.StructField("fopts_hex", T.StringType()),
+        T.StructField("fopts_roundtrip_ok", T.BooleanType()),
+        T.StructField("mic_ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_RT_FIELDS = [f.name for f in DATA_ROUNDTRIP_SCHEMA.fields]
+
+
+@F.pandas_udf(DATA_ROUNDTRIP_SCHEMA)
+def data_frame_roundtrip(
+    nwk_s_key: pd.Series,
+    dev_addr: pd.Series,
+    f_cnt: pd.Series,
+    payload: pd.Series,
+    f_port: pd.Series,
+    f_opts_json: pd.Series,
+) -> pd.DataFrame:
+    """Fused ops 13/41/47 kernel: encode_data_frame -> parse (with
+    FRMPayload decrypt + in-parse MIC) -> MAC-command re-marshal
+    assertion, all inside ONE Arrow crossing. The unfused form
+    (encode UDF -> decode UDF -> mac UDF) is three dependent
+    ArrowEvalPython stages — each one a full serialize/deserialize of
+    every row's struct between the JVM and Python — and the measured
+    stage cost at sf0.1 was serialization-, not crypto-, bound. The
+    constituent codec ops stay individually exercised (and plan-
+    labeled) by the pipeline and scalar-chain queries; this kernel is
+    the roundtrip PROOF path, where only the fused output matters."""
+    import json as _json
+
+    cols: dict[str, list] = {f: [] for f in _RT_FIELDS}
+    for kh, da, fc, pl, fp, fo in zip(
+        nwk_s_key, dev_addr, f_cnt, payload, f_port, f_opts_json
+    ):
+        key = bytes.fromhex(kh)
+        cmds = _json.loads(fo) if fo else []
+        raw = lc.encode_data_frame(
+            key, da, int(fc), (pl or "").encode(), f_port=int(fp), f_opts=cmds
+        )
+        p = lc.parse_phypayload(raw, key, key)
+        fopts_hex, fopts_ok = _mac_roundtrip_cell(p.f_opts, True)
+        cols["m_type"].append(p.m_type)
+        cols["dev_addr"].append(p.dev_addr)
+        cols["f_count"].append(p.f_count)
+        cols["f_port"].append(p.f_port)
+        cols["frm_payload"].append(p.frm_payload)
+        cols["f_opts"].append(p.f_opts)
+        cols["fopts_hex"].append(fopts_hex)
+        cols["fopts_roundtrip_ok"].append(fopts_ok)
+        cols["mic_ok"].append(p.mic_ok)
+        cols["error"].append(p.error)
+    return pd.DataFrame(cols, columns=_RT_FIELDS)
 
 
 @F.pandas_udf(T.StringType())

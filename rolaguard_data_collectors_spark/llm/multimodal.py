@@ -292,8 +292,8 @@ WITH hx AS (
 ), pxl AS (
   SELECT doc_id,
          [CASE WHEN doc_id % 3 = 0 AND i = 4
-               THEN ((doc_id % 41) * 31 + i * 7 + 128) % 256
-               ELSE ((doc_id % 41) * 31 + i * 7) % 256 END
+               THEN ((((((doc_id // 4) * 73 + i) * ((doc_id // 4) * 73 + i)) % 1000003) * 2654435761 // 512) % 256 + 128) % 256
+               ELSE (((((doc_id // 4) * 73 + i) * ((doc_id // 4) * 73 + i)) % 1000003) * 2654435761 // 512) % 256 END
           for i in generate_series(0, 71)] AS px
   FROM documents
 ), dh AS (
@@ -588,26 +588,31 @@ def image_near_dup_pairs(
             )
         ).alias("_b"),
     ).select("doc_id", "_h", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+    # Alias-based self-join of the SAME DataFrame: both sides have
+    # identical canonical plans, so ReuseExchange computes the banded
+    # subtree (and everything below it — possibly an expensive hash
+    # kernel) ONCE and replays the shuffle for the probe side. A
+    # column-renaming projection on one side breaks the canonical
+    # equality and doubles the subtree.
     a = bands.alias("a")
-    b = bands.select(
-        F.col("doc_id").alias("b_doc_id"),
-        F.col("_h").alias("b_h"),
-        "band",
-        "key",
-    ).alias("b")
+    b = bands.alias("b")
     keep = (
-        F.col("a.doc_id") != F.col("b_doc_id")
+        F.col("a.doc_id") != F.col("b.doc_id")
         if symmetric
-        else F.col("a.doc_id") < F.col("b_doc_id")
+        else F.col("a.doc_id") < F.col("b.doc_id")
     )
     pairs = (
-        a.join(b, ["band", "key"])
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
         .where(keep)
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("b_doc_id").alias("doc_b"),
+            F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
-                F.col("a._h").bitwiseXOR(F.col("b_h"))
+                F.col("a._h").bitwiseXOR(F.col("b._h"))
             ).alias("hamming"),
         )
         .distinct()
@@ -630,12 +635,36 @@ media_near_dup_pairs = image_near_dup_pairs
 # formula is simple integer arithmetic that a DuckDB oracle re-derives
 # bit-for-bit, including the dHash itself (9x8 is dhash64's native grid,
 # so its resize step is the identity and every gradient bit is
-# SQL-expressible). doc_id % 41 keys the image content (planned exact
-# duplicates) and doc_id % 3 == 0 perturbs one pixel (planned hamming<=2
-# near-duplicates), so the banded pair join has real work to do.
+# SQL-expressible). doc_id // 4 keys the image content — BOUNDED
+# duplicate groups of 4 docs each, so planned pairs are O(N) at any
+# corpus size (a modulus key like doc_id % 41 makes every group grow
+# with N and the pair inventory quadratic: 6.3M pairs at sf0.1 —
+# measured, rejected). doc_id % 3 == 0 perturbs one pixel (planned
+# hamming<=2 near-duplicates inside each group). The pixel mix is
+# NONLINEAR in (group, pixel) — square then multiply — because any
+# mix linear in the group id gives different groups near-identical
+# gradient signatures (the comparison bits depend mostly on the
+# per-pixel step pattern, which a linear form shares across groups;
+# measured: 15 cross-group partners per doc). With the squared mix,
+# 1250 groups produce 1250 distinct hashes and ~1e-5 of sampled
+# cross-group pairs land within hamming 3 — accidental pairs both
+# sides (Spark and oracle) count identically. All intermediates fit
+# int64: x <= 73*(max_doc/4), x^2 reduced mod 1000003 before the
+# multiplier.
 
-_SYN_KEYS = 41  # distinct images in the synthetic corpus
+_SYN_GROUP = 4  # docs per synthetic image (bounded duplicate group)
 _SYN_PERTURB = 3  # every 3rd doc gets a one-pixel perturbation
+_SYN_A = 2654435761
+_SYN_MOD = 1000003
+
+
+def _syn_pixels(doc_id: int) -> np.ndarray:
+    g = doc_id // _SYN_GROUP
+    x = g * 73 + np.arange(72, dtype=np.int64)
+    v = (((x * x) % _SYN_MOD) * _SYN_A // 512) % 256
+    if doc_id % _SYN_PERTURB == 0:
+        v[4] = (v[4] + 128) % 256
+    return v
 
 
 def synthetic_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -648,9 +677,7 @@ def synthetic_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         ids, payloads = [], []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            v = ((d % _SYN_KEYS) * 31 + np.arange(72, dtype=np.int64) * 7) % 256
-            if d % _SYN_PERTURB == 0:
-                v[4] = (v[4] + 128) % 256
+            v = _syn_pixels(d)
             px = v.astype(np.uint8).reshape(8, 9)[:, :, None].repeat(3, axis=2)
             ids.append(d)
             payloads.append(codecs.encode_ppm(px))
@@ -692,7 +719,16 @@ def perceptual_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a groupBy on its output — at 100 TB the quadratic term is
     bounded by the duplicate-cluster size, which is exactly the
     quantity a dedup pass exists to find."""
-    docs = _docs(spark, sf_dir).select("doc_id")
+    from ..catalog import compute_parallelism
+
+    # quarter-width fan-out, measured optimum at sf0.1 (0.46s vs 0.70s
+    # single-task and 0.70s full-width): the synthetic gen+hash kernels
+    # are light (~110us/row), so task/worker overhead dominates past a
+    # few partitions. A lake-scale corpus with real image bytes arrives
+    # pre-split by the scan and never takes this repartition.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
+        max(2, compute_parallelism(spark) // 4)
+    )
     hashes = (
         docs.mapInPandas(synthetic_media_kernel, schema="doc_id long, payload binary")
         .mapInPandas(media_phash_kernel, schema=PHASH_SCHEMA)

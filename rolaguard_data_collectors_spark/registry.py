@@ -23,6 +23,30 @@ class QuerySpec:
     doc: str = ""
 
 
+def _bootstrapped(build: Callable) -> Callable:
+    """Run the executor-pythonpath bootstrap BEFORE any build code.
+
+    Spark snapshots ``sc._python_includes`` into each Python UDF
+    wrapper at plan-construction time — a build that creates a UDF
+    (e.g. a local-relation golden leg) before its first load_table
+    call captures an EMPTY include list, and in a fresh session
+    launched from a foreign CWD its tasks then die with
+    ModuleNotFoundError on the workers. Bootstrapping at the top of
+    every registered build makes query build order irrelevant."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .bootstrap import ensure_executor_pythonpath
+
+        ensure_executor_pythonpath(spark)
+        return build(spark, sf_dir)
+
+    run.__wrapped__ = build
+    run.__name__ = getattr(build, "__name__", "build")
+    run.__module__ = getattr(build, "__module__", run.__module__)
+    run.__doc__ = build.__doc__
+    return run
+
+
 def collect_all() -> dict[str, QuerySpec]:
     """Import every operator module and merge their registries."""
     from .operators import relational, scalar, stateful
@@ -47,5 +71,7 @@ def collect_all() -> dict[str, QuerySpec]:
         for spec in mod.QUERIES:
             if spec.name in merged:
                 raise ValueError(f"duplicate query name: {spec.name}")
-            merged[spec.name] = spec
+            merged[spec.name] = QuerySpec(
+                spec.name, _bootstrapped(spec.build), spec.oracle, spec.doc
+            )
     return merged

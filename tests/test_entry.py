@@ -57,3 +57,37 @@ def test_queries_md_in_sync():
     with open(os.path.join(repo, "QUERIES.md"), encoding="utf-8") as fh:
         after = fh.read()
     assert before == after, "QUERIES.md stale: run scripts/gen_queries_md.py"
+
+
+def test_first_query_from_foreign_cwd_ships_package():
+    """Driver-contract regression (round 6): a query whose build
+    creates Python UDFs BEFORE its first load_table call (the golden
+    local-relation legs) must still run when it is the FIRST query in
+    a fresh session launched from a foreign CWD — Spark snapshots
+    sc._python_includes into each UDF at plan-construction time, so
+    the registry bootstraps every build before any build code runs."""
+    import subprocess
+    import sys
+
+    code = r"""
+import sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, "/root/repo")
+from rolaguard_data_collectors_spark.registry import collect_all
+df = collect_all()["multimodal_decode_features"].build(
+    spark, "/root/testdata/sf0.001")
+print("ROWS", df.count())
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=None,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ROWS" in out.stdout, out.stdout
