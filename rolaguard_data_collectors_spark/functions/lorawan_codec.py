@@ -369,6 +369,29 @@ def derive_session_keys(
     return nwk, app
 
 
+def derive_session_keys_batch(
+    app_key: bytes, tails: list[bytes]
+) -> list[tuple[bytes, bytes]]:
+    """``derive_session_keys`` for MANY (AppNonce|NetID|DevNonce|pad)
+    tails under one AppKey: ECB is stateless per 16-byte block, so the
+    2N key blocks encrypt in ONE cipher ``update`` (one FFI crossing)
+    instead of 2N — same trick as aes_cmac_batch, bit-identical
+    (property-tested). Tails must be the 15-byte tail derive_session_
+    keys builds."""
+    enc = _enc_ctx(app_key)[0]
+    buf = bytearray()
+    for t in tails:
+        buf += b"\x01"
+        buf += t
+        buf += b"\x02"
+        buf += t
+    out = enc.update(bytes(buf))
+    return [
+        (out[i * 32 : i * 32 + 16], out[i * 32 + 16 : i * 32 + 32])
+        for i in range(len(tails))
+    ]
+
+
 # --- MAC commands (FOpts) ------------------------------------------------
 
 

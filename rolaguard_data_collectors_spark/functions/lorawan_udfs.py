@@ -268,10 +268,25 @@ def data_frame_roundtrip(
 def encode_join_request_b64(
     app_key: pd.Series, join_eui: pd.Series, dev_eui: pd.Series, dev_nonce: pd.Series
 ) -> pd.Series:
-    out = []
-    for ak, je, de, dn in zip(app_key, join_eui, dev_eui, dev_nonce):
-        raw = lc.encode_join_request(bytes.fromhex(ak), je, de, int(dn))
-        out.append(base64.b64encode(raw).decode())
+    """Rows grouped by AppKey inside the batch so the JoinRequest MICs
+    run through the stage-vectorized aes_cmac_batch (one ECB call per
+    block stage per key, not per frame) — the signup workload has few
+    distinct AppKeys and many frames, the exact shape the batch kernel
+    exploits."""
+    out: list = [None] * len(app_key)
+    by_key: dict[str, tuple[list[int], list[bytes]]] = {}
+    for i, (ak, je, de, dn) in enumerate(
+        zip(app_key, join_eui, dev_eui, dev_nonce)
+    ):
+        msg = b"\x00" + lc._unle(je) + lc._unle(de) + int(dn).to_bytes(2, "little")
+        slot = by_key.setdefault(ak, ([], []))
+        slot[0].append(i)
+        slot[1].append(msg)
+    for ak, (idxs, msgs) in by_key.items():
+        key = bytes.fromhex(ak)
+        macs = lc.aes_cmac_batch(key, msgs)
+        for i, msg, mac in zip(idxs, msgs, macs):
+            out[i] = base64.b64encode(msg + mac[:4]).decode()
     return pd.Series(out)
 
 
@@ -376,11 +391,28 @@ SESSION_KEYS_SCHEMA = T.StructType(
 def derive_session_keys(
     app_key: pd.Series, app_nonce: pd.Series, net_id: pd.Series, dev_nonce: pd.Series
 ) -> pd.DataFrame:
-    """generateSessionKeysFromJoins equivalent (op 44)."""
-    rows = []
-    for ak, an, ni, dn in zip(app_key, app_nonce, net_id, dev_nonce):
-        nwk, app = lc.derive_session_keys(
-            bytes.fromhex(ak), bytes.fromhex(an), bytes.fromhex(ni), int(dn)
+    """generateSessionKeysFromJoins equivalent (op 44). Rows grouped
+    by AppKey so all of a key's 2N session-key blocks encrypt in one
+    ECB call (derive_session_keys_batch) instead of 2 per row."""
+    n = len(app_key)
+    nwk: list = [None] * n
+    app: list = [None] * n
+    by_key: dict[str, tuple[list[int], list[bytes]]] = {}
+    for i, (ak, an, ni, dn) in enumerate(
+        zip(app_key, app_nonce, net_id, dev_nonce)
+    ):
+        tail = (
+            bytes.fromhex(an)
+            + bytes.fromhex(ni)
+            + int(dn).to_bytes(2, "little")
+            + b"\x00" * 7
         )
-        rows.append({"nwk_s_key": nwk.hex(), "app_s_key": app.hex()})
-    return pd.DataFrame(rows, columns=["nwk_s_key", "app_s_key"])
+        slot = by_key.setdefault(ak, ([], []))
+        slot[0].append(i)
+        slot[1].append(tail)
+    for ak, (idxs, tails) in by_key.items():
+        pairs = lc.derive_session_keys_batch(bytes.fromhex(ak), tails)
+        for i, (nw, ap) in zip(idxs, pairs):
+            nwk[i] = nw.hex()
+            app[i] = ap.hex()
+    return pd.DataFrame({"nwk_s_key": nwk, "app_s_key": app})

@@ -361,3 +361,35 @@ def test_validate_mic_batch_matches_scalar():
         for r in frames
     ]
     assert lc.validate_mic_batch(frames, key) == want
+
+
+def test_derive_session_keys_batch_matches_scalar():
+    """derive_session_keys_batch must be bit-identical to the scalar
+    form for arbitrary nonce/net/devnonce mixes under one key."""
+    from hypothesis import given, settings, strategies as st
+
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        key=st.binary(min_size=16, max_size=16),
+        rows=st.lists(
+            st.tuples(
+                st.binary(min_size=3, max_size=3),
+                st.binary(min_size=3, max_size=3),
+                st.integers(min_value=0, max_value=65535),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+    )
+    def run(key, rows):
+        tails = [
+            an + ni + dn.to_bytes(2, "little") + b"\x00" * 7
+            for an, ni, dn in rows
+        ]
+        got = lc.derive_session_keys_batch(key, tails)
+        want = [lc.derive_session_keys(key, an, ni, dn) for an, ni, dn in rows]
+        assert got == want
+
+    run()
