@@ -543,6 +543,47 @@ def media_phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame({"doc_id": ids, "decoder": dec, "dhash": hh})
 
 
+def _banded(hashes: DataFrame) -> DataFrame:
+    """(doc_id, _h int64, band, key) rows — 4 per hash — SHUFFLED on
+    (band, key). The explicit repartition is the sharing point: every
+    consumer (both self-join sides, a per-doc hash projection) sits on
+    an identical Exchange, so ReuseExchange computes the hash-kernel
+    subtree once per query instead of once per consumer."""
+    # hex -> signed int64 via two 32-bit halves: conv().cast(long) of
+    # the full 16 hex chars overflows for top-bit hashes; shiftleft
+    # wraps into the sign bit without an overflow check.
+    hi = F.conv(F.substring("dhash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("dhash", 9, 8), 16, 10).cast("long")
+    h = hashes.where(F.col("dhash").isNotNull()).select(
+        "doc_id",
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("_h"),
+        *[
+            F.substring("dhash", 1 + 4 * i, 4).alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+    return (
+        h.select(
+            "doc_id",
+            "_h",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"), F.col(f"band{i}").alias("key")
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("_b"),
+        )
+        .select(
+            "doc_id", "_h", F.col("_b.band").alias("band"), F.col("_b.key").alias("key")
+        )
+        .repartition(F.col("band"), F.col("key"))
+    )
+
+
 def image_near_dup_pairs(
     hashes: DataFrame, max_hamming: int = 3, symmetric: bool = False
 ) -> DataFrame:
@@ -561,33 +602,7 @@ def image_near_dup_pairs(
     per-doc partner count is one groupBy over this frame — a
     both-directions union of the asymmetric form would duplicate the
     entire join subtree (2x the scans and kernel runs in the plan)."""
-    # hex -> signed int64 via two 32-bit halves: conv().cast(long) of
-    # the full 16 hex chars overflows for top-bit hashes; shiftleft
-    # wraps into the sign bit without an overflow check.
-    hi = F.conv(F.substring("dhash", 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring("dhash", 9, 8), 16, 10).cast("long")
-    h = hashes.where(F.col("dhash").isNotNull()).select(
-        "doc_id",
-        F.shiftleft(hi, 32).bitwiseOR(lo).alias("_h"),
-        *[
-            F.substring("dhash", 1 + 4 * i, 4).alias(f"band{i}")
-            for i in range(4)
-        ],
-    )
-    bands = h.select(
-        "doc_id",
-        "_h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"), F.col(f"band{i}").alias("key")
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("_b"),
-    ).select("doc_id", "_h", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+    bands = _banded(hashes)
     # Alias-based self-join of the SAME DataFrame: both sides have
     # identical canonical plans, so ReuseExchange computes the banded
     # subtree (and everything below it — possibly an expensive hash
@@ -739,11 +754,20 @@ def perceptual_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("near_dup_cnt"))
     )
+    # pdhash comes from the SAME banded exchange the pair join reads
+    # (band 0 slice, int64 back to canonical 16-hex), so the synthetic
+    # gen+hash kernels run ONCE for the whole query instead of once
+    # per consumer. Every synthetic payload decodes (all are valid
+    # PPMs), so the band-0 slice covers every doc.
+    hashes_hex = _banded(hashes).where(F.col("band") == 0).select(
+        "doc_id",
+        F.lpad(F.lower(F.hex("_h")), 16, "0").alias("pdhash"),
+    )
     return (
-        hashes.join(cnt, "doc_id", "left")
+        hashes_hex.join(cnt, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("dhash").alias("pdhash"),
+            "pdhash",
             F.coalesce("near_dup_cnt", F.lit(0)).alias("near_dup_cnt"),
         )
     )

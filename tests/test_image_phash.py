@@ -234,3 +234,19 @@ def test_perceptual_dedup_table_planned_duplicates(spark):
         # (group size 4 plus at most a few accidental cross-group
         # collisions — the quadratic doc_id%41 design measured 1255)
         assert cnt <= 16, (d, cnt)
+
+
+def test_perceptual_leg_reuses_banded_exchange(spark):
+    """The registered query's three banded-exchange consumers (both
+    pair-join sides and the pdhash slice) must collapse to ONE kernel
+    run at execution: the explicit (band, key) repartition is the
+    sharing point ReuseExchange keys on. Guards against a refactor
+    that re-introduces per-consumer recompute of the hash kernels."""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    df = collect_all()["multimodal_decode_features"].build(
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan[:4000]

@@ -141,13 +141,14 @@ def test_decode_distinct_strategy_plan(spark, sf_dir):
         # narrow regex chain: spread exchange only
         ("pii_redaction_profile", 1, 1),
         # round 6: feats scan + 3 doc_id-only pruned scans for the
-        # perceptual-dedup leg (banded self-join needs the hash frame
-        # twice, the pdhash output once — each replica reads ONE
-        # column and hashes 72-byte synthetic images, so the extra
-        # scans are metadata-cheap); exchanges: band join 2 + pair
-        # distinct + partner-count agg + hash/cnt/feats joins + two
-        # 1-row golden broadcasts
-        ("multimodal_decode_features", 4, 11),
+        # perceptual-dedup leg in the STATIC plan — at runtime all
+        # three consumers (both self-join sides, the pdhash slice)
+        # sit on one explicit (band, key) repartition and collapse to
+        # a single kernel run via ReuseExchange (asserted in
+        # tests/test_image_phash.py); exchanges: banded repartition
+        # x3 static + pair distinct + partner-count agg +
+        # hash/cnt/feats joins + two 1-row golden broadcasts
+        ("multimodal_decode_features", 4, 14),
     ],
 )
 def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges):
