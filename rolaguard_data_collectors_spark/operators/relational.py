@@ -392,11 +392,30 @@ SELECT nationkey, 'except' AS op FROM (
 
 
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct counts as SEPARATE aggregates joined on the tiny
+    group key: two countDistincts in one agg plan an Expand that
+    triples every input row across the shuffle (the approx_aggregates
+    19s->3.9s lesson). Each split leg scans a 2-column pruned
+    projection and partial-combines map-side (0.60s -> 0.42s for the
+    composed pivot query at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count("*").alias("n_rows"),
+    rows = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
+    parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    supps = (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_supps"))
+    )
+    return (
+        parts.join(supps, "l_returnflag")
+        .join(rows, "l_returnflag")
+        .select("l_returnflag", "n_parts", "n_supps", "n_rows")
     )
 
 
