@@ -73,10 +73,10 @@ SELECT event_id, frame_hex,
          || substr(frame_hex, 5, 2) || substr(frame_hex, 3, 2) AS dev_addr,
        {hex_byte("substr(frame_hex, 11, 2)")} % 256 >= 128 AS adr,
        {hex_byte("substr(frame_hex, 11, 2)")} % 64 >= 32 AS ack,
-       {hex_byte("substr(frame_hex, 11, 2)")} % 16 AS fopts_len,
-       {hex_byte("substr(frame_hex, 15, 2)")} * 256
-         + {hex_byte("substr(frame_hex, 13, 2)")} AS f_count,
-       {hex_byte("substr(frame_hex, 17, 2)")} AS f_port
+       CAST({hex_byte("substr(frame_hex, 11, 2)")} % 16 AS INTEGER) AS fopts_len,
+       CAST({hex_byte("substr(frame_hex, 15, 2)")} * 256
+         + {hex_byte("substr(frame_hex, 13, 2)")} AS INTEGER) AS f_count,
+       CAST({hex_byte("substr(frame_hex, 17, 2)")} AS INTEGER) AS f_port
 FROM frames
 """
 

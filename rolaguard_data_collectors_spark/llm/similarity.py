@@ -407,13 +407,14 @@ FROM embeddings
 
 
 def cosine_topk_int8(spark: SparkSession, sf_dir: str,
-                     query_id: int = QUERY_VEC_ID, k: int = TOP_K) -> DataFrame:
+                     query_id: int = QUERY_VEC_ID, k: int = TOP_K,
+                     scales: list[float] | None = None) -> DataFrame:
     """Approximate brute-force top-k over the quantized corpus: the
     integer dot product rescaled per dimension (asymmetric per-dim
     scales fold into the product), same broadcast-1-row +
     TakeOrderedAndProject plan as the float baseline — but scanning
     int8-range codes instead of float32."""
-    scales = embedding_scales(spark, sf_dir)
+    scales = scales if scales is not None else embedding_scales(spark, sf_dir)
     q = quantize_embeddings(spark, sf_dir, scales)
     # (s/127)*(s/127) as two explicit multiplies, not **2: the DuckDB
     # oracle computes the same weight with a multiply, and IEEE pow is
@@ -434,15 +435,132 @@ def cosine_topk_int8(spark: SparkSession, sf_dir: str,
     )
 
 
+# --- product quantization (PQ) over the int8 codes ------------------------
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (64-dim embeddings)
+PQ_K = 16  # codes per subspace; codebook = subvectors of vec_id < PQ_K
+
+
+def _pq_dist_expr(m: int, j: int) -> Column:
+    """Squared L2 between the row's codes subvector m and codebook
+    entry j — an EXPLICIT left-associated chain of integer terms, so
+    the arithmetic is exact and order-identical to the oracle's (no
+    float summation-order hazard anywhere in the PQ leg)."""
+    out = None
+    for i in range(PQ_DSUB):
+        idx = m * PQ_DSUB + i + 1
+        d = F.element_at("codes", idx).cast("bigint") - F.element_at(
+            f"_cb{j}", idx
+        ).cast("bigint")
+        t = d * d
+        out = t if out is None else out + t
+    return out
+
+
+def _pq_adc_expr(m: int, j: int) -> Column:
+    """Asymmetric-distance-computation table entry: dot(query
+    subvector m, codebook entry j) — integer chain, exact."""
+    out = None
+    for i in range(PQ_DSUB):
+        idx = m * PQ_DSUB + i + 1
+        t = F.element_at("q_codes", idx).cast("bigint") * F.element_at(
+            f"_cb{j}", idx
+        ).cast("bigint")
+        out = t if out is None else out + t
+    return out
+
+
+def cosine_topk_pq(spark: SparkSession, sf_dir: str,
+                   query_id: int = QUERY_VEC_ID, k: int = TOP_K,
+                   scales: list[float] | None = None) -> DataFrame:
+    """Product-quantization top-k over the int8-quantized corpus — the
+    classic ANN memory ladder beyond flat int8: each vector stores M
+    sub-codes; scoring is M table LOOKUPS per candidate instead of a
+    d-dimensional dot (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011).
+
+    Spark-first shape: the codebook (subvectors of vec_id < PQ_K — a
+    deterministic sampled codebook, the k-means init; the Lloyd-
+    refined variant composes via llm/kmeans.py and stays pytest-
+    proven) pivots to ONE broadcast row in-plan — no driver-side
+    training job — and encoding + ADC scoring are whole-stage-codegen
+    integer chains staged behind arrays_barrier so each distance
+    array evaluates once. Everything is INTEGER arithmetic over the
+    int8 codes, so the DuckDB oracle reproduces the leg bit-for-bit
+    (no float ordering hazards), and at 100 TB the scan reads
+    M log2(K) = 32 bits per vector instead of 256 float bits."""
+    from ..catalog import arrays_barrier
+
+    scales = scales if scales is not None else embedding_scales(spark, sf_dir)
+    q = quantize_embeddings(spark, sf_dir, scales)
+    qrow = q.filter(F.col("vec_id") == query_id).select(
+        F.col("codes").alias("q_codes")
+    )
+    cbrow = q.filter(F.col("vec_id") < PQ_K).groupBy().agg(
+        *[
+            F.max(F.when(F.col("vec_id") == j, F.col("codes"))).alias(f"_cb{j}")
+            for j in range(PQ_K)
+        ]
+    )
+    base = (
+        q.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(qrow))
+        .crossJoin(F.broadcast(cbrow))
+    )
+    cb_cols = [f"_cb{j}" for j in range(PQ_K)]
+    staged = arrays_barrier(
+        base,
+        ["vec_id", "label", "q_codes", *cb_cols],
+        {
+            f"_d{m}": F.array(*[_pq_dist_expr(m, j) for j in range(PQ_K)])
+            for m in range(PQ_M)
+        },
+    )
+    staged2 = arrays_barrier(
+        staged,
+        ["vec_id", "label"],
+        {
+            **{
+                f"_c{m}": F.array_position(
+                    F.col(f"_d{m}"), F.array_min(f"_d{m}")
+                )
+                for m in range(PQ_M)
+            },
+            **{
+                f"_a{m}": F.array(*[_pq_adc_expr(m, j) for j in range(PQ_K)])
+                for m in range(PQ_M)
+            },
+        },
+    )
+    score = None
+    for m in range(PQ_M):
+        t = F.element_at(f"_a{m}", F.col(f"_c{m}").cast("int"))
+        score = t if score is None else score + t
+    return (
+        staged2.select(
+            "vec_id",
+            "label",
+            score.cast("bigint").cast("double").alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry consolidation of the three point-query ANN strategies
+    """Registry consolidation of the four point-query ANN strategies
     as one tagged union: the exact float32 brute force (``fp32``), the
-    sign-bit LSH bucket probe (``lsh``), and the int8-quantized scan
-    (``int8`` — the 100 TB memory-bandwidth lever: 4x fewer bytes per
-    probe, integer dot JVM-side). All three share the broadcast-1-row
-    query + TakeOrderedAndProject plan; the component builders keep
-    the standalone semantics for tests (tests/test_quantize.py,
-    tests/test_kmeans.py)."""
+    sign-bit LSH bucket probe (``lsh``), the int8-quantized scan
+    (``int8`` — 4x fewer bytes per probe, integer dot JVM-side), and
+    product quantization over the int8 codes (``pq`` — round 6: M
+    sub-codes per vector, ADC table lookups instead of a full dot;
+    32 bits/vector at 100 TB). All share the broadcast-1-row query +
+    TakeOrderedAndProject plan; the component builders keep the
+    standalone semantics for tests (tests/test_quantize.py,
+    tests/test_kmeans.py). The per-dimension scales collect once and
+    feed both quantized legs."""
+    scales = embedding_scales(spark, sf_dir)
     fp32 = cosine_topk_bruteforce(spark, sf_dir).select(
         F.lit("fp32").alias("method"),
         "vec_id",
@@ -457,14 +575,21 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("cosine").alias("score"),
     )
-    int8 = cosine_topk_int8(spark, sf_dir).select(
+    int8 = cosine_topk_int8(spark, sf_dir, scales=scales).select(
         F.lit("int8").alias("method"),
         "vec_id",
         "label",
         F.lit(None).cast("int").alias("bucket"),
         F.col("approx_dot").alias("score"),
     )
-    return fp32.unionByName(lsh).unionByName(int8)
+    pq = cosine_topk_pq(spark, sf_dir, scales=scales).select(
+        F.lit("pq").alias("method"),
+        "vec_id",
+        "label",
+        F.lit(None).cast("int").alias("bucket"),
+        F.col("pq_score").alias("score"),
+    )
+    return fp32.unionByName(lsh).unionByName(int8).unionByName(pq)
 
 
 # The int8 leg's oracle recomputes the per-dimension scales inside
@@ -503,8 +628,43 @@ WITH fp AS (
   GROUP BY codes.vec_id, codes.label
   ORDER BY score DESC, codes.vec_id ASC
   LIMIT {TOP_K}
+), icodes AS (
+  -- PQ works on the SAME int8 codes, as exact integers: every PQ
+  -- quantity below is integer arithmetic, so aggregation order can
+  -- never skew the hash
+  SELECT vec_id, label, dim, CAST(c AS BIGINT) AS c FROM codes
+), pcb AS (
+  SELECT vec_id AS code, dim, c FROM icodes WHERE vec_id < {PQ_K}
+), pdist AS (
+  SELECT v.vec_id, (v.dim - 1) // {PQ_DSUB} AS m, pcb.code,
+         CAST(sum((v.c - pcb.c) * (v.c - pcb.c)) AS BIGINT) AS d
+  FROM icodes v JOIN pcb USING (dim)
+  GROUP BY v.vec_id, m, pcb.code
+), pbest AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d ASC, code ASC) AS rn
+    FROM pdist) WHERE rn = 1
+), padc AS (
+  SELECT (q.dim - 1) // {PQ_DSUB} AS m, pcb.code,
+         CAST(sum(q.c * pcb.c) AS BIGINT) AS dp
+  FROM icodes q JOIN pcb USING (dim)
+  WHERE q.vec_id = {QUERY_VEC_ID}
+  GROUP BY m, pcb.code
+), pq AS (
+  SELECT 'pq' AS method, b.vec_id, e.label,
+         CAST(NULL AS INTEGER) AS bucket,
+         CAST(CAST(sum(a.dp) AS BIGINT) AS DOUBLE) AS score
+  FROM pbest b JOIN padc a USING (m, code)
+  JOIN embeddings e ON e.vec_id = b.vec_id
+  WHERE b.vec_id != {QUERY_VEC_ID}
+  GROUP BY b.vec_id, e.label
+  ORDER BY score DESC, b.vec_id ASC
+  LIMIT {TOP_K}
 )
-SELECT * FROM fp UNION ALL SELECT * FROM lsh UNION ALL SELECT * FROM i8
+SELECT * FROM fp UNION ALL SELECT * FROM lsh
+UNION ALL SELECT * FROM i8 UNION ALL SELECT * FROM pq
 """
 
 

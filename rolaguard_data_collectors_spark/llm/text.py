@@ -390,7 +390,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — stopword-grade terms each land on one reducer, the
     classic skew cliff at corpus scale. The recomputed branch is
     embarrassingly parallel, partially aggregates map-side, and its
-    output is vocabulary-sized (broadcastable)."""
+    output is vocabulary-sized (broadcastable).
+
+    Round 6 adds the ``bm25`` leg: Okapi BM25 (k1=1.2, b=0.75) top-3
+    terms per doc — the retrieval-grade scorer a RAG/dedup pipeline
+    ranks with. It rides the SAME tf/dfreq aggregates (doc length =
+    sum of tf per doc, so no re-tokenize), adding one doc-length
+    aggregate + a broadcast avgdl scalar to the plan."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
@@ -445,7 +451,43 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("tfidf"),
         "rank",
     )
-    return per_doc.unionByName(corpus)
+    # BM25 leg: doc length from the tf frame itself (sum of term
+    # frequencies per doc == token count), avgdl a 1-row broadcast.
+    k1, b = 1.2, 0.75
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    bm25_scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    bm25 = (
+        bm25_scored.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.lit("bm25").alias("leg"), "doc_id", "term", "tf", "tfidf", "rank"
+        )
+    )
+    return per_doc.unionByName(corpus).unionByName(bm25)
 
 
 TFIDF_ORACLE = """
@@ -474,6 +516,21 @@ SELECT 'corpus' AS leg, CAST(NULL AS BIGINT) AS doc_id, term,
 FROM toks
 GROUP BY term
 QUALIFY rank <= 10
+UNION ALL
+SELECT leg, doc_id, term, tf, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+FROM (
+  SELECT 'bm25' AS leg, doc_id, term, tf,
+         round(ln(((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avg(dl) FROM
+                   (SELECT sum(tf) AS dl FROM tf GROUP BY doc_id)))), 6) AS tfidf
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id) dls USING (doc_id)
+)
+QUALIFY rank <= 3
 """
 
 

@@ -312,7 +312,7 @@ def string_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STRING_TRUNCATION_ORACLE = """
-SELECT doc_id, substr(text, 1, 64) AS message, length(substr(text, 1, 64)) AS message_len
+SELECT doc_id, substr(text, 1, 64) AS message, CAST(length(substr(text, 1, 64)) AS INTEGER) AS message_len
 FROM documents
 """
 
@@ -805,7 +805,7 @@ SELECT doc_id, unpadded,
        gateway_b64,
        lower(hex(from_base64(gateway_b64))) AS gateway_hex,
        substr(text, 1, 64) AS message,
-       length(substr(text, 1, 64)) AS message_len
+       CAST(length(substr(text, 1, 64)) AS INTEGER) AS message_len
 FROM b
 """
 

@@ -42,6 +42,8 @@ class CompareResult:
     order_match: bool = True
     detail: str = ""
     mismatches: list = field(default_factory=list)
+    dtypes_match: bool = True
+    dtype_skews: list = field(default_factory=list)
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -140,6 +142,23 @@ def compare(
 
     columns_match = sorted(s_cols) == sorted(d_cols)
     order_match = s_cols == d_cols
+
+    # Dtype pinning (round 6): the HUGEINT→float64 trap that bit
+    # text_profile is exactly a one-sided pandas dtype skew. Pin the
+    # materialized dtype per column, normalizing only differences the
+    # driver hash provably cannot see (datetime64 tick resolution —
+    # both stringify identically through _canon's isoformat).
+    def _norm_dtype(dt) -> str:
+        s = str(dt)
+        return "datetime64" if s.startswith("datetime64") else s
+
+    dtype_skews = []
+    if columns_match:
+        for c in s_cols:
+            sd, dd = _norm_dtype(s_pdf[c].dtype), _norm_dtype(d_pdf[c].dtype)
+            if sd != dd:
+                dtype_skews.append((c, sd, dd))
+    dtypes_match = not dtype_skews
     row_count_match = len(s_rows) == len(d_rows)
     if not columns_match:
         return CompareResult(
@@ -192,9 +211,11 @@ def compare(
         detail = f"TYPE-SKEW (values equal, strings differ): {mismatches[:1]}"
     elif not order_match:
         detail = f"column ORDER differs: spark={s_cols} duckdb={d_cols}"
+    elif dtype_skews:
+        detail = f"dtype skew (values identical today): {dtype_skews[:4]}"
     return CompareResult(
         name, ok, row_count_match, columns_match, values_match, exact,
-        order_match, detail, mismatches,
+        order_match, detail, mismatches, dtypes_match, dtype_skews,
     )
 
 

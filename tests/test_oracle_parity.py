@@ -23,3 +23,7 @@ def test_query_matches_oracle(results, name):
     # belt-and-braces for a positional driver hash: build and oracle
     # must emit the same column ORDER, not just the same column set
     assert r.order_match, f"{name}: {r.detail}"
+    # dtype pinning: a one-sided pandas dtype (int vs widened float64)
+    # is the HUGEINT trap even when today's values stringify equal —
+    # fail it locally before a null/value pattern shift exposes it
+    assert r.dtypes_match, f"{name}: {r.dtype_skews}"

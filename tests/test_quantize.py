@@ -48,3 +48,39 @@ def test_int8_topk_recall(spark, sf_dir):
     # int8 with per-dim scales on unit-norm vectors: near-lossless
     # ranking; 0.8 is the contract floor, observed ~1.0.
     assert recall >= 0.8, f"recall@{k} = {recall}"
+
+
+def test_pq_codes_and_adc_are_exact_integers(spark, sf_dir):
+    """Every PQ quantity is integer arithmetic over the int8 codes:
+    scores must be exact integral doubles (no float fuzz anywhere),
+    and encoding must be self-consistent — a codebook vector must
+    encode to ITSELF (zero distance in every subspace)."""
+    from pyspark.sql import functions as F
+
+    pq = sim.cosine_topk_pq(spark, sf_dir)
+    rows = pq.collect()
+    assert rows, "empty pq top-k"
+    assert all(float(r.pq_score) == int(r.pq_score) for r in rows)
+
+    # self-encoding: for vec_id 1 (a codebook member, != query), its
+    # ADC score equals the exact int8 dot with the query — the lookup
+    # resolves to its own subvectors
+    scales = sim.embedding_scales(spark, sf_dir)
+    q = sim.quantize_embeddings(spark, sf_dir, scales)
+    codes = {r.vec_id: list(r.codes) for r in q.filter(F.col("vec_id") < 16).collect()}
+    qc = codes[sim.QUERY_VEC_ID]
+    want = sum(a * b for a, b in zip(qc, codes[1]))
+    got = {r.vec_id: r.pq_score for r in rows}
+    if 1 in got:  # only if vec 1 made the top-k
+        assert int(got[1]) == want
+
+
+def test_pq_topk_recall(spark, sf_dir):
+    """PQ with a 16-entry sampled codebook per subspace is a coarse
+    quantizer — the contract floor is lower than flat int8, but the
+    true neighbors must still dominate the PQ top-k."""
+    exact = [r.vec_id for r in sim.cosine_topk_bruteforce(spark, sf_dir).collect()]
+    approx = [r.vec_id for r in sim.cosine_topk_pq(spark, sf_dir).collect()]
+    k = len(exact)
+    recall = len(set(exact) & set(approx)) / k
+    assert recall >= 0.3, f"recall@{k} = {recall}"
