@@ -442,33 +442,54 @@ PQ_DSUB = 8  # dims per subspace (64-dim embeddings)
 PQ_K = 16  # codes per subspace; codebook = subvectors of vec_id < PQ_K
 
 
-def _pq_dist_expr(m: int, j: int) -> Column:
-    """Squared L2 between the row's codes subvector m and codebook
-    entry j — an EXPLICIT left-associated chain of integer terms, so
-    the arithmetic is exact and order-identical to the oracle's (no
-    float summation-order hazard anywhere in the PQ leg)."""
-    out = None
-    for i in range(PQ_DSUB):
-        idx = m * PQ_DSUB + i + 1
-        d = F.element_at("codes", idx).cast("bigint") - F.element_at(
-            f"_cb{j}", idx
-        ).cast("bigint")
-        t = d * d
-        out = t if out is None else out + t
-    return out
+def _pq_sub(col, m: int) -> Column:
+    """Subspace m slice (1-based) of a 64-code array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.slice(c, m * PQ_DSUB + 1, PQ_DSUB)
 
 
-def _pq_adc_expr(m: int, j: int) -> Column:
-    """Asymmetric-distance-computation table entry: dot(query
-    subvector m, codebook entry j) — integer chain, exact."""
-    out = None
-    for i in range(PQ_DSUB):
-        idx = m * PQ_DSUB + i + 1
-        t = F.element_at("q_codes", idx).cast("bigint") * F.element_at(
-            f"_cb{j}", idx
-        ).cast("bigint")
-        out = t if out is None else out + t
-    return out
+def _pq_fold(sub: Column, esub: Column, term) -> Column:
+    """Exact-integer fold of ``term(a, b)`` over two aligned subspace
+    slices. Integer addition is associative, so the result is
+    bit-identical to the oracle's SQL sum regardless of fold order.
+
+    Deliberately a higher-order-function fold, NOT an unrolled
+    expression chain: unrolling 16 codebook entries x 8 subspaces x 8
+    dims generated a >64KB janino method, failed whole-stage codegen,
+    and silently dropped the stage to interpreted eval — the HOF
+    lambda keeps generated code proportional to the lambda body."""
+    return F.aggregate(
+        F.zip_with(sub, esub, term),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_dist_expr(m: int) -> Column:
+    """Per-codebook-entry squared L2 for subspace m: one array of
+    PQ_K exact integer distances via transform over the codebook."""
+    return F.transform(
+        F.col("cb"),
+        lambda e: _pq_fold(
+            _pq_sub("codes", m),
+            _pq_sub(e, m),
+            lambda a, b: (a.cast("bigint") - b.cast("bigint"))
+            * (a.cast("bigint") - b.cast("bigint")),
+        ),
+    )
+
+
+def _pq_adc_expr(m: int) -> Column:
+    """Asymmetric-distance-computation table for subspace m:
+    dot(query subvector, codebook entry) per entry — exact integers."""
+    return F.transform(
+        F.col("cb"),
+        lambda e: _pq_fold(
+            _pq_sub("q_codes", m),
+            _pq_sub(e, m),
+            lambda a, b: a.cast("bigint") * b.cast("bigint"),
+        ),
+    )
 
 
 def cosine_topk_pq(spark: SparkSession, sf_dir: str,
@@ -498,24 +519,22 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str,
         F.col("codes").alias("q_codes")
     )
     cbrow = q.filter(F.col("vec_id") < PQ_K).groupBy().agg(
-        *[
-            F.max(F.when(F.col("vec_id") == j, F.col("codes"))).alias(f"_cb{j}")
-            for j in range(PQ_K)
-        ]
+        F.array(
+            *[
+                F.max(F.when(F.col("vec_id") == j, F.col("codes")))
+                for j in range(PQ_K)
+            ]
+        ).alias("cb")
     )
     base = (
         q.filter(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(qrow))
         .crossJoin(F.broadcast(cbrow))
     )
-    cb_cols = [f"_cb{j}" for j in range(PQ_K)]
     staged = arrays_barrier(
         base,
-        ["vec_id", "label", "q_codes", *cb_cols],
-        {
-            f"_d{m}": F.array(*[_pq_dist_expr(m, j) for j in range(PQ_K)])
-            for m in range(PQ_M)
-        },
+        ["vec_id", "label", "q_codes", "cb"],
+        {f"_d{m}": _pq_dist_expr(m) for m in range(PQ_M)},
     )
     staged2 = arrays_barrier(
         staged,
@@ -527,10 +546,7 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str,
                 )
                 for m in range(PQ_M)
             },
-            **{
-                f"_a{m}": F.array(*[_pq_adc_expr(m, j) for j in range(PQ_K)])
-                for m in range(PQ_M)
-            },
+            **{f"_a{m}": _pq_adc_expr(m) for m in range(PQ_M)},
         },
     )
     score = None
