@@ -48,21 +48,61 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def tws_available() -> bool:
-    """The transformWithState Python workers speak a protobuf-framed
-    state protocol (pyspark's transform_with_state_driver_worker
-    imports ``google.protobuf``), so the API needs the ``protobuf``
-    package at runtime. Gate it like the other optional-dependency
-    paths (spark-protobuf connector, JDBC drivers): probe, don't
-    crash. ``tests/test_tws.py`` exercises the full engine path when
-    the dependency exists and always unit-drives the processor +
-    shim in-process against the oracle-checked batch shadows."""
+def _install_protobuf_shim() -> bool:
+    """Make ``google.protobuf`` importable. A real installation always
+    wins; when absent, fall back to the vendored minimal runtime
+    (``_vendor/pbshim`` — original implementation of the public wire
+    format, scoped to what StateMessage_pb2 uses).
+
+    The state-protocol client runs inside Spark's PYTHON WORKER
+    processes (and the streaming driver worker), not just this
+    process, so the shim directory also goes on ``PYTHONPATH``: in
+    local mode every worker factory merges the JVM's inherited
+    PYTHONPATH into worker sys.path. That only reaches workers if it
+    happens BEFORE the JVM launches — tests trigger this at import/
+    collection time, ahead of the first SparkSession."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    import importlib
+    import os
+    import sys
+
+    vendor = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "_vendor",
+        "pbshim",
+    )
+    if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+        return False
+    if vendor not in sys.path:
+        sys.path.append(vendor)  # append: a real install stays ahead
+    prev = os.environ.get("PYTHONPATH", "")
+    if vendor not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{prev}{os.pathsep}{vendor}" if prev else vendor
+    importlib.invalidate_caches()
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+def tws_available() -> bool:
+    """The transformWithState Python workers speak a protobuf-framed
+    state protocol (pyspark's transform_with_state_driver_worker
+    imports ``google.protobuf``), so the API needs a protobuf runtime.
+    Probe for one (installing the vendored shim as a fallback) rather
+    than crash — like the other optional-dependency paths
+    (spark-protobuf connector, JDBC drivers). ``tests/test_tws.py``
+    exercises the full engine path when a runtime exists and always
+    unit-drives the processor + shim in-process against the
+    oracle-checked batch shadows."""
+    return _install_protobuf_shim()
 
 
 def ensure_tws_state_store(spark: SparkSession) -> None:
