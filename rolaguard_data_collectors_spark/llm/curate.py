@@ -305,7 +305,15 @@ def curation_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stratified_sample``, ``uniform_k_per_stratum``). One extra
     co-partitioned equi-join on doc_id to attach the flags; every
     decision is hash-determined, so the whole row is reproducible on
-    any engine or partitioning."""
+    any engine or partitioning.
+
+    Round 6 folds the DSIR importance-resampling columns (llm/dsir.py:
+    hashed-bigram target/raw models, per-doc log importance weight,
+    corpus rank, top-K selection) into the same per-doc row — the
+    registry's tagged-column consolidation pattern (50-slot window),
+    one more co-partitioned doc_id equi-join."""
+    from . import dsir as _dsir
+
     pack = pack_token_shards(spark, sf_dir, max_tokens=_PACK_TOKENS)
     docs = load_table(spark, sf_dir, "documents")
     cut = F.lit(0)
@@ -334,7 +342,20 @@ def curation_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(wk) <= _K_PER_LANG).alias("in_k_per_lang"),
         split.alias("split"),
     )
-    return pack.join(flags, "doc_id")
+    dsir_cols = _dsir.dsir_importance(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_bigrams").alias("dsir_ngrams"),
+        "dsir_logw",
+        F.col("rank").alias("dsir_rank"),
+        F.col("selected").alias("dsir_selected"),
+    )
+    return pack.join(flags, "doc_id").join(dsir_cols, "doc_id")
+
+
+def _dsir_oracle_sql() -> str:
+    from . import dsir as _dsir
+
+    return _dsir.DSIR_ORACLE
 
 
 def _sample_pack_oracle_sql() -> str:
@@ -363,8 +384,11 @@ flags AS (
 )
 SELECT p.doc_id, p.n_tokens, p.shard_id, p.shard_offset,
        f.lang, f.in_sample, f.in_stratified, f.in_k_per_lang,
-       s.split
+       s.split,
+       d.n_bigrams AS dsir_ngrams, d.dsir_logw,
+       d.rank AS dsir_rank, d.selected AS dsir_selected
 FROM pack p JOIN flags f USING (doc_id) JOIN splits s USING (doc_id)
+JOIN ({_dsir_oracle_sql()}) d USING (doc_id)
 """
 
 

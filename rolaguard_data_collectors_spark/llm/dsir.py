@@ -1,0 +1,209 @@
+"""DSIR-style data selection: importance resampling on hashed n-gram
+features (Xie et al., "Data Selection for Language Models via
+Importance Resampling", NeurIPS 2023 — public method).
+
+Given a TARGET slice of the corpus (here: ``lang = 'en'``, standing in
+for "looks like the domain we want to train on") and the RAW corpus,
+fit two smoothed unigram models over hashed bigram features and score
+every document by the log importance weight
+
+    log w(x) = sum_b count_b(x) * [ln p_target(b) - ln q_raw(b)]
+
+then rank and select the top K. This is the curation step between
+quality filtering and sampling: prefer raw documents that look like
+the target distribution.
+
+Spark-first shape (100 TB):
+- ONE pass builds BOTH feature models: the per-(doc, bucket) count
+  aggregate carries the doc's lang, so target and raw bucket totals
+  are conditional sums in the same vocabulary-sized aggregate — no
+  second scan, no second shuffle.
+- The model is B=128 buckets -> a broadcast join; documents never
+  shuffle by feature value (hashed buckets also bound skew by
+  construction — that is WHY DSIR hashes features).
+- The per-doc float sum folds over ``sort_array(collect_list(...))``
+  so IEEE addition order is value-pinned — bit-identical to the
+  DuckDB oracle's list_sort + list_reduce (same discipline as
+  text.unigram_logprob).
+- The final global rank is a corpus-level ordering; at 100 TB you'd
+  keep only the selection threshold (a quantile of log-weights) or
+  top-K via TakeOrdered, not a full sort. The registered query emits
+  the full ranking because the corpus IS the output here.
+
+Reference parity note: the reference system has no training-data
+curation surface; this operator is part of the LLM-pipeline extension
+mandated alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..portable_sql import hex32
+from ..registry import QuerySpec
+
+DSIR_BUCKETS = 128
+DSIR_TARGET_LANG = "en"
+DSIR_SELECT_K = 100
+
+_TOKENS = (
+    "filter(split(regexp_replace(lower(text), '[^a-z]', ' '), ' +'),"
+    " x -> x != '')"
+)
+# Bigrams from a MATERIALIZED token-array attribute (arrays_barrier —
+# referencing the split inside the lambda would re-split per element,
+# interpreted HOFs have no CSE). sequence(1, 0) is [1, 0] in Spark, so
+# guard the <2-token case explicitly; DuckDB's range(1, n) is
+# end-exclusive and empty for n <= 1, needing no guard.
+_BIGRAMS = (
+    "CASE WHEN size(_tk) < 2 THEN array()"
+    " ELSE transform(sequence(1, size(_tk) - 1),"
+    " i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))) END"
+)
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log importance weight, rank, and top-K
+    selection flag over the documents table."""
+    from ..catalog import arrays_barrier
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = arrays_barrier(
+        docs.select("doc_id", "lang", "text"),
+        ["doc_id", "lang"],
+        {"_tk": F.expr(_TOKENS)},
+    )
+    bigrams = arrays_barrier(
+        staged, ["doc_id", "lang"], {"_bg": F.expr(_BIGRAMS)}
+    ).select("doc_id", "lang", F.explode("_bg").alias("bg"))
+    feats = bigrams.select(
+        "doc_id",
+        "lang",
+        F.expr(f"{hex32('bg')} % {DSIR_BUCKETS}").alias("bucket"),
+    )
+    counts = feats.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    # Both models from ONE aggregate: raw totals + target-conditional
+    # totals per bucket.
+    model = counts.groupBy("bucket").agg(
+        F.sum("cnt").alias("r_b"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("t_b"),
+    )
+    totals = model.agg(
+        F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
+    )
+    lr = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("t_b") + 1)
+                    / (F.col("t_tot") + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("r_b") + 1)
+                    / (F.col("r_tot") + DSIR_BUCKETS).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        counts.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.col("cnt") * F.col("lr"))).alias("_ls"),
+            F.sum("cnt").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.aggregate("_ls", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("dsir_logw"),
+        )
+    )
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"),
+        )
+    )
+    w = Window.orderBy(F.desc("dsir_logw"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "dsir_logw",
+        F.row_number().over(w).alias("rank"),
+    ).withColumn("selected", F.col("rank") <= DSIR_SELECT_K)
+
+
+DSIR_ORACLE = f"""
+WITH tks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(
+           regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' +'),
+           x -> x <> '') AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bg
+  FROM tks
+), feats AS (
+  SELECT doc_id, lang, {hex32('bg')} % {DSIR_BUCKETS} AS bucket FROM bg
+), counts AS (
+  SELECT doc_id, lang, bucket, count(*) AS cnt
+  FROM feats GROUP BY 1, 2, 3
+), model AS (
+  SELECT bucket, sum(cnt) AS r_b,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN cnt ELSE 0 END) AS t_b
+  FROM counts GROUP BY bucket
+), totals AS (
+  SELECT sum(r_b) AS r_tot, sum(t_b) AS t_tot FROM model
+), lr AS (
+  SELECT bucket,
+         ln((t_b + 1) / CAST(t_tot + {DSIR_BUCKETS} AS DOUBLE))
+         - ln((r_b + 1) / CAST(r_tot + {DSIR_BUCKETS} AS DOUBLE)) AS lr
+  FROM model, totals
+), per_doc AS (
+  SELECT counts.doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         round(list_reduce(list_sort(list(cnt * lr)), (x, y) -> x + y), 6)
+           AS dsir_logw
+  FROM counts JOIN lr USING (bucket)
+  GROUP BY counts.doc_id
+), scored AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(p.n_bigrams, 0) AS n_bigrams,
+         coalesce(p.dsir_logw, 0.0) AS dsir_logw
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, lang, n_bigrams, dsir_logw,
+       CAST(row_number() OVER (ORDER BY dsir_logw DESC, doc_id ASC)
+            AS INTEGER) AS rank,
+       row_number() OVER (ORDER BY dsir_logw DESC, doc_id ASC)
+         <= {DSIR_SELECT_K} AS selected
+FROM scored
+"""
+
+
+# No standalone registry slot: the driver checks a bounded 50-entry
+# window, so the DSIR columns ride the ``curation_sample_pack`` row
+# (llm/curate.py) as a tagged-column consolidation — DSIR_ORACLE is
+# embedded there as a derived table, and the full standalone query +
+# oracle stay available for tests (tests/test_dsir.py).
+QUERIES: list[QuerySpec] = []
