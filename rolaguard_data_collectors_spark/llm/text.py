@@ -758,6 +758,102 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+# --- exact-substring duplicate spans (round 6) ----------------------------
+# Cross-document repeated character windows — the exact-substring
+# duplication signal of Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" (ACL 2022, public method). The full method
+# builds a corpus suffix array; the Spark-scale shape is strided
+# fixed-width windows hashed and counted across documents: any
+# duplicated span of length >= W + S - 1 is guaranteed to contain a
+# shared aligned window, so the per-doc duplicated-window fraction is
+# the curation signal (docs dominated by cross-doc boilerplate).
+SUBSTR_W = 40  # window width (chars)
+SUBSTR_S = 10  # stride
+
+
+def substring_dup_profile(docs: DataFrame) -> DataFrame:
+    """Per-doc: window count, windows whose hash appears in >= 2
+    distinct docs, and the duplicated fraction.
+
+    Scale shape: windows shuffle ONCE by hash (the dup inventory is
+    the same exchange the join consumes); n_windows is pure arithmetic
+    on length(text) — no second explode. Never all-pairs."""
+    win_expr = F.expr(
+        f"CASE WHEN length(text) < {SUBSTR_W} THEN array()"
+        f" ELSE transform(sequence(1, length(text) - {SUBSTR_W} + 1, {SUBSTR_S}),"
+        f" i -> substr(text, i, {SUBSTR_W})) END"
+    )
+    # Materialize the hashed windows once (lazy localCheckpoint): the
+    # dup-inventory aggregate and the probe side consume the same
+    # frame, but their subtrees don't canonicalize equal (the agg
+    # rewrites the pre-shuffle projection), so without this the
+    # scan+spread+explode+hash chain runs twice.
+    wins = (
+        docs.select("doc_id", F.explode(win_expr).alias("w"))
+        .select("doc_id", F.expr(hex32("w")).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    # Totals AND dup counts in one per-doc aggregate over the same
+    # windows frame (the h-exchange feeding the dup inventory and the
+    # probe side canonicalize equal -> ReusedExchange); docs shorter
+    # than one window re-enter via the left join, zero-coalesced.
+    per = (
+        wins.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.coalesce(F.sum("_dup"), F.lit(0)).alias("dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).cast("bigint").alias("dup_windows"),
+            F.round(
+                F.when(F.coalesce("n_windows", F.lit(0)) == 0, 0.0).otherwise(
+                    F.coalesce("dup_windows", F.lit(0))
+                    / F.col("n_windows").cast("double")
+                ),
+                6,
+            ).alias("dup_win_frac"),
+        )
+    )
+
+
+SUBSTRING_DUP_SQL = f"""
+WITH swins AS (
+  SELECT doc_id, {hex32(f"substr(text, i, {SUBSTR_W})")} AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SUBSTR_W - 1}, {SUBSTR_S})) AS i
+        FROM documents WHERE length(text) >= {SUBSTR_W})
+), sdup AS (
+  SELECT h FROM swins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), sper AS (
+  SELECT doc_id, count(*) AS dup_windows
+  FROM swins JOIN sdup USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN length(d.text) < {SUBSTR_W} THEN 0
+            ELSE (length(d.text) - {SUBSTR_W}) // {SUBSTR_S} + 1 END AS BIGINT)
+         AS n_windows,
+       CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+       round(CASE WHEN length(d.text) < {SUBSTR_W} THEN 0.0
+             ELSE coalesce(p.dup_windows, 0)
+                  / CAST((length(d.text) - {SUBSTR_W}) // {SUBSTR_S} + 1 AS DOUBLE)
+             END, 6) AS dup_win_frac
+FROM documents d LEFT JOIN sper p USING (doc_id)
+"""
+
+
 # --- compound document profile (registry consolidation, round 2) ---------
 
 
@@ -835,6 +931,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # co-partitioned doc_id equi-join each (skew-free).
         base.join(decontamination(docs), "doc_id")
         .join(unigram_logprob(docs), "doc_id")
+        .join(substring_dup_profile(docs), "doc_id")
     )
 
 
@@ -878,12 +975,14 @@ SELECT base.doc_id, base.ws_tokens, base.bpe_tokens, base.n_bytes,
        fp.fp_min, fp.fp_max, fp.n_shingles,
        rep.top_2gram_frac, rep.n_2grams,
        dec.contam_gram_hits, dec.contaminated,
-       ppl.unigram_logprob
+       ppl.unigram_logprob,
+       sd.n_windows, sd.dup_windows, sd.dup_win_frac
 FROM base
 JOIN fp USING (doc_id)
 JOIN ({REPETITION_SQL}) rep USING (doc_id)
 JOIN ({DECONTAMINATION_SQL}) dec USING (doc_id)
 JOIN ({UNIGRAM_LOGPROB_SQL}) ppl USING (doc_id)
+JOIN ({SUBSTRING_DUP_SQL}) sd USING (doc_id)
 """
 
 

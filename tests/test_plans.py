@@ -135,9 +135,12 @@ def test_decode_distinct_strategy_plan(spark, sf_dir):
         # one scan / <=4 shuffles (fingerprint agg, band window,
         # per-doc agg) — no join back to the fingerprint table
         ("simhash_profile", 1, 4),
-        # pack leg + flags leg: two pruned scans, bucket-window +
-        # flag-window + join exchanges
-        ("curation_sample_pack", 2, 4),
+        # pack leg + flags leg (two pruned scans, bucket-window +
+        # flag-window + join exchanges) + round-6 DSIR columns: the
+        # bigram feature branch, the one-pass dual-model aggregate,
+        # the broadcast 128-bucket model join, per-doc weight agg, and
+        # the global rank window
+        ("curation_sample_pack", 6, 16),
         # narrow regex chain: spread exchange only
         ("pii_redaction_profile", 1, 1),
         # round 6: feats scan + 3 doc_id-only pruned scans for the
@@ -170,10 +173,13 @@ def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges
         # two co-partitioned joins
         ("approx_aggregates", 3, 6),
         # fingerprint + repetition are in-row folds behind the
-        # _arrays_barrier Generate: only the two corpus-global branches
-        # (decontamination, unigram perplexity) may scan/join — the
-        # former explode+groupBy+join-back form planned 9+ scans
-        ("text_profile", 7, 19),
+        # _arrays_barrier Generate: only the corpus-global branches
+        # (decontamination, unigram perplexity, and — round 6 — the
+        # exact-substring dup inventory, whose hashed-windows frame is
+        # localCheckpoint'd so its scan+explode+hash chain runs once)
+        # may scan/join — the former explode+groupBy+join-back form
+        # planned 9+ scans for the in-row families alone
+        ("text_profile", 8, 26),
     ],
 )
 def test_round5_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges):
