@@ -68,11 +68,15 @@ _BIGRAMS = (
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR log importance weight, rank, and top-K
     selection flag over the documents table."""
-    from ..catalog import arrays_barrier
+    from ..catalog import arrays_barrier, spread
 
     docs = load_table(spark, sf_dir, "documents")
+    # spread(): the tokenize+bigram+hash chain is narrow and heavy —
+    # on a single-row-group input it would otherwise run in ONE task
+    # (measured 2.4 s -> 0.7 s at sf0.1); no-op on well-split inputs.
+    feats_src = spread(docs.select("doc_id", "lang", "text"))
     staged = arrays_barrier(
-        docs.select("doc_id", "lang", "text"),
+        feats_src,
         ["doc_id", "lang"],
         {"_tk": F.expr(_TOKENS)},
     )
@@ -84,8 +88,14 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(f"{hex32('bg')} % {DSIR_BUCKETS}").alias("bucket"),
     )
-    counts = feats.groupBy("doc_id", "lang", "bucket").agg(
-        F.count("*").alias("cnt")
+    # Materialize once: both the model aggregate and the per-doc
+    # weight aggregate consume this frame, and their pruned subtrees
+    # don't canonicalize equal — without the checkpoint the whole
+    # tokenize+bigram+hash chain plans (and runs) twice.
+    counts = (
+        feats.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     # Both models from ONE aggregate: raw totals + target-conditional
     # totals per bucket.
