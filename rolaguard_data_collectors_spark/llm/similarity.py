@@ -445,12 +445,30 @@ PQ_DSUB = 8  # dims per subspace (64-dim embeddings)
 PQ_K = 16  # codes per subspace; codebook = subvectors of vec_id < PQ_K
 
 
-# Codebook + ADC table per (sf_dir, query, scales): the codebook is a
-# persisted index artifact at scale (k x dim ints, like the IVF index
-# layout in llm/kmeans.py), so memoize the one tiny collect instead of
-# letting bench bill it on every run (same policy as
-# dedup._HISTORY_BLOOM_CACHE; sf_dir contents are immutable testdata).
+# Codebook + ADC table per (embedding files+mtimes, query, scales):
+# the codebook is a persisted index artifact at scale (k x dim ints,
+# like the IVF index layout in llm/kmeans.py), so memoize the one tiny
+# collect instead of letting bench bill it on every run (same policy
+# as dedup._HISTORY_BLOOM_CACHE). Keyed on content identity — input
+# file list + mtimes, not the directory path — so a dataset
+# regenerated in-place invalidates the entry instead of serving a
+# stale codebook.
 _PQ_PREP_CACHE: dict[tuple, tuple] = {}
+
+
+def _emb_identity(spark: SparkSession, sf_dir: str) -> tuple:
+    import os
+
+    files = tuple(sorted(_emb(spark, sf_dir).inputFiles()))
+
+    def _mtime(uri: str) -> int:
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            return os.stat(path).st_mtime_ns
+        except OSError:
+            return -1
+
+    return (sf_dir,) + tuple((f, _mtime(f)) for f in files)
 
 
 def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
@@ -458,7 +476,7 @@ def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
     """Collect the PQ_K codebook rows + the query row (<= 17 rows of
     64 small ints) and precompute the M x K ADC table driver-side —
     dot(query subvector, codebook entry) in exact int64."""
-    key = (sf_dir, query_id, tuple(scales))
+    key = (_emb_identity(spark, sf_dir), query_id, tuple(scales))
     hit = _PQ_PREP_CACHE.get(key)
     if hit is not None:
         return hit
