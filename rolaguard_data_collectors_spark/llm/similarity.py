@@ -476,8 +476,13 @@ def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
     """Collect the PQ_K codebook rows + the query row (<= 17 rows of
     64 small ints) and precompute the M x K ADC table driver-side —
     dot(query subvector, codebook entry) in exact int64."""
-    key = (_emb_identity(spark, sf_dir), query_id, tuple(scales))
-    hit = _PQ_PREP_CACHE.get(key)
+    ident = _emb_identity(spark, sf_dir)
+    # A failed stat (-1) means content identity is unknowable (non-
+    # file: URI) — bypass the memo entirely rather than risk serving
+    # a stale codebook for a regenerated same-named dataset.
+    cacheable = all(m != -1 for _, m in ident[1:])
+    key = (ident, query_id, tuple(scales))
+    hit = _PQ_PREP_CACHE.get(key) if cacheable else None
     if hit is not None:
         return hit
     q = quantize_embeddings(spark, sf_dir, scales)
@@ -494,7 +499,9 @@ def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
             for m in range(PQ_M)
         ]
     )
-    out = _PQ_PREP_CACHE[key] = (cb, adc)
+    out = (cb, adc)
+    if cacheable:
+        _PQ_PREP_CACHE[key] = out
     return out
 
 
@@ -673,7 +680,8 @@ UNION ALL SELECT * FROM i8 UNION ALL SELECT * FROM pq
 
 QUERIES = [
     QuerySpec("ann_topk_suite", ann_topk_suite, ANN_TOPK_SUITE_ORACLE,
-              "ANN top-k: fp32 brute force + LSH bucket probe + int8 quantized"),
+              "ANN top-k: fp32 brute force + LSH bucket probe + int8 "
+              "quantized + product quantization"),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, NEAR_DUP_ORACLE,
               "LSH-blocked embedding-cosine near-dup pairs"),
     QuerySpec("ivf_label_topk", ivf_label_topk, IVF_LABEL_TOPK_ORACLE,

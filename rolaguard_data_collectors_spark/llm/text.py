@@ -842,11 +842,15 @@ WITH swins AS (
   FROM swins JOIN sdup USING (h) GROUP BY doc_id
 )
 SELECT d.doc_id,
-       CAST(CASE WHEN length(d.text) < {SUBSTR_W} THEN 0
+       -- IS NULL guard: the Spark build drops NULL-text rows at the
+       -- explode and re-enters them via the left join as 0/0/0.0;
+       -- without the guard NULL arithmetic here would emit NULLs (and
+       -- an int64->float64 pandas dtype skew)
+       CAST(CASE WHEN d.text IS NULL OR length(d.text) < {SUBSTR_W} THEN 0
             ELSE (length(d.text) - {SUBSTR_W}) // {SUBSTR_S} + 1 END AS BIGINT)
          AS n_windows,
        CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows,
-       round(CASE WHEN length(d.text) < {SUBSTR_W} THEN 0.0
+       round(CASE WHEN d.text IS NULL OR length(d.text) < {SUBSTR_W} THEN 0.0
              ELSE coalesce(p.dup_windows, 0)
                   / CAST((length(d.text) - {SUBSTR_W}) // {SUBSTR_S} + 1 AS DOUBLE)
              END, 6) AS dup_win_frac

@@ -82,8 +82,24 @@ def _install_protobuf_shim() -> bool:
         sys.path.append(vendor)  # append: a real install stays ahead
     prev = os.environ.get("PYTHONPATH", "")
     if vendor not in prev.split(os.pathsep):
+        # Local-mode assumption (documented): driver and workers share
+        # this environment, so "no real protobuf here" implies none in
+        # the children either; on a heterogeneous cluster, ship the
+        # real wheel instead of relying on this export.
         os.environ["PYTHONPATH"] = f"{prev}{os.pathsep}{vendor}" if prev else vendor
     importlib.invalidate_caches()
+    # If a `google` namespace package is already imported (e.g.
+    # google-auth without protobuf), CPython's _NamespacePath only
+    # re-merges portions with namespace specs — the vendored REGULAR
+    # package appended later is never picked up. Graft its directory
+    # onto the live package's __path__ explicitly.
+    g = sys.modules.get("google")
+    vendored_google = os.path.join(vendor, "google")
+    if g is not None and vendored_google not in list(getattr(g, "__path__", [])):
+        # _NamespacePath has no append; a plain list works for the
+        # path-based finder (frozen namespace auto-recalculation is
+        # traded away knowingly).
+        g.__path__ = list(getattr(g, "__path__", [])) + [vendored_google]
     try:
         from google.protobuf import descriptor  # noqa: F401
 
