@@ -417,7 +417,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees non-identical so ReusedExchange never fires. A lazy
     # local checkpoint computes tf once per execution and snaps the
     # lineage; at 100 TB this is exactly the "stage the token table"
-    # materialization a production pipeline does before fan-out.
+    # materialization a production pipeline does before fan-out -
+    # there you'd write the staged table to the lake (reliable
+    # storage); localCheckpoint is the single-box stand-in and trades
+    # lineage-based executor-loss recovery for materialization speed
+    # (A/B'd: persist()'s columnar cache build measured 2x slower at
+    # sf0.1 for identical dedup behavior).
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
