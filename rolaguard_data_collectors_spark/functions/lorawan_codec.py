@@ -377,10 +377,17 @@ def derive_session_keys_batch(
     2N key blocks encrypt in ONE cipher ``update`` (one FFI crossing)
     instead of 2N — same trick as aes_cmac_batch, bit-identical
     (property-tested). Tails must be the 15-byte tail derive_session_
-    keys builds."""
+    keys builds — enforced per tail, because one wrong-length tail
+    would silently misalign EVERY row's key slices and leave a
+    partial block buffered inside the process-cached ECB context,
+    corrupting all later cipher calls for this key."""
     enc = _enc_ctx(app_key)[0]
     buf = bytearray()
     for t in tails:
+        if len(t) != 15:
+            raise ValueError(
+                f"session-key tail must be 15 bytes, got {len(t)}"
+            )
         buf += b"\x01"
         buf += t
         buf += b"\x02"
@@ -530,12 +537,22 @@ def parse_phypayload_b64(
 # --- encode --------------------------------------------------------------
 
 
+def join_request_bytes(
+    join_eui_hex: str, dev_eui_hex: str, dev_nonce: int
+) -> bytes:
+    """MHDR + JoinEUI(LE) + DevEUI(LE) + DevNonce(LE) — the unsigned
+    JoinRequest message. The ONE owner of this wire layout: both the
+    scalar encoder below and the batched UDF in lorawan_udfs build
+    from here, so the layout cannot silently desynchronize."""
+    mhdr = 0x00
+    body = _unle(join_eui_hex) + _unle(dev_eui_hex) + dev_nonce.to_bytes(2, "little")
+    return bytes([mhdr]) + body
+
+
 def encode_join_request(
     app_key: bytes, join_eui_hex: str, dev_eui_hex: str, dev_nonce: int
 ) -> bytes:
-    mhdr = 0x00
-    body = _unle(join_eui_hex) + _unle(dev_eui_hex) + dev_nonce.to_bytes(2, "little")
-    msg = bytes([mhdr]) + body
+    msg = join_request_bytes(join_eui_hex, dev_eui_hex, dev_nonce)
     return msg + mic_join_request(app_key, msg)
 
 

@@ -31,7 +31,6 @@ from .lorawan_udfs import (
     derive_session_keys,
     encode_data_frame_b64,
     encode_join_request_b64,
-    mac_commands_roundtrip,
     validate_mic,
 )
 

@@ -278,7 +278,7 @@ def encode_join_request_b64(
     for i, (ak, je, de, dn) in enumerate(
         zip(app_key, join_eui, dev_eui, dev_nonce)
     ):
-        msg = b"\x00" + lc._unle(je) + lc._unle(de) + int(dn).to_bytes(2, "little")
+        msg = lc.join_request_bytes(je, de, int(dn))
         slot = by_key.setdefault(ak, ([], []))
         slot[0].append(i)
         slot[1].append(msg)

@@ -111,6 +111,12 @@ def _history_bloom(sf_dir: str, history: DataFrame) -> tuple[bytes, int, int]:
     key = _history_identity(sf_dir, history)
     state = _HISTORY_BLOOM_CACHE.get(key)
     if state is None:
+        # evict superseded entries for the same directory: an in-place
+        # regeneration changes mtimes (new key) and the old bitmap —
+        # multi-MB at production capacity — would otherwise stay
+        # pinned for the session
+        for stale in [k2 for k2 in _HISTORY_BLOOM_CACHE if k2[0] == sf_dir]:
+            del _HISTORY_BLOOM_CACHE[stale]
         hkeys = history.select("content_hash").where(
             F.col("content_hash").isNotNull()
         )

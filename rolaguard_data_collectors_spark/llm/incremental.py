@@ -314,22 +314,36 @@ class IngestDedupSink:
         self.capacity = max(self.capacity, bloom_capacity(m, self.fpp))
         accepted = self._accepted_keys(spark, committed)
         probe = None
-        if accepted is not None:
-            probe = might_contain_udf(spark, bits, m, k)
-            tagged = batch.select("*", *hash_columns(self.key)).withColumn(
-                "_maybe", probe("_h1", "_h2")
-            )
-            novel = (
-                tagged.filter(~F.col("_maybe"))
-                .unionByName(
-                    tagged.filter(F.col("_maybe")).join(
-                        accepted.select(self.key), on=self.key, how="left_anti"
-                    )
+        try:
+            if accepted is not None:
+                probe = might_contain_udf(spark, bits, m, k)
+                tagged = batch.select("*", *hash_columns(self.key)).withColumn(
+                    "_maybe", probe("_h1", "_h2")
                 )
-                .drop("_h1", "_h2", "_maybe")
-            )
-        else:
-            novel = batch
+                novel = (
+                    tagged.filter(~F.col("_maybe"))
+                    .unionByName(
+                        tagged.filter(F.col("_maybe")).join(
+                            accepted.select(self.key), on=self.key, how="left_anti"
+                        )
+                    )
+                    .drop("_h1", "_h2", "_maybe")
+                )
+            else:
+                novel = batch
+            self._run_batch(spark, novel, committed, epoch_id,
+                            bits, m, k, n_keys)
+        finally:
+            if probe is not None:
+                # the probe's bitmap broadcast is batch-scoped (novel
+                # was materialized by the out/ write); drop it in a
+                # finally so a FAILED/retried micro-batch can't accrete
+                # one executor-memory block per retry
+                probe.bloom_broadcast.unpersist(blocking=False)
+
+    def _run_batch(self, spark, novel, committed, epoch_id,
+                   bits, m, k, n_keys) -> None:
+        import os
 
         out_dir = os.path.join(self.root, "out", f"epoch={epoch_id}")
         keys_dir = os.path.join(self.root, "keys", f"epoch={epoch_id}")
@@ -360,12 +374,6 @@ class IngestDedupSink:
             fh.write(f"{epoch_id},{n_new}\n")
             fh.flush()
             os.fsync(fh.fileno())
-
-        if probe is not None:
-            # the probe's bitmap broadcast is batch-scoped (novel was
-            # materialized by the out/ write above); drop it so a
-            # long-running stream doesn't accrete one block per batch
-            probe.bloom_broadcast.unpersist(blocking=False)
 
     def accepted(self, spark) -> DataFrame | None:
         """All rows admitted so far (committed epochs only)."""

@@ -275,9 +275,9 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
     the k-th confirmed frequency clears W/(counters+1); on a flatter
     distribution the candidate set may silently miss true top-k items.
     The guard verifies the bound AT RUNTIME inside the plan
-    (assert_true over one extra scalar total-weight aggregate + two
-    zero-cost window columns in the existing single-partition ranking
-    stage) and fails loudly with an escalation hint instead of
+    (assert_true over one extra scalar total-weight aggregate plus one
+    recompute of the k-row confirm subtree for the kth-frequency
+    statistic) and fails loudly with an escalation hint instead of
     returning a plausible-but-wrong top-k. It also (conservatively)
     rejects runs that confirm fewer than k candidates.
 
@@ -310,8 +310,12 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
             yield pd.DataFrame({col: list(counts.keys())})
 
     spark = tokens.sparkSession
+    # Candidate (and sentinel) columns carry the ITEM column's real
+    # type: a hardcoded string schema silently widened e.g. a bigint
+    # key column through Union type coercion (or raised under ANSI).
+    item_dt = tokens.schema[col].dataType.simpleString()
     proj = tokens.select(col) if weight is None else tokens.select(col, weight)
-    candidates = proj.mapInPandas(_mg, schema=f"{col} string").distinct()
+    candidates = proj.mapInPandas(_mg, schema=f"{col} {item_dt}").distinct()
     freq_agg = (
         F.count("*") if weight is None else F.sum(weight).cast("bigint")
     ).alias("freq")
@@ -363,7 +367,7 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
         # the ~_guard_ok filter is provably empty only at RUNTIME
         # (after the assert has evaluated), never statically.
         sentinel = guard.where(~F.col("_guard_ok")).select(
-            F.lit(None).cast("string").alias(col),
+            F.lit(None).cast(item_dt).alias(col),
             F.lit(None).cast("bigint").alias("freq"),
             F.lit(None).cast("int").alias("rank"),
         )

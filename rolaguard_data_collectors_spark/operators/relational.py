@@ -399,23 +399,43 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection and partial-combines map-side (0.60s -> 0.42s for the
     composed pivot query at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
-    rows = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows"))
+    # NULL discipline so the split form stays row-identical to the
+    # single GROUP BY + count(DISTINCT) the oracle runs: (a) a NULL
+    # group key is still a group — equi-joins drop NULL keys, so join
+    # on a sentinel-coalesced key; (b) count(DISTINCT x) ignores NULL
+    # x — filter before distinct; (c) anchor on the count(*) leg
+    # (which sees every group) with LEFT joins + zero-coalesce, since
+    # an all-NULL-measure group must still emit with 0. Latent on
+    # NULL-free TPC-H data, load-bearing on anything else.
+    gk = F.coalesce(F.col("l_returnflag"), F.lit("\x00NULL")).alias("_gk")
+    rows = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows")).select(
+        "l_returnflag", "n_rows", gk
+    )
     parts = (
-        li.select("l_returnflag", "l_partkey")
+        li.where(F.col("l_partkey").isNotNull())
+        .select("l_returnflag", "l_partkey")
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_parts"))
+        .select("n_parts", gk)
     )
     supps = (
-        li.select("l_returnflag", "l_suppkey")
+        li.where(F.col("l_suppkey").isNotNull())
+        .select("l_returnflag", "l_suppkey")
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_supps"))
+        .select("n_supps", gk)
     )
     return (
-        parts.join(supps, "l_returnflag")
-        .join(rows, "l_returnflag")
-        .select("l_returnflag", "n_parts", "n_supps", "n_rows")
+        rows.join(parts, "_gk", "left")
+        .join(supps, "_gk", "left")
+        .select(
+            "l_returnflag",
+            F.coalesce("n_parts", F.lit(0)).alias("n_parts"),
+            F.coalesce("n_supps", F.lit(0)).alias("n_supps"),
+            "n_rows",
+        )
     )
 
 

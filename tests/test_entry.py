@@ -69,13 +69,14 @@ def test_first_query_from_foreign_cwd_ships_package():
     import subprocess
     import sys
 
-    code = r"""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = f"REPO_ROOT = {repo_root!r}\n" + r"""
 import sys
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[4]")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, REPO_ROOT)
 from rolaguard_data_collectors_spark.registry import collect_all
 df = collect_all()["multimodal_decode_features"].build(
     spark, "/root/testdata/sf0.001")
