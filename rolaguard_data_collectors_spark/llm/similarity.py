@@ -535,6 +535,21 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str,
     Arrow batches, embarrassingly parallel, no shuffle."""
     scales = scales if scales is not None else embedding_scales(spark, sf_dir)
     cb, adc = _pq_prepare(spark, sf_dir, query_id, scales)
+    q = quantize_embeddings(spark, sf_dir, scales)
+    return (
+        q.filter(F.col("vec_id") != query_id)
+        .select("vec_id", "label", _pq_score_udf(cb, adc)("codes").alias("_s"))
+        .select(
+            "vec_id", "label", F.col("_s").cast("double").alias("pq_score")
+        )
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _pq_score_udf(cb, adc):
+    """Arrow-batched PQ scorer over a codes column: encode (first-
+    minimum argmin per subspace) + ADC lookups, exact int64."""
 
     @F.pandas_udf("bigint")
     def pq_score(codes: pd.Series) -> pd.Series:
@@ -546,10 +561,32 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str,
             total += adc[m][np.argmin(d, axis=1)]
         return pd.Series(total)
 
+    return pq_score
+
+
+def cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str,
+                       query_id: int = QUERY_VEC_ID, k: int = TOP_K,
+                       scales: list[float] | None = None) -> DataFrame:
+    """IVF-PQ — the full FAISS-style ladder: coarse inverted-file
+    prune to the query's cell (here the ``label`` coarse quantizer,
+    exactly as ``ivf_label_topk``) THEN product-quantized ADC scoring
+    inside the cell. At 100 TB the table is written partitioned by the
+    coarse cell, so the scan prunes to ~1/n_cells of the data BEFORE
+    any math, and each surviving vector costs M lookups over 32-bit
+    codes: the two pruning axes (rows via IVF, bytes-per-row via PQ)
+    compose multiplicatively. Composition of two oracle/pytest-proven
+    parts; pinned in tests/test_quantize.py."""
+    scales = scales if scales is not None else embedding_scales(spark, sf_dir)
+    cb, adc = _pq_prepare(spark, sf_dir, query_id, scales)
     q = quantize_embeddings(spark, sf_dir, scales)
+    qcell = q.filter(F.col("vec_id") == query_id).select(
+        F.col("label").alias("q_label")
+    )
     return (
         q.filter(F.col("vec_id") != query_id)
-        .select("vec_id", "label", pq_score("codes").alias("_s"))
+        .crossJoin(F.broadcast(qcell))
+        .filter(F.col("label") == F.col("q_label"))
+        .select("vec_id", "label", _pq_score_udf(cb, adc)("codes").alias("_s"))
         .select(
             "vec_id", "label", F.col("_s").cast("double").alias("pq_score")
         )

@@ -84,3 +84,31 @@ def test_pq_topk_recall(spark, sf_dir):
     k = len(exact)
     recall = len(set(exact) & set(approx)) / k
     assert recall >= 0.3, f"recall@{k} = {recall}"
+
+
+def test_ivf_pq_is_pq_restricted_to_cell(spark, sf_dir):
+    """IVF-PQ must equal the plain PQ ranking filtered to the query's
+    coarse cell — the composition adds pruning, never different
+    scores."""
+    from pyspark.sql import functions as F
+
+    scales = sim.embedding_scales(spark, sf_dir)
+    q = sim.quantize_embeddings(spark, sf_dir, scales)
+    q_label = q.filter(F.col("vec_id") == sim.QUERY_VEC_ID).collect()[0]["label"]
+    # full PQ scores restricted to the cell, re-ranked (k = corpus
+    # size, NOT a huge literal: TakeOrdered allocates its k-sized
+    # priority queue up front)
+    n = q.count()
+    full = sim.cosine_topk_pq(spark, sf_dir, k=n, scales=scales)
+    want = [
+        (r.vec_id, r.pq_score)
+        for r in sorted(
+            (r for r in full.collect() if r.label == q_label),
+            key=lambda r: (-r.pq_score, r.vec_id),
+        )[: sim.TOP_K]
+    ]
+    got = [
+        (r.vec_id, r.pq_score)
+        for r in sim.cosine_topk_ivf_pq(spark, sf_dir, scales=scales).collect()
+    ]
+    assert got == want
