@@ -31,6 +31,7 @@ from .lorawan_udfs import (
     derive_session_keys,
     encode_data_frame_b64,
     encode_join_request_b64,
+    join_workflow_kernel,
     validate_mic,
 )
 
@@ -391,53 +392,31 @@ def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 223 + 1).cast("int").alias("f_port"),
         F.coalesce(F.col("props"), F.lit("")).alias("payload_text"),
     )
-    framed = ev.withColumn(
-        "jr_b64", encode_join_request_b64("app_key", "join_eui", "dev_eui", "dev_nonce")
-    )
-    parsed = framed.withColumn(
-        "p",
-        decode_phypayload_for(("m_type", "join_eui", "dev_eui", "dev_nonce", "mic_ok"))(
-            "jr_b64", "app_key", F.lit(None).cast("string")
-        ),
-    ).withColumn(
-        "keys",
-        derive_session_keys("app_key", F.lit("010203"), F.lit("130000"), "dev_nonce"),
-    )
-    # Close the loop on the derived keys: a data frame encoded under
-    # the derived NwkSKey (MIC + FRMPayload crypt) must decode back
-    # with a valid MIC and the original payload.
-    sess = parsed.withColumn(
-        "sdata",
-        encode_data_frame_b64(
-            F.col("keys.nwk_s_key"), "dev_addr", "dev_nonce", "payload_text",
-            "f_port", F.lit(None).cast("string"),
-        ),
-    ).withColumn(
-        "sp",
-        decode_phypayload_for(("frm_payload", "mic_ok"))(
-            "sdata", F.col("keys.nwk_s_key"), F.col("keys.nwk_s_key")
+    # Round-6 fusion: the encode -> parse -> derive-keys -> session
+    # encode -> session decode chain ran as FIVE dependent
+    # ArrowEvalPython stages, each a full struct round trip of every
+    # signup row between the JVM and Python; join_workflow_kernel is
+    # the same computation in ONE crossing (per-AppKey crypto still
+    # batched inside). The constituent UDFs keep their standalone
+    # coverage in the roundtrip/pipeline queries and
+    # tests/test_lorawan_udfs.py.
+    w = ev.withColumn(
+        "w",
+        join_workflow_kernel(
+            "app_key", "join_eui", "dev_eui", "dev_nonce",
+            "dev_addr", "f_port", "payload_text",
         ),
     )
-    jw = sess.select(
+    jw = w.select(
         "event_id",
         "user_id",
-        F.col("p.m_type").alias("m_type"),
-        F.col("p.join_eui").alias("join_eui"),
-        F.col("p.dev_eui").alias("dev_eui"),
-        F.col("p.dev_nonce").cast("long").alias("dev_nonce"),
-        F.col("p.mic_ok").alias("mic_ok"),
-        (
-            (F.col("keys.nwk_s_key") != F.col("keys.app_s_key"))
-            & F.col("keys.nwk_s_key").rlike("^[0-9a-f]{32}$")
-            & F.col("keys.app_s_key").rlike("^[0-9a-f]{32}$")
-        ).alias("keys_distinct_ok"),
-        (
-            F.col("sp.mic_ok")
-            & (
-                F.coalesce(F.expr("cast(unhex(sp.frm_payload) AS string)"), F.lit(""))
-                == F.col("payload_text")
-            )
-        ).alias("session_roundtrip_ok"),
+        F.col("w.m_type").alias("m_type"),
+        F.col("w.join_eui").alias("join_eui"),
+        F.col("w.dev_eui").alias("dev_eui"),
+        F.col("w.dev_nonce").alias("dev_nonce"),
+        F.col("w.mic_ok").alias("mic_ok"),
+        F.col("w.keys_distinct_ok").alias("keys_distinct_ok"),
+        F.col("w.session_roundtrip_ok").alias("session_roundtrip_ok"),
         F.lit("join_workflow").alias("stage"),
     )
     bf = lorawan_key_bruteforce(spark, sf_dir).withColumn("stage", F.lit("bruteforce"))

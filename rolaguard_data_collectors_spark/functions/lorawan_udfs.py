@@ -290,6 +290,97 @@ def encode_join_request_b64(
     return pd.Series(out)
 
 
+JOIN_WORKFLOW_SCHEMA = T.StructType(
+    [
+        T.StructField("m_type", T.StringType()),
+        T.StructField("join_eui", T.StringType()),
+        T.StructField("dev_eui", T.StringType()),
+        T.StructField("dev_nonce", T.LongType()),
+        T.StructField("mic_ok", T.BooleanType()),
+        T.StructField("keys_distinct_ok", T.BooleanType()),
+        T.StructField("session_roundtrip_ok", T.BooleanType()),
+    ]
+)
+_JW_FIELDS = [f.name for f in JOIN_WORKFLOW_SCHEMA.fields]
+_JW_APP_NONCE = bytes.fromhex("010203")
+_JW_NET_ID = bytes.fromhex("130000")
+
+
+@F.pandas_udf(JOIN_WORKFLOW_SCHEMA)
+def join_workflow_kernel(
+    app_key: pd.Series,
+    join_eui: pd.Series,
+    dev_eui: pd.Series,
+    dev_nonce: pd.Series,
+    dev_addr: pd.Series,
+    f_port: pd.Series,
+    payload_text: pd.Series,
+) -> pd.DataFrame:
+    """Fused ops 43-44 proof kernel: JoinRequest encode+MIC -> parse ->
+    session-key derivation -> data-frame encode under the derived
+    NwkSKey -> decode+MIC+payload check, ONE Arrow crossing. The
+    unfused form was FIVE dependent ArrowEvalPython stages each
+    round-tripping the signup rows' structs between the JVM and Python
+    (the serialization-bound shape measured in the decode-roundtrip
+    fusion). Per-AppKey stages (JoinRequest MICs, session-key blocks)
+    still batch through aes_cmac_batch / derive_session_keys_batch.
+    The constituent UDFs stay individually exercised by the pipeline
+    and roundtrip queries."""
+    n = len(app_key)
+    cols: dict[str, list] = {f: [None] * n for f in _JW_FIELDS}
+    msgs: list = [None] * n
+    by_key: dict[str, list[int]] = {}
+    for i, (ak, je, de, dn) in enumerate(zip(app_key, join_eui, dev_eui, dev_nonce)):
+        msgs[i] = lc.join_request_bytes(je, de, int(dn))
+        by_key.setdefault(ak, []).append(i)
+    jr_b64: list = [None] * n
+    keys: list = [None] * n
+    for ak, idxs in by_key.items():
+        key = bytes.fromhex(ak)
+        macs = lc.aes_cmac_batch(key, [msgs[i] for i in idxs])
+        for i, mac in zip(idxs, macs):
+            jr_b64[i] = base64.b64encode(msgs[i] + mac[:4]).decode()
+        tails = [
+            _JW_APP_NONCE
+            + _JW_NET_ID
+            + int(dev_nonce[i]).to_bytes(2, "little")
+            + b"\x00" * 7
+            for i in idxs
+        ]
+        for i, pair in zip(idxs, lc.derive_session_keys_batch(key, tails)):
+            keys[i] = pair
+    for i in range(n):
+        p = lc.parse_phypayload_b64(jr_b64[i], app_key[i], None)
+        nwk, app = keys[i]
+        sraw = lc.encode_data_frame(
+            nwk,
+            dev_addr[i],
+            int(dev_nonce[i]),
+            (payload_text[i] or "").encode(),
+            f_port=int(f_port[i]),
+        )
+        sp = lc.parse_phypayload(sraw, nwk, nwk)
+        frm = bytes.fromhex(sp.frm_payload) if sp.frm_payload else b""
+        cols["m_type"][i] = p.m_type
+        cols["join_eui"][i] = p.join_eui
+        cols["dev_eui"][i] = p.dev_eui
+        cols["dev_nonce"][i] = int(p.dev_nonce) if p.dev_nonce is not None else None
+        cols["mic_ok"][i] = p.mic_ok
+        # same predicate the unfused plan evaluated JVM-side: distinct
+        # derived keys, both 32 lowercase hex
+        nh, ah = nwk.hex(), app.hex()
+        cols["keys_distinct_ok"][i] = (
+            nh != ah
+            and len(nh) == 32
+            and len(ah) == 32
+            and all(c in "0123456789abcdef" for c in nh + ah)
+        )
+        cols["session_roundtrip_ok"][i] = bool(sp.mic_ok) and frm == (
+            payload_text[i] or ""
+        ).encode()
+    return pd.DataFrame(cols, columns=_JW_FIELDS)
+
+
 @F.pandas_udf(T.BooleanType())
 def validate_mic(data_b64: pd.Series, key_hex: pd.Series) -> pd.Series:
     """generateValidMIC / testAppKeys kernel (ops 45-46): does this key
