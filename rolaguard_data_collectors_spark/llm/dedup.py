@@ -303,7 +303,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import arrays_barrier
     from ..portable_sql import hex32_array
 
-    docs = _docs(spark, sf_dir)
+    # NULL-text docs carry no signature (nothing to near-dup-compare)
+    # and are EXCLUDED, matching the oracle's unnest semantics — an
+    # unfiltered build emitted NULL-signature rows the oracle dropped
+    # (caught by tests/test_parity_fuzz.py).
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     staged = arrays_barrier(
         docs,
         ["doc_id"],
@@ -488,7 +492,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import arrays_barrier
     from ..portable_sql import hex32_array
 
-    docs = _docs(spark, sf_dir)
+    # NULL-text exclusion: same policy and reason as
+    # minhash_signatures (oracle unnest drops NULL lists).
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     staged = arrays_barrier(
         docs,
         ["doc_id"],

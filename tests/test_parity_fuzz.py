@@ -115,3 +115,20 @@ def test_text_profile_fuzz(spark, fuzz_dir, fuzz_con):
         text_mod.TEXT_PROFILE_ORACLE,
         fuzz_con,
     )
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["dedup_exact", "ngram_jaccard_dedup", "minhash_lsh_buckets",
+     "simhash_profile", "tfidf_top_terms", "clean_corpus",
+     "pii_redaction_profile"],
+)
+def test_documents_query_fuzz(spark, fuzz_dir, fuzz_con, qname):
+    """Registered documents-only queries over the adversarial corpus:
+    the dedup family's oracles are the most hash-arithmetic-dense in
+    the repo, and none of them has ever seen a NULL or boundary-length
+    document before this suite."""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    spec = collect_all()[qname]
+    _check(qname, spec.build(spark, fuzz_dir), spec.oracle, fuzz_con)
