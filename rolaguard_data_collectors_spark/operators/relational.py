@@ -886,10 +886,20 @@ FROM orders
 
 def pivot_distinct_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pivot() and multi-distinct aggregates joined on the group key
-    (two tiny agg outputs, broadcast join)."""
-    piv = pivot_linestatus(spark, sf_dir)
-    dc = distinct_counts(spark, sf_dir)
-    return piv.join(F.broadcast(dc), "l_returnflag")
+    (two tiny agg outputs, broadcast join). Joined on the sentinel-
+    coalesced key: a NULL l_returnflag is a GROUP BY group the oracle
+    emits, but a plain equi-join here dropped it (caught by
+    tests/test_parity_fuzz.py)."""
+    gk = F.coalesce(F.col("l_returnflag"), F.lit("\x00NULL"))
+    piv = pivot_linestatus(spark, sf_dir).withColumn("_gk", gk)
+    dc = distinct_counts(spark, sf_dir).withColumn("_gk", gk).drop(
+        "l_returnflag"
+    )
+    return (
+        piv.join(F.broadcast(dc), "_gk")
+        .drop("_gk")
+        .select("l_returnflag", "O", "F", "n_parts", "n_supps", "n_rows")
+    )
 
 
 PIVOT_DISTINCT_ORACLE = """

@@ -132,3 +132,73 @@ def test_documents_query_fuzz(spark, fuzz_dir, fuzz_con, qname):
 
     spec = collect_all()[qname]
     _check(qname, spec.build(spark, fuzz_dir), spec.oracle, fuzz_con)
+
+
+# --- adversarial lineitem: NULL group keys, NULL measures ----------------
+
+_LI_ROWS = [
+    # (orderkey, partkey, suppkey, quantity, price, returnflag, linestatus)
+    (1, 10, 100, 1.0, 900.05, "A", "F"),
+    (2, 10, 101, 2.0, 901.15, "A", "O"),
+    (3, 11, 100, 3.0, 902.25, "R", "F"),
+    (4, None, 100, 4.0, 903.35, "R", "O"),     # NULL measure key
+    (5, 12, None, 5.0, 904.45, "R", "F"),      # NULL measure key
+    (6, 13, 102, 6.0, 905.55, None, "O"),      # NULL group key
+    (7, None, None, 7.0, 906.65, None, "F"),   # NULL everything
+    (8, 14, 103, None, None, "N", "O"),        # NULL measures
+    (9, 14, 103, 9.0, 908.85, "N", "O"),
+    (10, 15, 104, 10.0, 909.95, "G", "F"),     # single-row group
+]
+
+
+@pytest.fixture(scope="module")
+def li_fuzz_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_li")
+    pdf = pd.DataFrame(
+        [
+            {
+                "l_orderkey": ok,
+                "l_partkey": pk,
+                "l_suppkey": sk,
+                "l_linenumber": 1,
+                "l_quantity": q,
+                "l_extendedprice": p,
+                "l_discount": 0.01,
+                "l_tax": 0.02,
+                "l_returnflag": rf,
+                "l_linestatus": ls,
+                "l_shipdate": pd.Timestamp("2024-01-01"),
+            }
+            for ok, pk, sk, q, p, rf, ls in _LI_ROWS
+        ]
+    )
+    # nullable int64 for the key columns (plain int64 would coerce
+    # None to NaN-float)
+    for c in ("l_partkey", "l_suppkey"):
+        pdf[c] = pdf[c].astype("Int64")
+    pdf.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def li_fuzz_con(li_fuzz_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{os.path.join(li_fuzz_dir, 'lineitem.parquet')}'"
+    )
+    return con
+
+
+@pytest.mark.parametrize(
+    "qname", ["pivot_distinct_summary", "exact_percentiles"]
+)
+def test_lineitem_query_fuzz(spark, li_fuzz_dir, li_fuzz_con, qname):
+    """NULL group keys survive GROUP BY but vanish through equi-joins;
+    NULL measure keys count differently under count(DISTINCT) vs
+    distinct()+count(*) — exactly the class the round-6 review flagged
+    in the split multi-distinct plan. This pins the fixed behavior."""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    spec = collect_all()[qname]
+    _check(qname, spec.build(spark, li_fuzz_dir), spec.oracle, li_fuzz_con)
