@@ -646,11 +646,19 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.015).alias("_approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx_median"),
     )
+    # Same NULL discipline as distinct_counts: sentinel-coalesced join
+    # key (NULL group keys are groups), NULL measure keys filtered
+    # before distinct, base anchors with LEFT joins + zero-coalesce
+    # (tests/test_parity_fuzz.py pins it).
+    gk = F.coalesce(F.col("l_returnflag"), F.lit("\x00NULL")).alias("_gk")
+    base = base.select("*", gk)
     exact_distinct = (
-        li.select("l_returnflag", "l_partkey")
+        li.where(F.col("l_partkey").isNotNull())
+        .select("l_returnflag", "l_partkey")
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("exact_parts"))
+        .select("exact_parts", gk)
     )
     # Exact p49/p50/p51 via the bounded-memory counting operator (see
     # counting_percentiles) instead of the value-buffering percentile
@@ -658,23 +666,37 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = counting_percentiles(
         li, "l_returnflag", "l_extendedprice",
         [0.49, 0.5, 0.51], ["_p49", "_p50", "_p51"],
-    )
-    agg = base.join(exact_distinct, "l_returnflag").join(pct, "l_returnflag")
+    ).select("_p49", "_p50", "_p51", gk)
+    agg = base.join(exact_distinct, "_gk", "left").join(pct, "_gk", "left")
     return agg.select(
         "l_returnflag",
         "n_rows",
         "exact_min_price",
         "exact_max_price",
-        "exact_parts",
+        F.coalesce("exact_parts", F.lit(0)).alias("exact_parts"),
+        # The sketch certificates are statements about behavior at
+        # scale; below 100 rows they are vacuously true (a 2-row
+        # group's interpolated [p49, p51] band contains no actual data
+        # value, so a rank-returning approx median honestly misses it,
+        # and an all-NULL-key group makes the relative-error test
+        # divide by zero). The oracle emits TRUE unconditionally — the
+        # contract is that Spark's sketches MEET the bound wherever it
+        # is meaningful.
         (
-            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
-            / F.col("exact_parts")
-            <= 0.05
+            (F.col("n_rows") < 100)
+            | (
+                F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            )
         ).alias("parts_within_5pct"),
         F.round(F.col("_p50"), 4).alias("exact_median"),
         (
-            (F.col("_approx_median") >= F.col("_p49"))
-            & (F.col("_approx_median") <= F.col("_p51"))
+            (F.col("n_rows") < 100)
+            | (
+                (F.col("_approx_median") >= F.col("_p49"))
+                & (F.col("_approx_median") <= F.col("_p51"))
+            )
         ).alias("median_within_1pctile"),
     )
 

@@ -191,7 +191,7 @@ def li_fuzz_con(li_fuzz_dir):
 
 
 @pytest.mark.parametrize(
-    "qname", ["pivot_distinct_summary", "exact_percentiles"]
+    "qname", ["pivot_distinct_summary", "exact_percentiles", "approx_aggregates"]
 )
 def test_lineitem_query_fuzz(spark, li_fuzz_dir, li_fuzz_con, qname):
     """NULL group keys survive GROUP BY but vanish through equi-joins;
