@@ -202,3 +202,83 @@ def test_lineitem_query_fuzz(spark, li_fuzz_dir, li_fuzz_con, qname):
 
     spec = collect_all()[qname]
     _check(qname, spec.build(spark, li_fuzz_dir), spec.oracle, li_fuzz_con)
+
+
+# --- adversarial orders + customer: NULL join keys and dates -------------
+
+
+@pytest.fixture(scope="module")
+def star_fuzz_dir(spark, li_fuzz_dir, tmp_path_factory):
+    import shutil
+
+    d = tmp_path_factory.mktemp("fuzz_star")
+    shutil.copy(
+        os.path.join(li_fuzz_dir, "lineitem.parquet"),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    orders = pd.DataFrame(
+        [
+            # (orderkey, custkey, status, total, date, priority)
+            (1, 100, "O", 10.0, "2024-01-10", "1-URGENT"),
+            (2, 100, "F", 20.0, "2024-01-20", "2-HIGH"),
+            (3, None, "O", 30.0, "2024-02-01", "1-URGENT"),   # NULL custkey
+            (4, 101, "F", None, "2024-02-10", None),          # NULL price/prio
+            (5, 102, "O", 50.0, None, "3-MEDIUM"),            # NULL date
+            (None, 103, "F", 60.0, "2024-03-01", "2-HIGH"),   # NULL orderkey
+            (7, 999, "O", 70.0, "2024-03-05", "1-URGENT"),    # dangling custkey
+        ],
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    for c in ("o_orderkey", "o_custkey"):
+        orders[c] = orders[c].astype("Int64")
+    orders["o_orderdate"] = pd.to_datetime(orders["o_orderdate"])
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    customer = pd.DataFrame(
+        [
+            (100, "alice", 1, 10.5, "BUILDING"),
+            (101, "bob", 2, -1.25, "MACHINERY"),
+            (102, "carol", 1, None, None),                     # NULL bal/seg
+            (103, "dave", None, 3.75, "BUILDING"),             # NULL nation
+            (None, "eve", 3, 4.5, "BUILDING"),                 # NULL custkey
+            (104, "frank", 3, 5.0, "AUTOMOBILE"),              # no orders
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    customer["c_custkey"] = customer["c_custkey"].astype("Int64")
+    customer["c_nationkey"] = customer["c_nationkey"].astype("Int32")
+    customer.to_parquet(os.path.join(d, "customer.parquet"), index=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def star_fuzz_con(star_fuzz_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(star_fuzz_dir, t + '.parquet')}'"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q1_pricing_summary", "q3_shipping_priority", "join_semi_anti",
+     "join_left_outer_order_counts", "topk_global_orders",
+     "asof_join_orders_lineitem", "grouping_analytics",
+     "window_functions_combo", "function_showcase",
+     "exact_percentiles"],
+)
+def test_star_query_fuzz(spark, star_fuzz_dir, star_fuzz_con, qname):
+    """NULL join keys, NULL dates, dangling foreign keys, and
+    no-order customers through the relational surface. Queries that
+    also read nation/region/part/supplier/events are excluded (only
+    the three adversarial tables exist here); a query raising on a
+    missing table would fail loudly, not skip."""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    spec = collect_all()[qname]
+    _check(qname, spec.build(spark, star_fuzz_dir), spec.oracle, star_fuzz_con)
