@@ -572,8 +572,14 @@ def scalar_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     14/22/23), nested radio-metadata projection (ops 16-18), and
     parse-error routing (op 32). One narrow scan -> one select; every
     column keeps the exact expression of its standalone shadow.
-    Scale: single stage, whole-stage codegen, no shuffle."""
-    ev = _events(spark, sf_dir)
+    Scale: single stage, whole-stage codegen, no shuffle.
+
+    NULL user_id rows are dropped, mirroring the reference's identity
+    guard (a packet without device identity takes the error route, ops
+    29-31) — and keeping the derived identifier strings engine-stable:
+    Spark format_string renders Java's "null" where DuckDB's printf
+    propagates NULL (caught by tests/test_parity_fuzz.py)."""
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
     # ops 19+21 synthesis
     topic = F.format_string("lora/dev-%d/%s", F.col("user_id"),
                             F.when(F.col("event_type") == "signup", "joined").otherwise("up"))
@@ -655,6 +661,7 @@ WITH t AS (
                 CASE WHEN event_id % 2 = 0 THEN 125 ELSE 250 END) AS datr,
          CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 3) ELSE props END AS raw
   FROM events
+  WHERE user_id IS NOT NULL
 )
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
@@ -690,8 +697,10 @@ def scalar_envelope_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops 24, 27, 28 as ONE wide projection over events: unit/enum
     conversions, constant/derived stamps, and the
     packet_writter_message envelope serialization. Same expressions as
-    the standalone shadows; one narrow no-shuffle stage."""
-    ev = _events(spark, sf_dir)
+    the standalone shadows; one narrow no-shuffle stage. NULL user_id
+    rows dropped — same identity-guard policy and printf-NULL
+    rationale as scalar_decode_chain."""
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
     # op 24
     freq_hz = F.floor(F.col("value") * 10000000).cast("long")
     # op 27
@@ -759,6 +768,7 @@ SELECT event_id,
             data_collector_id := CAST(7 AS BIGINT))],
          ts := epoch_us(ts))) AS envelope
 FROM events
+WHERE user_id IS NOT NULL
 """
 
 

@@ -190,7 +190,10 @@ def verification_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     total vs verified messages; verified when total >= 5 and ratio >
     0.8. Shadow: per user, a message verifies when value <= 100."""
     ev = _events(spark, sf_dir)
-    ok = (F.col("value") <= 100).cast("int")
+    # when/otherwise, not a bare boolean cast: a NULL value must count
+    # as unverified (0), matching the oracle's CASE ... ELSE 0 — the
+    # cast form propagated NULL through the sum (fuzz-caught).
+    ok = F.when(F.col("value") <= 100, 1).otherwise(0)
     return (
         ev.groupBy("user_id")
         .agg(

@@ -282,3 +282,67 @@ def test_star_query_fuzz(spark, star_fuzz_dir, star_fuzz_con, qname):
 
     spec = collect_all()[qname]
     _check(qname, spec.build(spark, star_fuzz_dir), spec.oracle, star_fuzz_con)
+
+
+# --- adversarial events: timestamp ties, NULL keys, session edges --------
+
+
+@pytest.fixture(scope="module")
+def ev_fuzz_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_ev")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # tie-heavy: same user, identical timestamps (ordering hazards)
+        (0, t0, 1, "signup", 1.0, '{"k": 1}'),
+        (1, t0, 1, "purchase", 2.0, '{"k": 2}'),
+        (2, t0, 1, "error", 3.0, '{"k": 3}'),
+        # exactly on a 30m session-gap boundary
+        (3, t0 + pd.Timedelta(minutes=30), 1, "purchase", 4.0, '{"k": 4}'),
+        (4, t0 + pd.Timedelta(minutes=60, seconds=1), 1, "view", 5.0, None),
+        # NULL user / NULL value / NULL props
+        (5, t0 + pd.Timedelta(minutes=5), None, "view", 6.0, '{"k": 6}'),
+        (6, t0 + pd.Timedelta(minutes=6), 2, "purchase", None, '{"k": 7}'),
+        # single-event user
+        (7, t0 + pd.Timedelta(hours=2), 3, "signup", 8.0, '{"k": 8}'),
+        # status flip-flop for change detection
+        (8, t0 + pd.Timedelta(hours=3), 4, "error", 9.0, '{"k": 9}'),
+        (9, t0 + pd.Timedelta(hours=3, minutes=1), 4, "purchase", 10.0, '{"k": 10}'),
+        (10, t0 + pd.Timedelta(hours=3, minutes=2), 4, "error", 11.0, '{"k": 11}'),
+        # window-boundary: exactly on the hour
+        (11, t0 + pd.Timedelta(hours=4), 5, "view", 12.0, '{"k": 12}'),
+        (12, t0 + pd.Timedelta(hours=4, minutes=59, seconds=59), 5, "view", 13.0, '{"k": 13}'),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ev_fuzz_con(ev_fuzz_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(ev_fuzz_dir, 'events.parquet')}'"
+    )
+    return con
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["prev_packet_correlation", "device_map_enrich", "location_propagation",
+     "verification_gate", "status_change_detection", "dedup_first_arrival",
+     "sessionize_gap30m", "time_windows", "packet_summary",
+     "scalar_decode_chain", "scalar_envelope_chain"],
+)
+def test_events_query_fuzz(spark, ev_fuzz_dir, ev_fuzz_con, qname):
+    """Identical timestamps for one user, session-gap and window
+    boundaries, NULL user/value/props — the ordering and edge cases
+    the generated events stream (unique micro-timestamps) never
+    produces."""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    spec = collect_all()[qname]
+    _check(qname, spec.build(spark, ev_fuzz_dir), spec.oracle, ev_fuzz_con)
