@@ -51,6 +51,15 @@ def _norm(a: str) -> Column:
     ))
 
 
+def _cosine(dot: Column, norms: Column) -> Column:
+    """round(dot / norms, 6) with NULL-on-zero division: a zero vector
+    has no cosine, and under Spark ANSI mode a bare `/` HARD-FAILS the
+    whole query on the first degenerate row (fuzz-caught). DuckDB's
+    x / 0.0 is NULL natively, and both engines sort NULLs last under
+    ORDER BY DESC, so try_divide is the exactly-aligned spelling."""
+    return F.round(F.try_divide(dot, norms), 6)
+
+
 _DOT_SQL = (
     "list_reduce(list_transform(range(1, 65),"
     " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),"
@@ -67,8 +76,9 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_embedding")
     )
     joined = emb.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
-    cos = F.round(
-        _dot("embedding", "q_embedding") / (_norm("embedding") * _norm("q_embedding")), 6
+    cos = _cosine(
+        _dot("embedding", "q_embedding"),
+        _norm("embedding") * _norm("q_embedding"),
     )
     return (
         joined.select("vec_id", "label", cos.alias("cosine"))
@@ -128,8 +138,9 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .filter(F.col("bucket") == F.col("q_bucket"))
     )
-    cos = F.round(
-        _dot("embedding", "q_embedding") / (_norm("embedding") * _norm("q_embedding")), 6
+    cos = _cosine(
+        _dot("embedding", "q_embedding"),
+        _norm("embedding") * _norm("q_embedding"),
     )
     return (
         joined.select("vec_id", "label", "bucket", cos.alias("cosine"))
@@ -166,8 +177,9 @@ def ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .filter(F.col("label") == F.col("q_label"))
     )
-    cos = F.round(
-        _dot("embedding", "q_embedding") / (_norm("embedding") * _norm("q_embedding")), 6
+    cos = _cosine(
+        _dot("embedding", "q_embedding"),
+        _norm("embedding") * _norm("q_embedding"),
     )
     return (
         joined.select("vec_id", "label", cos.alias("cosine"))
@@ -306,8 +318,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.nrm").alias("a_nrm"),
         "b_nrm",
     )
-    cos = F.round(
-        _dot("a_emb", "b_embedding") / (F.col("a_nrm") * F.col("b_nrm")), 6
+    cos = _cosine(
+        _dot("a_emb", "b_embedding"), F.col("a_nrm") * F.col("b_nrm")
     )
     # Stage the cosine behind the Generate barrier BEFORE filtering:
     # a pushed-down predicate substitutes the alias definition, so the
@@ -489,7 +501,12 @@ def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
     rows = q.filter(
         (F.col("vec_id") < PQ_K) | (F.col("vec_id") == query_id)
     ).collect()
-    by_id = {r["vec_id"]: list(r["codes"]) for r in rows}
+    by_id = {r["vec_id"]: list(r["codes"]) for r in rows if r["codes"] is not None}
+    missing = [j for j in range(PQ_K) if j not in by_id]
+    if missing or query_id not in by_id:
+        raise ValueError(
+            f"PQ codebook/query vectors unusable (NULL embedding): {missing}"
+        )
     cb = np.asarray([by_id[j] for j in range(PQ_K)], dtype=np.int64)
     qc = np.asarray(by_id[query_id], dtype=np.int64)
     adc = np.stack(
@@ -537,7 +554,11 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str,
     cb, adc = _pq_prepare(spark, sf_dir, query_id, scales)
     q = quantize_embeddings(spark, sf_dir, scales)
     return (
+        # NULL-embedding rows carry NULL codes: excluded (nothing to
+        # encode), matching the oracle's unnest semantics — and the
+        # numpy kernel would otherwise crash on a None row.
         q.filter(F.col("vec_id") != query_id)
+        .filter(F.col("codes").isNotNull())
         .select("vec_id", "label", _pq_score_udf(cb, adc)("codes").alias("_s"))
         .select(
             "vec_id", "label", F.col("_s").cast("double").alias("pq_score")

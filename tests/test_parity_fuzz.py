@@ -346,3 +346,58 @@ def test_events_query_fuzz(spark, ev_fuzz_dir, ev_fuzz_con, qname):
 
     spec = collect_all()[qname]
     _check(qname, spec.build(spark, ev_fuzz_dir), spec.oracle, ev_fuzz_con)
+
+
+# --- adversarial embeddings: NULL and degenerate vectors -----------------
+
+
+@pytest.fixture(scope="module")
+def emb_fuzz_dir(spark, tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    vecs = []
+    for i in range(24):
+        v = rng.randn(64).astype("float32")
+        v /= np.linalg.norm(v)
+        vecs.append(v.tolist())
+    vecs[20] = None                       # NULL embedding
+    vecs[21] = [0.0] * 64                 # zero vector (norm 0)
+    vecs[22] = vecs[5]                    # exact duplicate of vec 5
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(24), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([i % 4 for i in range(24)], type=pa.int32()),
+        }
+    )
+    d = tmp_path_factory.mktemp("fuzz_emb")
+    pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def emb_fuzz_con(emb_fuzz_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(emb_fuzz_dir, 'embeddings.parquet')}'"
+    )
+    return con
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["ann_topk_suite", "ivf_label_topk", "label_centroid_distance",
+     "embedding_near_dup_pairs"],
+)
+def test_embeddings_query_fuzz(spark, emb_fuzz_dir, emb_fuzz_con, qname):
+    """NULL embeddings, a zero vector (0/0 cosine), and exact
+    duplicates through the ANN surface — crash paths (numpy kernel on
+    a None row) as much as value divergence."""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    spec = collect_all()[qname]
+    _check(qname, spec.build(spark, emb_fuzz_dir), spec.oracle, emb_fuzz_con)
