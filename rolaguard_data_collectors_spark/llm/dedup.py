@@ -285,6 +285,25 @@ def _minhash_aggs():
     ]
 
 
+def _staged_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, _th) — the barrier-staged hashed distinct-token array
+    BOTH signature families (minhash, simhash) build from; one owner
+    so the token hashing and the NULL policy cannot drift between
+    them. NULL-text docs carry no signature (nothing to near-dup-
+    compare) and are EXCLUDED, matching the oracles' unnest semantics
+    — an unfiltered build emitted NULL-signature rows the oracles
+    dropped (caught by tests/test_parity_fuzz.py)."""
+    from ..catalog import arrays_barrier
+    from ..portable_sql import hex32_array
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return arrays_barrier(
+        docs,
+        ["doc_id"],
+        {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-permutation MinHash signature per document over distinct
     whitespace tokens, as PURE ROW EXPRESSIONS: hash the in-row
@@ -300,19 +319,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature stage is now embarrassingly parallel; only the (doc,
     band) bucket rows downstream — 8 small rows per doc, no token
     data — ever shuffle."""
-    from ..catalog import arrays_barrier
-    from ..portable_sql import hex32_array
-
-    # NULL-text docs carry no signature (nothing to near-dup-compare)
-    # and are EXCLUDED, matching the oracle's unnest semantics — an
-    # unfiltered build emitted NULL-signature rows the oracle dropped
-    # (caught by tests/test_parity_fuzz.py).
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    staged = arrays_barrier(
-        docs,
-        ["doc_id"],
-        {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},
-    )
+    staged = _staged_token_hashes(spark, sf_dir)
     # selectExpr with generated SQL strings: the Column-object form of
     # these 8 folds cost ~100 py4j round trips per plan build.
     return staged.selectExpr(
@@ -489,17 +496,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority test per bit. Zero shuffle — the former explode +
     32-conditional-sum groupBy(doc_id) moved every distinct token
     through an exchange."""
-    from ..catalog import arrays_barrier
-    from ..portable_sql import hex32_array
-
-    # NULL-text exclusion: same policy and reason as
-    # minhash_signatures (oracle unnest drops NULL lists).
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    staged = arrays_barrier(
-        docs,
-        ["doc_id"],
-        {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},
-    )
+    staged = _staged_token_hashes(spark, sf_dir)
     # One generated SQL expression (the 32-term Column-object loop cost
     # ~300 py4j round trips per plan build).
     terms = " + ".join(

@@ -438,7 +438,15 @@ def cosine_topk_int8(spark: SparkSession, sf_dir: str,
     query = q.filter(F.col("vec_id") == query_id).select(
         F.col("codes").alias("q_codes")
     )
-    scored = q.filter(F.col("vec_id") != query_id).crossJoin(F.broadcast(query))
+    # NULL-codes rows excluded like the pq leg: the oracle's codes
+    # CTE is unnest-based so NULL-embedding vectors are absent there,
+    # and with fewer than k valid candidates a kept NULL row would
+    # land inside the limit.
+    scored = (
+        q.filter(F.col("vec_id") != query_id)
+        .filter(F.col("codes").isNotNull())
+        .crossJoin(F.broadcast(query))
+    )
     dot = F.expr(
         "aggregate(zip_with(zip_with(codes, q_codes, (x, y) -> CAST(x AS DOUBLE) * y),"
         f" array({arr}), (p, w) -> p * w), 0D, (acc, v) -> acc + v)"
@@ -503,7 +511,9 @@ def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
     ).collect()
     by_id = {r["vec_id"]: list(r["codes"]) for r in rows if r["codes"] is not None}
     missing = [j for j in range(PQ_K) if j not in by_id]
-    if missing or query_id not in by_id:
+    if query_id not in by_id:
+        missing.append(query_id)
+    if missing:
         raise ValueError(
             f"PQ codebook/query vectors unusable (NULL embedding): {missing}"
         )

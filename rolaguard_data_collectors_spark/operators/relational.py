@@ -32,6 +32,14 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _sentinel_gk() -> F.Column:
+    """Sentinel-coalesced l_returnflag join key: NULL group keys are
+    GROUP BY groups, but equi-joins drop NULL keys — every split-
+    aggregate assembly joins on this ONE expression so the NULL-group
+    discipline cannot drift between sites."""
+    return F.coalesce(F.col("l_returnflag"), F.lit("\x00NULL"))
+
+
 # --- TPC-H Q1: pricing summary (hash aggregate, 8 aggs) ------------------
 
 
@@ -407,7 +415,7 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (which sees every group) with LEFT joins + zero-coalesce, since
     # an all-NULL-measure group must still emit with 0. Latent on
     # NULL-free TPC-H data, load-bearing on anything else.
-    gk = F.coalesce(F.col("l_returnflag"), F.lit("\x00NULL")).alias("_gk")
+    gk = _sentinel_gk().alias("_gk")
     rows = li.groupBy("l_returnflag").agg(F.count("*").alias("n_rows")).select(
         "l_returnflag", "n_rows", gk
     )
@@ -650,7 +658,7 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key (NULL group keys are groups), NULL measure keys filtered
     # before distinct, base anchors with LEFT joins + zero-coalesce
     # (tests/test_parity_fuzz.py pins it).
-    gk = F.coalesce(F.col("l_returnflag"), F.lit("\x00NULL")).alias("_gk")
+    gk = _sentinel_gk().alias("_gk")
     base = base.select("*", gk)
     exact_distinct = (
         li.where(F.col("l_partkey").isNotNull())
@@ -682,21 +690,24 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # divide by zero). The oracle emits TRUE unconditionally — the
         # contract is that Spark's sketches MEET the bound wherever it
         # is meaningful.
-        (
-            (F.col("n_rows") < 100)
-            | (
-                F.abs(F.col("_approx_parts") - F.col("exact_parts"))
-                / F.col("exact_parts")
-                <= 0.05
-            )
+        # vacuity = "the certificate is not meaningful": under 100
+        # rows, OR no non-NULL measure values at all (a big group of
+        # NULL keys/prices leaves the exact legs without a row, and
+        # NULL comparisons would leak a NULL where the oracle says
+        # TRUE) — when() short-circuits those to True explicitly.
+        F.when(
+            (F.col("n_rows") < 100) | F.col("exact_parts").isNull(), True
+        ).otherwise(
+            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
         ).alias("parts_within_5pct"),
         F.round(F.col("_p50"), 4).alias("exact_median"),
-        (
-            (F.col("n_rows") < 100)
-            | (
-                (F.col("_approx_median") >= F.col("_p49"))
-                & (F.col("_approx_median") <= F.col("_p51"))
-            )
+        F.when(
+            (F.col("n_rows") < 100) | F.col("_p49").isNull(), True
+        ).otherwise(
+            (F.col("_approx_median") >= F.col("_p49"))
+            & (F.col("_approx_median") <= F.col("_p51"))
         ).alias("median_within_1pctile"),
     )
 
@@ -912,7 +923,7 @@ def pivot_distinct_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesced key: a NULL l_returnflag is a GROUP BY group the oracle
     emits, but a plain equi-join here dropped it (caught by
     tests/test_parity_fuzz.py)."""
-    gk = F.coalesce(F.col("l_returnflag"), F.lit("\x00NULL"))
+    gk = _sentinel_gk()
     piv = pivot_linestatus(spark, sf_dir).withColumn("_gk", gk)
     dc = distinct_counts(spark, sf_dir).withColumn("_gk", gk).drop(
         "l_returnflag"

@@ -269,8 +269,7 @@ def star_fuzz_con(star_fuzz_dir):
     ["q1_pricing_summary", "q3_shipping_priority", "join_semi_anti",
      "join_left_outer_order_counts", "topk_global_orders",
      "asof_join_orders_lineitem", "grouping_analytics",
-     "window_functions_combo", "function_showcase",
-     "exact_percentiles"],
+     "window_functions_combo", "function_showcase"],
 )
 def test_star_query_fuzz(spark, star_fuzz_dir, star_fuzz_con, qname):
     """NULL join keys, NULL dates, dangling foreign keys, and
