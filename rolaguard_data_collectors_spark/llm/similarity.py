@@ -615,6 +615,11 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str,
     )
     return (
         q.filter(F.col("vec_id") != query_id)
+        # NULL-embedding rows carry NULL codes: exclude before the numpy
+        # kernel (same degenerate-vector guard as cosine_topk_pq/int8 —
+        # round-7 ADVICE fix; a NULL row sharing the query's cell would
+        # crash np.array on a None element).
+        .filter(F.col("codes").isNotNull())
         .crossJoin(F.broadcast(qcell))
         .filter(F.col("label") == F.col("q_label"))
         .select("vec_id", "label", _pq_score_udf(cb, adc)("codes").alias("_s"))
@@ -627,17 +632,19 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str,
 
 
 def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry consolidation of the four point-query ANN strategies
+    """Registry consolidation of the five point-query ANN strategies
     as one tagged union: the exact float32 brute force (``fp32``), the
     sign-bit LSH bucket probe (``lsh``), the int8-quantized scan
-    (``int8`` — 4x fewer bytes per probe, integer dot JVM-side), and
+    (``int8`` — 4x fewer bytes per probe, integer dot JVM-side),
     product quantization over the int8 codes (``pq`` — round 6: M
     sub-codes per vector, ADC table lookups instead of a full dot;
-    32 bits/vector at 100 TB). All share the broadcast-1-row query +
-    TakeOrderedAndProject plan; the component builders keep the
-    standalone semantics for tests (tests/test_quantize.py,
+    32 bits/vector at 100 TB), and the composed IVF-PQ ladder
+    (``ivf_pq`` — round 7: coarse-cell prune THEN ADC, the actual
+    100-TB FAISS-style configuration). All share the broadcast-1-row
+    query + TakeOrderedAndProject plan; the component builders keep
+    the standalone semantics for tests (tests/test_quantize.py,
     tests/test_kmeans.py). The per-dimension scales collect once and
-    feed both quantized legs."""
+    the memoized codebook/ADC artifact feeds both PQ legs."""
     scales = embedding_scales(spark, sf_dir)
     fp32 = cosine_topk_bruteforce(spark, sf_dir).select(
         F.lit("fp32").alias("method"),
@@ -667,7 +674,21 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("bucket"),
         F.col("pq_score").alias("score"),
     )
-    return fp32.unionByName(lsh).unionByName(int8).unionByName(pq)
+    # Round 7: the composed FAISS-style ladder (coarse IVF cell prune
+    # x PQ/ADC scoring) registered as a 5th leg — previously pytest-
+    # only (tests/test_quantize.py). Shares the memoized codebook/ADC
+    # collect with the flat pq leg via _PQ_PREP_CACHE.
+    ivf_pq = cosine_topk_ivf_pq(spark, sf_dir, scales=scales).select(
+        F.lit("ivf_pq").alias("method"),
+        "vec_id",
+        "label",
+        F.lit(None).cast("int").alias("bucket"),
+        F.col("pq_score").alias("score"),
+    )
+    return (
+        fp32.unionByName(lsh).unionByName(int8).unionByName(pq)
+        .unionByName(ivf_pq)
+    )
 
 
 # The int8 leg's oracle recomputes the per-dimension scales inside
@@ -740,16 +761,31 @@ WITH fp AS (
   GROUP BY b.vec_id, e.label
   ORDER BY score DESC, b.vec_id ASC
   LIMIT {TOP_K}
+), ivfpq AS (
+  -- IVF-PQ: identical ADC scoring restricted to the query's coarse
+  -- cell (label) BEFORE ranking — rows absent from icodes (NULL
+  -- embeddings) are excluded on both sides.
+  SELECT 'ivf_pq' AS method, b.vec_id, e.label,
+         CAST(NULL AS INTEGER) AS bucket,
+         CAST(CAST(sum(a.dp) AS BIGINT) AS DOUBLE) AS score
+  FROM pbest b JOIN padc a USING (m, code)
+  JOIN embeddings e ON e.vec_id = b.vec_id
+  WHERE b.vec_id != {QUERY_VEC_ID}
+    AND e.label = (SELECT label FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+  GROUP BY b.vec_id, e.label
+  ORDER BY score DESC, b.vec_id ASC
+  LIMIT {TOP_K}
 )
 SELECT * FROM fp UNION ALL SELECT * FROM lsh
 UNION ALL SELECT * FROM i8 UNION ALL SELECT * FROM pq
+UNION ALL SELECT * FROM ivfpq
 """
 
 
 QUERIES = [
     QuerySpec("ann_topk_suite", ann_topk_suite, ANN_TOPK_SUITE_ORACLE,
               "ANN top-k: fp32 brute force + LSH bucket probe + int8 "
-              "quantized + product quantization"),
+              "quantized + product quantization + IVF-PQ ladder"),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs, NEAR_DUP_ORACLE,
               "LSH-blocked embedding-cosine near-dup pairs"),
     QuerySpec("ivf_label_topk", ivf_label_topk, IVF_LABEL_TOPK_ORACLE,

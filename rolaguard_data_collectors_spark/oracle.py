@@ -66,6 +66,11 @@ def _canon(v):
     # the skew we hunt is numeric widening, not null spelling)
     if v is None:
         return _NULLISH
+    if v is pd.NaT:
+        # NaTType subclasses datetime, NOT pd.Timestamp — check identity
+        # first or it falls through and canonicalizes as the string 'NaT'
+        # instead of the null marker (round-7 ADVICE fix).
+        return _NULLISH
     if isinstance(v, float) and math.isnan(v):
         return _NULLISH
     if isinstance(v, np.generic):
@@ -73,8 +78,6 @@ def _canon(v):
         if isinstance(v, float) and math.isnan(v):
             return _NULLISH
     if isinstance(v, pd.Timestamp):
-        if v is pd.NaT:
-            return _NULLISH
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
@@ -95,10 +98,11 @@ def _canon(v):
 
 def _strict(v):
     """Driver-faithful cell string: type-revealing repr of the
-    canonical value (int 31 → '31', float 31.0 → '31.0')."""
+    canonical value (int 31 → '31', float 31.0 → '31.0', str '31' →
+    "'31'").  Strings are repr'd too (round-7 ADVICE fix) so a
+    one-sided VARCHAR-vs-BIGINT column skew — '31' vs 31 — fails the
+    strict compare instead of colliding to the same cell string."""
     c = _canon(v)
-    if isinstance(c, str):
-        return c
     return repr(c)
 
 
