@@ -124,7 +124,7 @@ _SPREAD_CACHE: dict[tuple, bool] = {}
 _SPREAD_SMALL_BYTES = 512 << 20
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, width: int | None = None) -> DataFrame:
     """Redistribute a narrow scan across cores when the source layout
     under-parallelizes it (the driver testdata is one parquet file with
     ONE row group per table, so a scan - and everything narrow above it,
@@ -132,15 +132,24 @@ def spread(df: DataFrame) -> DataFrame:
     round-robin shuffle unlocks full-core parallelism for expensive
     downstream work.
 
+    ``width`` overrides the fan-out (default: every core). Light
+    per-row chains — where task scheduling + Python-worker round trips
+    dominate the actual compute — measure fastest well BELOW core
+    count (quarter width: the pipeline queries A/B'd 0.92 s -> 0.75 s
+    at sf0.1, same optimum as llm/multimodal.perceptual_dedup_table);
+    crypto/decode sweeps keep the full-width default (halving the
+    bruteforce sweep's width measured 2.3 s -> 4.2 s, round 5).
+
     The under-split check reads the scan's file list + sizes (cheap
     FileIndex metadata, memoized per file set) — never the physical
     plan. At production scale inputs have many splits (len(files)
     alone clears the bar) and this is a no-op; non-local filesystems
     without stat access also fall through to the no-op."""
     spark = df.sparkSession
-    n = compute_parallelism(spark)
+    n = width or compute_parallelism(spark)
     files = tuple(df.inputFiles())
-    need = _SPREAD_CACHE.get(files)
+    cache_key = (files, n)  # the under-split bar scales with the fan-out
+    need = _SPREAD_CACHE.get(cache_key)
     if need is None:
         if len(files) >= max(2, n // 2):
             need = False
@@ -155,7 +164,7 @@ def spread(df: DataFrame) -> DataFrame:
                 need = total < _SPREAD_SMALL_BYTES
             except OSError:
                 need = False
-        _SPREAD_CACHE[files] = need
+        _SPREAD_CACHE[cache_key] = need
     if not need:
         return df
     # Pushdown barrier above the exchange: a nondeterministic

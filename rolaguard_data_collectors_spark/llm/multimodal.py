@@ -585,7 +585,8 @@ def _banded(hashes: DataFrame) -> DataFrame:
 
 
 def image_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 3, symmetric: bool = False
+    hashes: DataFrame, max_hamming: int = 3, symmetric: bool = False,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Image near-dup candidate pairs over a (doc_id, dhash) frame:
     pigeonhole-banded like simhash — split the 64-bit hash into 4
@@ -601,8 +602,14 @@ def image_near_dup_pairs(
     ``symmetric=True`` emits BOTH directions (doc_a <> doc_b) so a
     per-doc partner count is one groupBy over this frame — a
     both-directions union of the asymmetric form would duplicate the
-    entire join subtree (2x the scans and kernel runs in the plan)."""
-    bands = _banded(hashes)
+    entire join subtree (2x the scans and kernel runs in the plan).
+
+    ``bands``: a caller-supplied pre-banded frame (``_banded(hashes)``,
+    possibly checkpointed) — lets a query that ALSO consumes the banded
+    frame elsewhere share one materialized subtree instead of relying
+    on runtime ReuseExchange (round-7 perf fix)."""
+    if bands is None:
+        bands = _banded(hashes)
     # Alias-based self-join of the SAME DataFrame: both sides have
     # identical canonical plans, so ReuseExchange computes the banded
     # subtree (and everything below it — possibly an expensive hash
@@ -748,18 +755,28 @@ def perceptual_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.mapInPandas(synthetic_media_kernel, schema="doc_id long, payload binary")
         .mapInPandas(media_phash_kernel, schema=PHASH_SCHEMA)
     )
-    pairs = image_near_dup_pairs(hashes, max_hamming=3, symmetric=True)
+    # Materialize the banded frame ONCE (lazy localCheckpoint) and hand
+    # it to all three consumers (both pair-join sides + the pdhash
+    # projection). Round 7: previously the static plan carried three
+    # redundant gen+hash subtrees and only runtime ReuseExchange
+    # collapsed them — the checkpoint makes the sharing static (the
+    # exact tfidf_top_terms fix from round 5; at 100 TB this is the
+    # "stage the fingerprint table" materialization, see llm/text.py
+    # for the persist-vs-checkpoint A/B).
+    bands = _banded(hashes).localCheckpoint(eager=False)
+    pairs = image_near_dup_pairs(hashes, max_hamming=3, symmetric=True,
+                                 bands=bands)
     cnt = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("near_dup_cnt"))
     )
-    # pdhash comes from the SAME banded exchange the pair join reads
-    # (band 0 slice, int64 back to canonical 16-hex), so the synthetic
-    # gen+hash kernels run ONCE for the whole query instead of once
-    # per consumer. Every synthetic payload decodes (all are valid
-    # PPMs), so the band-0 slice covers every doc.
-    hashes_hex = _banded(hashes).where(F.col("band") == 0).select(
+    # pdhash comes from the SAME checkpointed banded frame the pair
+    # join reads (band 0 slice, int64 back to canonical 16-hex), so the
+    # synthetic gen+hash kernels run ONCE for the whole query instead
+    # of once per consumer. Every synthetic payload decodes (all are
+    # valid PPMs), so the band-0 slice covers every doc.
+    hashes_hex = bands.where(F.col("band") == 0).select(
         "doc_id",
         F.lpad(F.lower(F.hex("_h")), 16, "0").alias("pdhash"),
     )

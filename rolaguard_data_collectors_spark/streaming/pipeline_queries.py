@@ -50,7 +50,18 @@ _GOLDEN_ORACLE_COLS = """
 def _events_raw_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): the codec UDF stage parallelizes past the
     # single-row-group test parquet (no-op on well-split inputs).
-    ev = spread(load_table(spark, sf_dir, "events"))
+    # Quarter width (round 7 A/B at sf0.1: 0.92 s -> 0.75 s on
+    # chirpstack, best of {4, 8, 16, 32}): the pipeline chains are
+    # light per row (JSON + memoized decode ~ a dict probe), so task
+    # scheduling + Python-worker round trips dominate past a few
+    # partitions. A production stream arrives pre-partitioned by the
+    # source and never takes this repartition.
+    from ..catalog import compute_parallelism
+
+    ev = spread(
+        load_table(spark, sf_dir, "events"),
+        width=max(2, compute_parallelism(spark) // 4),
+    )
     return ev.select(
         "event_id",
         "user_id",

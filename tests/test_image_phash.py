@@ -236,12 +236,15 @@ def test_perceptual_dedup_table_planned_duplicates(spark):
         assert cnt <= 16, (d, cnt)
 
 
-def test_perceptual_leg_reuses_banded_exchange(spark):
-    """The registered query's three banded-exchange consumers (both
-    pair-join sides and the pdhash slice) must collapse to ONE kernel
-    run at execution: the explicit (band, key) repartition is the
-    sharing point ReuseExchange keys on. Guards against a refactor
-    that re-introduces per-consumer recompute of the hash kernels."""
+def test_perceptual_leg_shares_banded_frame(spark):
+    """The registered query's three banded-frame consumers (both
+    pair-join sides and the pdhash slice) must share ONE materialized
+    subtree. Round 7: the sharing is STATIC — the banded frame is
+    lazily localCheckpoint'd, so the plan reads an ExistingRDD thrice
+    and the synthetic gen+hash kernels appear zero times in the final
+    query (they run once, inside the checkpoint's own lineage).
+    Guards against a refactor that re-introduces per-consumer
+    recompute of the hash kernels."""
     from rolaguard_data_collectors_spark.registry import collect_all
 
     df = collect_all()["multimodal_decode_features"].build(
@@ -249,4 +252,11 @@ def test_perceptual_leg_reuses_banded_exchange(spark):
     )
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ReusedExchange") >= 2, plan[:4000]
+    # The AdaptiveSparkPlan string repeats the tree ("Final Plan" +
+    # "Initial Plan") — count nodes in the final section only.
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "ExistingRDD" in plan, plan[:4000]
+    # Only the feats leg + two 1-row golden legs may run Python
+    # kernels in the final plan; the perceptual gen+hash chain must
+    # sit behind the checkpoint.
+    assert plan.count("MapInPandas") <= 3, plan[:4000]

@@ -143,15 +143,14 @@ def test_decode_distinct_strategy_plan(spark, sf_dir):
         ("curation_sample_pack", 6, 16),
         # narrow regex chain: spread exchange only
         ("pii_redaction_profile", 1, 1),
-        # round 6: feats scan + 3 doc_id-only pruned scans for the
-        # perceptual-dedup leg in the STATIC plan — at runtime all
-        # three consumers (both self-join sides, the pdhash slice)
-        # sit on one explicit (band, key) repartition and collapse to
-        # a single kernel run via ReuseExchange (asserted in
-        # tests/test_image_phash.py); exchanges: banded repartition
-        # x3 static + pair distinct + partner-count agg +
-        # hash/cnt/feats joins + two 1-row golden broadcasts
-        ("multimodal_decode_features", 4, 14),
+        # round 7: the banded perceptual frame is localCheckpoint'd,
+        # so the static plan carries ONE feats scan (the r6 form's 3
+        # redundant doc_id-only gen+hash subtrees are gone — sharing
+        # is static, not ReuseExchange-dependent; asserted in
+        # tests/test_image_phash.py); exchanges: pair distinct +
+        # partner-count agg + hash/cnt/feats joins + two 1-row golden
+        # broadcasts
+        ("multimodal_decode_features", 1, 9),
     ],
 )
 def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges):
