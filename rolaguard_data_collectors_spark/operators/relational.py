@@ -568,7 +568,13 @@ def counting_percentiles(
     keeps memory bounded either way, so the extra pass only pays for
     itself when duplicates dominate. Tie order inside the sort is
     arbitrary yet the VALUE at any rank is deterministic, so the
-    output is stable under any partitioning."""
+    output is stable under any partitioning.
+
+    Parallelism caveat: the window fans in to ONE task per group — the
+    right trade when groups are plentiful. With FEW groups over a big
+    fact table, use ``histogram_percentiles`` below: identical answers
+    (property-pinned in tests/test_property_new_ops.py), every heavy
+    stage at scan parallelism."""
     raw = df.select(group_col, value_col).where(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(value_col)
     wall = Window.partitionBy(group_col)
@@ -588,6 +594,89 @@ def counting_percentiles(
         i_hi = i_lo + 1
         aggs.append(F.max(F.when(F.col("_i") == i_lo, F.col(value_col))).alias(f"_{name}_lo"))
         aggs.append(F.max(F.when(F.col("_i") == i_hi, F.col(value_col))).alias(f"_{name}_hi"))
+        aggs.append(F.max(k - F.floor(k)).alias(f"_{name}_w"))
+        lo, hi, wgt = (F.col(f"_{name}_lo"), F.col(f"_{name}_hi"), F.col(f"_{name}_w"))
+        outs.append((lo + wgt * (F.coalesce(hi, lo) - lo)).alias(name))
+    return ranked.groupBy(group_col).agg(*aggs).select(*outs)
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    fractions: list[float],
+    out_names: list[str],
+    bucket_width: float = 512.0,
+) -> DataFrame:
+    """Exact interpolated percentiles (same quantile_cont semantics as
+    ``counting_percentiles``) via HISTOGRAM PRUNING — the scale path
+    when groups are FEW: the sort-window form's parallelism equals the
+    group count (3 l_returnflag groups = 3 tasks sorting the whole
+    fact table; at 100 TB that is the bottleneck stage), while here
+    every heavy stage runs at scan parallelism:
+
+    1. bucket counts: ``floor(value / W)`` + hash aggregate — pure
+       whole-stage-codegen arithmetic, map-side partial-combined.
+    2. per-group bucket offsets: one window over the TINY
+       (group, bucket, count) frame (rows = distinct non-empty
+       buckets, not data rows).
+    3. bracket buckets only — the <=2·|fractions| buckets per group
+       whose offset range contains a needed order statistic — are
+       broadcast back; ONLY their rows (a ~1/buckets fraction of the
+       data) take the local rank window, partitioned by
+       (group, bucket), i.e. fully parallel.
+
+    The bucket id is weakly monotonic in the value (ties share a
+    bucket; the |value| <= 1e15 clamp only merges extreme outliers
+    into the edge buckets, where the local sort still orders them
+    exactly), so the value at any global rank is identical to the
+    full-sort answer. NULL group keys are groups: the broadcast
+    join runs on a sentinel-coalesced key, the final aggregate on the
+    raw (nullable) group column."""
+    from functools import reduce as _reduce
+    from operator import or_ as _or
+
+    v = F.col(value_col).cast("double")
+    b = F.floor(
+        F.greatest(F.least(v, F.lit(1e15)), F.lit(-1e15)) / F.lit(float(bucket_width))
+    )
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00NULL"))
+    rows = (
+        df.select(F.col(group_col), v.alias("_v"), b.alias("_b"), gkey.alias("_hgk"))
+        .where(v.isNotNull())
+    )
+    bc = rows.groupBy("_hgk", "_b").agg(F.count("*").alias("_c"))
+    woff = Window.partitionBy("_hgk").orderBy("_b")
+    offs = bc.select(
+        "_hgk",
+        "_b",
+        "_c",
+        (F.sum("_c").over(woff) - F.col("_c")).alias("_off"),
+        F.sum("_c").over(Window.partitionBy("_hgk")).alias("_hn"),
+    )
+    conds = []
+    for p in fractions:
+        k = F.lit(p) * (F.col("_hn") - 1)
+        i_lo = F.floor(k) + 1
+        for idx in (i_lo, i_lo + 1):
+            conds.append(
+                (idx > F.col("_off")) & (idx <= F.col("_off") + F.col("_c"))
+            )
+    needed = offs.where(_reduce(_or, conds)).select("_hgk", "_b", "_off", "_hn")
+    j = rows.join(F.broadcast(needed), ["_hgk", "_b"])
+    wloc = Window.partitionBy("_hgk", "_b").orderBy("_v")
+    ranked = j.select(
+        F.col(group_col),
+        "_v",
+        "_hn",
+        (F.col("_off") + F.row_number().over(wloc)).alias("_i"),
+    )
+    aggs, outs = [], [F.col(group_col)]
+    for p, name in zip(fractions, out_names):
+        k = F.lit(p) * (F.col("_hn") - 1)
+        i_lo = F.floor(k) + 1
+        aggs.append(F.max(F.when(F.col("_i") == i_lo, F.col("_v"))).alias(f"_{name}_lo"))
+        aggs.append(F.max(F.when(F.col("_i") == i_lo + 1, F.col("_v"))).alias(f"_{name}_hi"))
         aggs.append(F.max(k - F.floor(k)).alias(f"_{name}_w"))
         lo, hi, wgt = (F.col(f"_{name}_lo"), F.col(f"_{name}_hi"), F.col(f"_{name}_w"))
         outs.append((lo + wgt * (F.coalesce(hi, lo) - lo)).alias(name))
@@ -635,31 +724,44 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema + hash — the sketches are checked via their error
     contracts, which is the strongest cross-engine statement an
     approximate operator supports."""
-    li = _t(spark, sf_dir, "lineitem")
-    # Two aggregates joined on the tiny group key, NOT one combined
-    # groupBy: countDistinct next to non-distinct aggregates plans an
-    # Expand (row multiplication) under every other aggregate — the
-    # combined form measured 19 s at sf0.1 vs 3.9 s split. The exact
-    # distinct leg is deliberate verification cost this query pays to
-    # certify the sketch; the sketch itself stays the single-pass,
-    # no-distinct-shuffle plan users compose.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_extendedprice"
+    )
+    # Round 7 shape — three legs, every heavy stage at SCAN parallelism
+    # (the measured history is the point):
+    #   - r4: one combined groupBy with countDistinct — Expand
+    #     multiplies rows under every aggregate, 19 s at sf0.1.
+    #   - r6: split into base + exact-distinct + sort-window
+    #     percentiles, 3 scans / 6 exchanges — 0.77 s.
+    #   - r7 A/B: a true single-pass (everything over one group-key
+    #     window exchange) measured 1.73 s, and a two-leg variant
+    #     1.32 s — with 3 group keys the window stage runs 3 tasks,
+    #     and any sketch/window work placed there serializes. The
+    #     bottleneck is never the scan count; it is per-row work done
+    #     at 3-way parallelism.
+    #   - r7 final: sketches partial-aggregate map-side (32-way);
+    #     exact distinct is hash-agg dedup then count (map-side
+    #     combine, no Expand, no window); exact percentile brackets
+    #     come from histogram_percentiles, whose only per-row work is
+    #     floor-divide + hash agg and whose rank window touches ONLY
+    #     the bracket buckets (fully parallel) — see its docstring for
+    #     why this is also the 100-TB-correct plan when groups are few.
+    # NULL discipline (pinned by tests/test_parity_fuzz.py): NULL
+    # group keys are groups (sentinel-coalesced join key); NULL
+    # measure keys filtered before distinct; base anchors with LEFT
+    # joins + zero-coalesce.
     # rsd 0.015 (not 0.01): the register merge at rsd=0.01 measured
     # 0.85 s vs 0.55 s at sf0.1 for identical contract outcomes —
     # observed worst error across SFs is 2.2%, well inside the 5%
     # bound (HLL error is deterministic for a given dataset).
+    gk = _sentinel_gk().alias("_gk")
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.round(F.min("l_extendedprice"), 2).alias("exact_min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("exact_max_price"),
         F.approx_count_distinct("l_partkey", 0.015).alias("_approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx_median"),
-    )
-    # Same NULL discipline as distinct_counts: sentinel-coalesced join
-    # key (NULL group keys are groups), NULL measure keys filtered
-    # before distinct, base anchors with LEFT joins + zero-coalesce
-    # (tests/test_parity_fuzz.py pins it).
-    gk = _sentinel_gk().alias("_gk")
-    base = base.select("*", gk)
+    ).select("*", gk)
     exact_distinct = (
         li.where(F.col("l_partkey").isNotNull())
         .select("l_returnflag", "l_partkey")
@@ -668,10 +770,7 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_parts"))
         .select("exact_parts", gk)
     )
-    # Exact p49/p50/p51 via the bounded-memory counting operator (see
-    # counting_percentiles) instead of the value-buffering percentile
-    # aggregate.
-    pct = counting_percentiles(
+    pct = histogram_percentiles(
         li, "l_returnflag", "l_extendedprice",
         [0.49, 0.5, 0.51], ["_p49", "_p50", "_p51"],
     ).select("_p49", "_p50", "_p51", gk)
@@ -691,10 +790,11 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contract is that Spark's sketches MEET the bound wherever it
         # is meaningful.
         # vacuity = "the certificate is not meaningful": under 100
-        # rows, OR no non-NULL measure values at all (a big group of
-        # NULL keys/prices leaves the exact legs without a row, and
-        # NULL comparisons would leak a NULL where the oracle says
-        # TRUE) — when() short-circuits those to True explicitly.
+        # rows, OR no non-NULL measure values at all (an all-NULL-
+        # partkey group counts 0 distincts and the relative-error test
+        # would divide by zero; an all-NULL-price group leaves the
+        # brackets NULL) — when() short-circuits those to True
+        # explicitly.
         F.when(
             (F.col("n_rows") < 100) | F.col("exact_parts").isNull(), True
         ).otherwise(

@@ -168,9 +168,11 @@ def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges
         # raw-row rank window: ONE scan, ONE exchange (round 5 removed
         # the (group, value) pre-dedup shuffle)
         ("exact_percentiles", 1, 1),
-        # base+sketches, exact-distinct leg, counting-percentile leg +
-        # two co-partitioned joins
-        ("approx_aggregates", 3, 6),
+        # base+sketches, exact-distinct leg, histogram-percentile leg
+        # (bucket-count scan + bracket-bucket scan — every heavy stage
+        # at scan parallelism; the r6 sort-window leg ran the whole
+        # fact table through 3 tasks) + two co-partitioned joins
+        ("approx_aggregates", 4, 10),
         # fingerprint + repetition are in-row folds behind the
         # _arrays_barrier Generate: only the corpus-global branches
         # (decontamination, unigram perplexity, and — round 6 — the

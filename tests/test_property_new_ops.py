@@ -165,3 +165,46 @@ def test_heavy_hitters_strict_guard_rejects_flat_distribution(spark):
     # every MG counter away, so fewer than k (here zero) rows survive
     rows = heavy_hitters(df, "tok", k=10, counters=100, strict=False).collect()
     assert len(rows) < 10
+
+
+def test_histogram_percentiles_equals_sort_window_form(spark):
+    """histogram_percentiles must return the exact sort-window answer
+    (counting_percentiles) on adversarial shapes: heavy ties, values
+    straddling bucket boundaries, outliers beyond the +-1e15 clamp
+    (merged into edge buckets but still locally sorted), NULL values,
+    NULL group keys, a single-value group, and a group with exactly
+    two values (every fraction interpolates)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.operators.relational import (
+        counting_percentiles,
+        histogram_percentiles,
+    )
+
+    rows = []
+    # group a: ties + boundary straddle (bucket width 512)
+    rows += [("a", float(v)) for v in [511.9, 512.0, 512.0, 512.1, 1024.0] * 3]
+    # group b: outliers beyond the clamp, mixed signs
+    rows += [("b", v) for v in [-9e17, -2.5, 0.0, 3.75, 8e16, 9e17, 9e17]]
+    # group c: single value; NULL group key: two values; NULLs mixed in
+    rows += [("c", 42.0), (None, 1.0), (None, 2.0), ("a", None), (None, None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    fr = [0.0, 0.25, 0.49, 0.5, 0.51, 0.75, 1.0]
+    names = [f"p{i}" for i in range(len(fr))]
+    want = {
+        r["g"]: r
+        for r in counting_percentiles(df, "g", "v", fr, names).collect()
+    }
+    got = {
+        r["g"]: r
+        for r in histogram_percentiles(df, "g", "v", fr, names).collect()
+    }
+    assert set(want) == set(got)
+    for g in want:
+        for n in names:
+            w, h = want[g][n], got[g][n]
+            assert (w is None and h is None) or math.isclose(
+                w, h, rel_tol=0, abs_tol=0
+            ), (g, n, w, h)
