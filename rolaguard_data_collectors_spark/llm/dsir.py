@@ -25,10 +25,13 @@ Spark-first shape (100 TB):
   so IEEE addition order is value-pinned — bit-identical to the
   DuckDB oracle's list_sort + list_reduce (same discipline as
   text.unigram_logprob).
-- The final global rank is a corpus-level ordering; at 100 TB you'd
-  keep only the selection threshold (a quantile of log-weights) or
-  top-K via TakeOrdered, not a full sort. The registered query emits
-  the full ranking because the corpus IS the output here.
+- The final global rank is DISTRIBUTED (round 7): a value-derived
+  monotone bucket on the log-weight, per-bucket local rank windows,
+  and a broadcast offset table built from the tiny bucket-count frame
+  — no partition-less Window anywhere, so the full ranking the query
+  emits scales like any other bucketed shuffle. (A pipeline that only
+  needs the selection SET can still cheapen this to a threshold join
+  or TakeOrdered for top-K.)
 
 Reference parity note: the reference system has no training-data
 curation surface; this operator is part of the LLM-pipeline extension
@@ -151,14 +154,53 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"),
         )
     )
-    w = Window.orderBy(F.desc("dsir_logw"), F.asc("doc_id"))
-    return scored.select(
-        "doc_id",
-        "lang",
-        "n_bigrams",
-        "dsir_logw",
-        F.row_number().over(w).alias("rank"),
-    ).withColumn("selected", F.col("rank") <= DSIR_SELECT_K)
+    # Distributed global rank (round 7 — replaces the partition-less
+    # Window.orderBy that funneled every (doc, logw) row through ONE
+    # reducer): bucket the sort key with a VALUE-derived weakly
+    # monotone bucket (never runtime partitioning — see
+    # curate.pack_token_shards for the repartitionByRange trap), count
+    # per bucket, turn the TINY (buckets-sized) count frame into
+    # exclusive offsets with one small window, broadcast back, and
+    # rank locally inside each bucket: rank = offset + local
+    # row_number. Exact — equal logw values share a bucket, and the
+    # local order (logw DESC, doc_id ASC) finishes the total order.
+    # Residual skew: a massive tie class (e.g. every empty doc scores
+    # exactly 0.0) lands in one bucket and ranks in one task — correct,
+    # and bounded by the tie class, not the corpus.
+    # _hb ASC == dsir_logw DESC coarsened: negate, clamp (outliers
+    # merge into the edge buckets where the local sort still orders
+    # them), scale by 16 (logw is rounded to 6 decimals; 1/16-wide
+    # buckets keep the offset frame small at any corpus scale).
+    hb = F.floor(
+        F.greatest(F.least(-F.col("dsir_logw"), F.lit(1e15)), F.lit(-1e15))
+        * 16
+    ).alias("_hb")
+    bucketed = scored.select("*", hb)
+    bcnt = bucketed.groupBy("_hb").agg(F.count("*").alias("_c"))
+    # Partition-less window over the AGGREGATED bucket-count frame
+    # only (O(buckets) rows) — the sanctioned offset idiom; the plan
+    # invariant in tests/test_plans.py allows exactly this shape
+    # (order column prefixed "_hb"/"_b").
+    woff = Window.orderBy("_hb")
+    offs = bcnt.select(
+        "_hb", (F.sum("_c").over(woff) - F.col("_c")).alias("_off")
+    )
+    wloc = Window.partitionBy("_hb").orderBy(
+        F.desc("dsir_logw"), F.asc("doc_id")
+    )
+    return (
+        bucketed.join(F.broadcast(offs), "_hb")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "dsir_logw",
+            (F.col("_off") + F.row_number().over(wloc))
+            .cast("int")
+            .alias("rank"),
+        )
+        .withColumn("selected", F.col("rank").cast("long") <= DSIR_SELECT_K)
+    )
 
 
 DSIR_ORACLE = f"""

@@ -43,6 +43,72 @@ def test_no_cartesian_and_no_row_python(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
 
 
+def _window_toplevel_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` groups of a physical Window node line.
+    3 groups = [exprs], [partitionSpec], [orderSpec] — partitioned.
+    2 groups is ambiguous: [exprs], [partitionSpec] for an UNORDERED
+    partitioned window (no ASC/DESC in the second group), or
+    [exprs], [orderSpec] for a partition-LESS ordered window (every
+    element carries ASC/DESC) — the single-reducer shape."""
+    groups, depth, cur = [], 0, ""
+    for ch in line[line.index("Window [") + len("Window ") :]:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+# Partition-less windows whose input is PROVABLY bounded by a constant
+# (never by data size) — each entry documents the bound:
+#   tfidf_top_terms: heavy_hitters ranks its CONFIRMED Misra-Gries
+#   candidate frame (<= counters survivors per input partition, then
+#   distinct + groupBy) — rows are bounded by the counters constant x
+#   parallelism, independent of corpus size. Appears twice: the strict
+#   exactness guard recomputes the ranked subtree for its 1-row stats
+#   aggregate.
+_PARTITIONLESS_WINDOW_ALLOWANCE = {"tfidf_top_terms": 2}
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_no_partitionless_window(spark, sf_dir, name):
+    """No registered plan may funnel data rows through a partition-less
+    Window (one reducer for the whole input at 100 TB). The ONE
+    sanctioned shape is the bucket-offset idiom (histogram_percentiles,
+    dsir_importance): a window over an already-aggregated bucket-count
+    frame — O(buckets) rows — ordered by a ``_b*``-prefixed bucket
+    column. Anything else fails here before the driver ever sees it,
+    unless the query has an explicit constant-bound allowance above."""
+    plan = _plan(spark, sf_dir, name, mode="simple")
+    allowance = _PARTITIONLESS_WINDOW_ALLOWANCE.get(name, 0)
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        groups = _window_toplevel_groups(line)
+        if len(groups) >= 3:
+            continue  # partitioned (with an order spec)
+        last = groups[-1] if groups else ""
+        if last.strip() and " ASC" not in last and " DESC" not in last:
+            continue  # partitioned, unordered frame
+        order_cols = [c.strip() for c in last.split(",") if c.strip()]
+        if order_cols and all(c.startswith("_b") or c.startswith("_hb")
+                              for c in order_cols):
+            continue  # bucket-offset idiom
+        allowance -= 1
+        assert allowance >= 0, (
+            f"{name}: partition-less Window outside the bucket-offset "
+            f"idiom and beyond the documented allowance\n{line.strip()}"
+        )
+
+
 @pytest.mark.parametrize(
     "name",
     ["q3_shipping_priority", "q5_local_supplier_volume", "broadcast_part_join"],
@@ -138,9 +204,12 @@ def test_decode_distinct_strategy_plan(spark, sf_dir):
         # pack leg + flags leg (two pruned scans, bucket-window +
         # flag-window + join exchanges) + round-6 DSIR columns: the
         # bigram feature branch, the one-pass dual-model aggregate,
-        # the broadcast 128-bucket model join, per-doc weight agg, and
-        # the global rank window
-        ("curation_sample_pack", 6, 16),
+        # the broadcast 128-bucket model join, per-doc weight agg —
+        # and round 7's DISTRIBUTED rank (bucket-count agg + tiny
+        # offset window + broadcast + per-bucket local rank), which
+        # trades the single-reducer global Window for a handful of
+        # bucket-frame-sized exchanges
+        ("curation_sample_pack", 4, 23),
         # narrow regex chain: spread exchange only
         ("pii_redaction_profile", 1, 1),
         # round 7: the banded perceptual frame is localCheckpoint'd,
