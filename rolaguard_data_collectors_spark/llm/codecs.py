@@ -33,14 +33,29 @@ def sniff(b: bytes) -> str | None:
     return None
 
 
+def _read_wav(b: bytes) -> tuple[int, int, int, int, bytes]:
+    """(n_ch, width, rate, n_frames, frames) from a PCM WAV buffer.
+    wave raises its own Error class (not ValueError) on a RIFF/WAVE
+    container missing fmt/data chunks, and EOFError on some
+    truncations — normalize to the ValueError contract every kernel's
+    malformed-media guard catches (round-7 fuzz find: a truncated WAV
+    crashed the executor instead of taking the stub path)."""
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            return (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+                w.readframes(w.getnframes()),
+            )
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"malformed WAV: {e}") from e
+
+
 def decode_wav(b: bytes) -> dict:
     """PCM WAV -> rate/channels/length + signal stats (RMS, peak)."""
-    with wave.open(io.BytesIO(b)) as w:
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        rate = w.getframerate()
-        n_frames = w.getnframes()
-        frames = w.readframes(n_frames)
+    n_ch, width, rate, n_frames, frames = _read_wav(b)
     if width not in _WAV_DTYPES:
         raise ValueError(f"unsupported sample width {width}")
     arr = np.frombuffer(frames, dtype=_WAV_DTYPES[width]).astype(np.float64)
@@ -67,6 +82,11 @@ def decode_bmp(b: bytes) -> dict:
     if compression != 0 or bpp != 24:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     rows = abs(height)
+    if width <= 0 or rows == 0:
+        # round-7 fuzz find: a 0x0 (or negative-width) header decodes
+        # to an empty pixel array whose mean is NaN — poisoning the
+        # feature columns — and downstream index math crashes.
+        raise ValueError(f"degenerate BMP dimensions {width}x{height}")
     row_bytes = ((bpp * width + 31) // 32) * 4
     if pixel_offset + row_bytes * rows > len(b):
         raise ValueError("truncated BMP pixel data")
@@ -104,6 +124,12 @@ def decode_ppm(b: bytes) -> dict:
     width, height, maxval = (int(f) for f in fields)
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
+    if width <= 0 or height <= 0:
+        # round-7 fuzz find: zero dims -> NaN channel means; NEGATIVE
+        # dims are worse — `need` goes negative, the truncation check
+        # passes vacuously, and np.frombuffer(count<0) silently reads
+        # the whole buffer.
+        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
     need = width * height * 3
     if pos + need > len(b):
         raise ValueError("truncated PPM pixel data")
@@ -148,9 +174,13 @@ def _rgb_pixels(b: bytes) -> np.ndarray:
         w, h = d["width"], d["height"]
         return np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
     if kind == "bmp":
+        # validate FIRST (header length / bpp / compression / dims /
+        # truncation) — unpacking before the length check let
+        # struct.error escape the ValueError contract on a <54-byte
+        # buffer (round-7 fuzz find)
+        decode_bmp(b)
         pixel_offset = struct.unpack_from("<I", b, 10)[0]
         width, height = struct.unpack_from("<ii", b, 18)
-        decode_bmp(b)  # validates bpp/compression/truncation
         rows = abs(height)
         row_bytes = ((24 * width + 31) // 32) * 4
         px = np.frombuffer(b, np.uint8, count=row_bytes * rows, offset=pixel_offset)
@@ -182,10 +212,7 @@ def resize_image(b: bytes, out_w: int, out_h: int) -> bytes:
 def resample_wav(b: bytes, out_rate: int) -> bytes:
     """Nearest-neighbor PCM resample to ``out_rate``, re-encoded as
     WAV with the source's channel count and sample width."""
-    with wave.open(io.BytesIO(b)) as w:
-        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
-        n_frames = w.getnframes()
-        frames = w.readframes(n_frames)
+    n_ch, width, rate, n_frames, frames = _read_wav(b)
     if width not in _WAV_DTYPES:
         raise ValueError(f"unsupported sample width {width}")
     arr = np.frombuffer(frames, dtype=_WAV_DTYPES[width]).reshape(n_frames, n_ch)
@@ -242,10 +269,7 @@ def ahash64(b: bytes) -> int:
     bands = 64 bits). Energy-delta signs are invariant under uniform
     amplitude scaling and robust to small noise; unrelated audio gives
     ~32-bit hamming distance (random signs)."""
-    with wave.open(io.BytesIO(b)) as w:
-        n_ch, width = w.getnchannels(), w.getsampwidth()
-        n_frames = w.getnframes()
-        frames = w.readframes(n_frames)
+    n_ch, width, _rate, n_frames, frames = _read_wav(b)
     if width not in _WAV_DTYPES:
         raise ValueError(f"unsupported sample width {width}")
     arr = np.frombuffer(frames, dtype=_WAV_DTYPES[width]).astype(np.float64)

@@ -137,7 +137,12 @@ def pack_token_shards(spark: SparkSession, sf_dir: str,
     offsets, acc = {}, 0
     for bkt in sorted(totals):
         offsets[bkt] = acc
-        acc += totals[bkt]
+        # a bucket whose every doc has NULL n_tokens (NULL text) has a
+        # NULL running-sum max — it contributes nothing to downstream
+        # offsets, same as the oracle's NULL-skipping window sum
+        # (round-7 fuzz find: the bare += crashed the build on such a
+        # corpus)
+        acc += totals[bkt] or 0
     # literal-map lookup, not a when()-chain: constant expression depth
     # however many buckets (a cluster run uses thousands)
     if offsets:
@@ -328,7 +333,11 @@ def curation_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (GroupShuffleSplit semantics; doc-keyed splits leak dup content
     # from train into eval). 90/5/5 by hash thresholds, deterministic
     # under any partitioning.
-    split_h = F.expr(hex32("concat(md5(text), 'split')"))
+    # coalesce the NULL-text key explicitly (round-7 fuzz find): Spark
+    # concat NULL-propagates while DuckDB concat skips NULLs, so a bare
+    # concat(md5(text), ...) silently sends NULL-text docs to 'test' on
+    # one engine and a hashed split on the other.
+    split_h = F.expr(hex32("concat(coalesce(md5(text), ''), 'split')"))
     split = (
         F.when(split_h < int(0.90 * _H_SPACE), "train")
         .when(split_h < int(0.95 * _H_SPACE), "val")
@@ -361,7 +370,7 @@ def _dsir_oracle_sql() -> str:
 def _sample_pack_oracle_sql() -> str:
     h1 = hex32("concat(cast(doc_id as string), 's1')")
     h2 = hex32("concat(cast(doc_id as string), 's2')")
-    hsplit = hex32("concat(md5(text), 'split')")
+    hsplit = hex32("concat(coalesce(md5(text), ''), 'split')")
     case = " ".join(
         f"WHEN lang = '{lang}' THEN {int(frac * _H_SPACE)}"
         for lang, frac in _STRATA.items()

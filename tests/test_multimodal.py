@@ -199,3 +199,78 @@ def test_multimodal_resize_mapinpandas(spark):
     assert codecs.decode_wav(bytes(out[2].out_payload))["n_samples"] == 16
     assert out[3].decoder == "raw" and out[3].out_payload is None
     assert out[4].decoder == "raw" and out[4].n_out_bytes == 0
+
+
+# --- round 7: decoder wire fuzz — truncated/degenerate media bytes --------
+
+
+def _fuzz_media_blobs():
+    """Adversarial media payloads: truncations at every header
+    boundary, zero/negative dimensions, dimension-vs-payload
+    inconsistencies, and valid-magic-garbage-body shapes for all three
+    container formats."""
+    import struct
+
+    good_ppm = codecs.encode_ppm(
+        (np.arange(27, dtype=np.int64) % 256).astype(np.uint8).reshape(3, 3, 3)
+    )
+    good_bmp_hdr = b"BM" + b"\x00" * 8 + struct.pack("<I", 54)
+    blobs = [
+        b"",
+        b"B", b"BM", b"BM\x00", good_bmp_hdr,                 # BMP truncations
+        good_bmp_hdr + struct.pack("<IiiHH", 40, 0, 0, 1, 24),  # 0x0 dims
+        good_bmp_hdr + struct.pack("<IiiHH", 40, -5, 3, 1, 24),  # negative width
+        good_bmp_hdr + struct.pack("<IiiHH", 40, 1 << 20, 1 << 20, 1, 24),  # huge dims, no pixels
+        b"P6", b"P6\n", b"P6\n0 0\n255\n",                   # PPM zero dims
+        b"P6\n-1 4\n255\n" + b"\x00" * 12,                   # negative dim
+        b"P6\n3 3\n255\n" + b"\x00" * 5,                     # truncated pixels
+        b"P6\n99999999 99999999\n255\n",                     # huge claimed dims
+        good_ppm[:-1],                                       # one byte short
+        b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",                # WAV truncations
+        b"RIFF\x24\x00\x00\x00WAVEfmt ",                     # fmt chunk missing body
+        # 0-channel / 0-rate fmt chunk, no data chunk
+        b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+        + b"\x01\x00\x00\x00" + b"\x00" * 8 + b"\x10\x00",
+        bytes(range(256)) * 4,                               # high-entropy junk
+    ]
+    return blobs
+
+
+def test_decoders_never_crash_kernels_on_fuzzed_media(spark):
+    """Truncated/degenerate media bytes through ALL Spark-side media
+    kernels (decode_features, media_phash_kernel, resize): malformed
+    containers must take the stub/None path per batch row — never an
+    executor exception, never a lost row in decode_features (its
+    contract is one feature row per input row)."""
+    from rolaguard_data_collectors_spark.llm.multimodal import (
+        DECODE_FEATURES_SCHEMA,
+        PHASH_SCHEMA,
+        RESIZE_SCHEMA,
+        decode_features,
+        make_resize_kernel,
+        media_phash_kernel,
+    )
+
+    blobs = _fuzz_media_blobs()
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)],
+        "doc_id long, payload binary",
+    )
+    feats = df.mapInPandas(decode_features, schema=DECODE_FEATURES_SCHEMA).collect()
+    assert len(feats) == len(blobs)          # no dropped/duplicated rows
+    hashes = df.mapInPandas(media_phash_kernel, schema=PHASH_SCHEMA).collect()
+    assert len(hashes) == len(blobs)
+    for r in hashes:                          # no fuzzed blob may hash
+        assert r["dhash"] is None or r["decoder"] != "raw"
+    resized = df.mapInPandas(make_resize_kernel(2, 2), schema=RESIZE_SCHEMA).collect()
+    assert len(resized) == len(blobs)
+
+
+def test_decode_media_fuzz_pure():
+    """The pure decoders reject every fuzzed container with None (via
+    decode_media's guard) rather than raising through sniff-positive
+    paths — the invariant the kernels rely on."""
+    for b in _fuzz_media_blobs():
+        assert codecs.decode_media(bytes(b)) is None or isinstance(
+            codecs.decode_media(bytes(b)), dict
+        )

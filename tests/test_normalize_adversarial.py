@@ -103,3 +103,102 @@ def test_guards_drop_oversized_and_junk_but_keep_golden(spark):
     assert all(len(d) <= 300 for d in datas)
     golden = [r for r in out if r["m_type"] == "UnconfirmedDataUp"]
     assert len(golden) > 0  # the valid frame on the gateway routes survived
+
+
+# --- round 7: protobuf wire fuzz, base64 padding edges, hostile topics ----
+
+import base64
+
+# Adversarial gw.UplinkFrame candidates for the protobuf fallback path
+# (topic gateway/<mac>/up + body not starting with '{'): every byte
+# string is base64'd onto the wire like the reference transport does.
+_PB_BLOBS = [
+    b"",                                   # empty message
+    b"\x08",                               # truncated varint (no payload)
+    b"\x0a",                               # length-delimited, missing len
+    b"\x0a\xff\xff\xff\xff\x7f",           # len = 2^34-ish, no bytes
+    b"\x0a\x05ab",                         # len 5, only 2 bytes present
+    b"\x0b\x01\x02",                       # wire type 3 (group start) — unsupported
+    b"\x07\x01",                           # wire type 7 — invalid
+    b"\xf8\xff\xff\xff\x0f\x01",           # huge field number varint
+    b"\x0a\x03MAC\x1a\x02\x08\x01",        # plausible nested shape
+    b"\x12\x00",                           # empty submessage field 2
+    bytes(range(256)),                     # every byte value
+    b"\x0a" + b"\x80" * 12,                # varint length that never terminates
+]
+
+_PB_TOPIC = "gateway/aabbccddeeff0011/up"
+
+
+def test_chirpstack_pb_fallback_never_throws_on_wire_garbage(spark):
+    """Truncated varints, dangling length prefixes, invalid wire types
+    and unterminated-varint lengths through the REAL protobuf fallback
+    (op 15): the route must yield a null parse or a dropped row, never
+    an executor exception — the reference wraps exactly this in
+    try/except (LoraServerIOCollector.py:253-263)."""
+    rows = [
+        (i, 1_700_000_000 + i, _PB_TOPIC, base64.b64encode(b).decode(), 7, 1)
+        for i, b in enumerate(_PB_BLOBS)
+    ]
+    # raw (non-base64) binary garbage on the same route too
+    rows.append((len(rows), 1_700_000_100, _PB_TOPIC, "\x00\x01\xff not b64", 7, 1))
+    raw = spark.createDataFrame(rows, RAW_SCHEMA)
+    out = normalize_chirpstack(raw).collect()  # must not raise
+    assert len(out) <= len(rows)
+    for r in out:
+        if r["m_type"] is not None:
+            assert r["m_type"] != ""
+
+
+def test_mqtt_forwarder_base64_padding_edges(spark):
+    """_b64_pad (op 12) + the codec UDF against every padding residue
+    and non-decodable shapes: 1-char, 2-char, 3-char bodies, embedded
+    whitespace/newlines (MIME chunking), '=' floods, and a valid frame
+    whose padding was stripped (the reference's observed wire shape,
+    GenericMqttCollector.py:127-130)."""
+    datas = [
+        "A", "AB", "ABC", "====", "=", "QQ==extra", "QU JD", "QUJD\\n",
+        "QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI",   # golden, padding stripped
+        "!@#$%^&*", "\\u00e9\\u00e9\\u00e9", " ",
+    ]
+    rows = [
+        (i, 1_700_000_000 + i, "lora/dev-1/up", json.dumps({"data": d}), 3, 1)
+        for i, d in enumerate(datas)
+    ]
+    raw = spark.createDataFrame(rows, RAW_SCHEMA)
+    out = normalize_mqtt_forwarder(raw).collect()  # must not raise
+    # the de-padded golden frame must decode end-to-end
+    golden = [r for r in out if r["m_type"] == "UnconfirmedDataUp"]
+    assert len(golden) == 1
+    assert golden[0]["dev_addr"] == "017fc1c4"
+
+
+_HOSTILE_TOPICS = [
+    "lora/\x00\x01\x02/up",                 # control bytes
+    "lora/😀�/up",           # astral + replacement char
+    "lora/a.*b[&]{2}(c)/up",                # regex metachars in the eui slot
+    "lora/" + "x" * 10_000 + "/up",         # pathological length
+    "LORA/DEV-1/UP",                        # wrong case (must NOT route)
+    "lora//up",                             # empty eui
+    "lora/dev-1/up\n",                      # trailing newline
+]
+
+
+def test_mqtt_forwarder_hostile_topics_route_safely(spark):
+    """Topic-derived dev_eui extraction (op 19) over hostile topics:
+    regex metacharacters must be treated as data, control/astral chars
+    must survive the regexp, the empty-eui slot must yield NULL (not
+    ''), and no topic shape may throw."""
+    body = json.dumps({"data": "QMTBfwEAEQBd6f1YJ+K7NmuNmy/JpHTFQKI="})
+    rows = [
+        (i, 1_700_000_000 + i, t, body, 3, 1)
+        for i, t in enumerate(_HOSTILE_TOPICS)
+    ]
+    raw = spark.createDataFrame(rows, RAW_SCHEMA)
+    out = {r["_seq"]: r for r in normalize_mqtt_forwarder(raw).collect()}
+    assert out, "golden bodies must survive"
+    # regex metachars: extracted eui is the literal slot text (dashes
+    # stripped), never a regex evaluation error
+    assert out[2]["dev_eui"] == "a.*b[&]{2}(c)"
+    # empty slot -> NULL (nullif guard), not empty string
+    assert out[5]["dev_eui"] is None

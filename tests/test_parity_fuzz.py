@@ -400,3 +400,76 @@ def test_embeddings_query_fuzz(spark, emb_fuzz_dir, emb_fuzz_con, qname):
 
     spec = collect_all()[qname]
     _check(qname, spec.build(spark, emb_fuzz_dir), spec.oracle, emb_fuzz_con)
+
+
+# --- round 7: single-lang / empty-token corpora through curation + DSIR ---
+#
+# DSIR's two models coincide when every document is the target lang
+# (t_tot == r_tot, t_b == r_b for every bucket -> lr == 0 exactly for
+# occupied buckets, log-smoothing residue for the rest), and documents
+# with NO alphabetic tokens produce an empty bigram array (the
+# sequence(1, 0) guard). Neither shape exists in the generated
+# testdata or the mixed-lang fuzz corpus above.
+
+_MONO_DOCS = [
+    (0, "alpha beta gamma delta", "en", "s0"),
+    (1, "alpha beta gamma delta", "en", "s0"),   # exact dup
+    (2, "1234 5678 ... !!! ???", "en", "s1"),    # zero alphabetic tokens
+    (3, "", "en", "s1"),
+    (4, None, "en", "s1"),
+    (5, "solo", "en", "s2"),                      # 1 token -> no bigrams
+    (6, "x y", "en", "s2"),                       # exactly one bigram
+    (7, "the quick brown fox jumps over the lazy dog", "en", "s3"),
+]
+
+
+@pytest.fixture(scope="module")
+def mono_fuzz_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_mono")
+    pdf = pd.DataFrame(
+        [
+            {
+                "doc_id": i,
+                "text": t,
+                "lang": lang,
+                "source": src,
+                "n_chars": len(t) if t is not None else 0,
+            }
+            for i, t, lang, src in _MONO_DOCS
+        ]
+    )
+    pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def mono_fuzz_con(mono_fuzz_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(mono_fuzz_dir, 'documents.parquet')}'"
+    )
+    return con
+
+
+def test_dsir_single_lang_corpus_fuzz(spark, mono_fuzz_dir, mono_fuzz_con):
+    _check(
+        "dsir_importance_mono",
+        dsir_mod.dsir_importance(spark, mono_fuzz_dir),
+        dsir_mod.DSIR_ORACLE,
+        mono_fuzz_con,
+    )
+
+
+@pytest.mark.parametrize(
+    "qname", ["curation_sample_pack", "pack_sequence_spans", "clean_corpus"]
+)
+def test_curation_query_mono_fuzz(spark, mono_fuzz_dir, mono_fuzz_con, qname):
+    """The registered curation legs over the single-lang / empty-token
+    corpus — the DSIR columns ride curation_sample_pack, so this also
+    pins the round-7 distributed rank on a corpus where every
+    log-weight ties (one bucket holds everything)."""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    spec = collect_all()[qname]
+    _check(qname, spec.build(spark, mono_fuzz_dir), spec.oracle, mono_fuzz_con)
