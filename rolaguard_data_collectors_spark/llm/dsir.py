@@ -175,7 +175,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.least(-F.col("dsir_logw"), F.lit(1e15)), F.lit(-1e15))
         * 16
     ).alias("_hb")
-    bucketed = scored.select("*", hb)
+    # Materialize the scored frame once (lazy localCheckpoint): the
+    # bucket-count branch and the rank join both consume it, and
+    # without the checkpoint the whole counts->per_doc->join chain
+    # plans (and runs) twice — once inside the offset broadcast
+    # (measured +0.6 s at sf0.1). Same staged-table discipline as
+    # llm/text.py.
+    bucketed = scored.select("*", hb).localCheckpoint(eager=False)
     bcnt = bucketed.groupBy("_hb").agg(F.count("*").alias("_c"))
     # Partition-less window over the AGGREGATED bucket-count frame
     # only (O(buckets) rows) — the sanctioned offset idiom; the plan

@@ -291,3 +291,29 @@ def test_chirpstack_pb_fallback_single_eval(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_chirpstack_gateway", mode="simple")
     assert plan.count("ArrowEvalPython") == 2, plan
     assert plan.count("pb_uplink_to_json") == 1, plan
+
+
+def test_bench_cost_tripwire(spark, sf_dir):
+    """Execution-cost regression tripwire (round 7): build + one noop
+    write of EVERY registered query at sf0.01, asserting per-query and
+    total wall budgets. The budgets are deliberately loose multiples of
+    the measured baseline (53s total, 4.3s worst query on a loaded
+    host) — this is not a benchmark, it is a tripwire: a new leg that
+    makes one query quadratic (pair-explosion class) or doubles the
+    board's cost fails HERE before the driver's sf0.1 bench records it.
+    Uses sf0.01 — cheap enough for CI, big enough that a blowup is
+    unmistakable against host noise."""
+    import time
+
+    sf001 = sf_dir.replace("sf0.001", "sf0.01")
+    total = 0.0
+    overs = []
+    for name, spec in SPECS.items():
+        t0 = time.perf_counter()
+        spec.build(spark, sf001).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        total += wall
+        if wall > 12.0:
+            overs.append((name, round(wall, 2)))
+    assert not overs, f"per-query cost blowup (>12s at sf0.01): {overs}"
+    assert total < 110.0, f"whole-board cost blowup: {total:.1f}s at sf0.01"
