@@ -56,6 +56,11 @@ WITH f AS (
          event_id % 65536 AS fcnt,
          user_id % 223 + 1 AS fport
   FROM events
+  -- identity-less rows drop on BOTH engines (round-7 fuzz find: Spark
+  -- printf renders a NULL arg as the 8-width string '    null' while
+  -- DuckDB printf yields NULL — a frame without a device id is the
+  -- reference's parse-reject case, ops 29-31)
+  WHERE user_id IS NOT NULL
 ), frames AS (
   SELECT event_id,
          CASE WHEN event_id % 3 = 0 THEN '40' ELSE '80' END
@@ -130,6 +135,7 @@ SELECT event_id,
        true AS mic_ok,
        CAST(NULL AS VARCHAR) AS error
 FROM events
+WHERE user_id IS NOT NULL
 """
 
 
@@ -139,8 +145,13 @@ def lorawan_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FHDR.fOpts (jsonUnmarshaler.go:76-182 leg) — decode it back with
     FRMPayload decrypt, validate the MIC, and re-marshal the parsed
     MAC commands asserting byte identity. Oracled via roundtrip
-    invariants (_DECODE_ROUNDTRIP_ORACLE)."""
-    ev = _keyed_events(spark, sf_dir)
+    invariants (_DECODE_ROUNDTRIP_ORACLE).
+
+    NULL user_id rows drop on both sides (round-7 fuzz find): a frame
+    has no device identity to encode — Spark format_string would
+    otherwise bake the literal string 'null' into key/dev_addr where
+    DuckDB printf NULLs the whole column."""
+    ev = _keyed_events(spark, sf_dir).where(F.col("user_id").isNotNull())
     # Deterministic uplink MAC-command mix: empty / LinkADRAns /
     # DevStatusAns+LinkCheckReq — exercises 0-, 1- and 2-command
     # fOpts and multi-byte payloads.

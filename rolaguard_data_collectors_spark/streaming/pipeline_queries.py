@@ -149,6 +149,11 @@ SELECT event_id,
        date_trunc('second', ts) AS "date",
        {_GOLDEN_ORACLE_COLS}
 FROM events
+-- NULL user_id -> NULL gateway mac -> NULL topic: unroutable on the
+-- gateway topic regex, exactly the reference's behavior for a message
+-- with no topic (round-7 events-fuzz find; Spark's route filter drops
+-- it, so the oracle must too)
+WHERE user_id IS NOT NULL
 """
 
 

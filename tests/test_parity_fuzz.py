@@ -473,3 +473,27 @@ def test_curation_query_mono_fuzz(spark, mono_fuzz_dir, mono_fuzz_con, qname):
 
     spec = collect_all()[qname]
     _check(qname, spec.build(spark, mono_fuzz_dir), spec.oracle, mono_fuzz_con)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["pipeline_mqtt_forwarder", "pipeline_chirpstack_gateway",
+     "pipeline_ttn_v2", "pipeline_ttn_v3",
+     "lorawan_field_extract", "lorawan_decode_roundtrip",
+     "lorawan_security_suite"],
+)
+def test_lorawan_pipeline_events_fuzz(spark, ev_fuzz_dir, ev_fuzz_con, qname):
+    """Round 7: the four pipeline normalizers and the three LoRaWAN
+    codec queries over the adversarial events corpus — NULL user_id
+    (the gateway mac / dev_eui source column), NULL value (rssi/snr
+    arithmetic), NULL props, and identical timestamps all flow into
+    the in-plan raw-message synthesis, exercising the JSON build ->
+    from_json -> route -> decode chain on inputs the generated
+    testdata never produces. (Wire-level garbage — malformed base64,
+    truncated protobuf, hostile topics — is covered contract-style in
+    tests/test_normalize_adversarial.py; this is the oracle-equality
+    leg.)"""
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    spec = collect_all()[qname]
+    _check(qname, spec.build(spark, ev_fuzz_dir), spec.oracle, ev_fuzz_con)
