@@ -69,7 +69,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_BINARY_STATS_ORACLE = """
 SELECT doc_id,
-       CAST(length(text) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
        sha256(text) AS sha256,
        'image/png' AS mime,
        CAST(n_chars % 640 + 1 AS INTEGER) AS width,
@@ -422,17 +422,32 @@ def multimodal_frame_sample_sorted(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
-            F.md5(F.array_join(F.array_sort(F.collect_list("hx")), "")).alias("chunks_digest"),
+            # A NULL payload yields one all-NULL chunk group: its digest
+            # is NULL (nothing to hash), matching SQL string_agg's
+            # NULL-on-empty — collect_list alone silently skips the NULL
+            # and md5('') fabricated a digest for absent content
+            # (round-7 fuzz find).
+            F.when(
+                F.count("hx") > 0,
+                F.md5(F.array_join(F.array_sort(F.collect_list("hx")), "")),
+            ).alias("chunks_digest"),
         )
     )
 
 
+# BYTE semantics throughout (round-7 fuzz find): the Spark side
+# profiles the utf-8 payload BYTES, so the oracle must slice/measure
+# encode(text) — char-based substr/length silently diverge on any
+# multi-byte character.
 MULTIMODAL_FRAME_SAMPLE_ORACLE = """
 WITH chunks AS (
+  -- DuckDB has no BLOB substring: hex the whole payload once and
+  -- slice CHARACTERS (2 hex chars per byte -> byte offset i*32 maps
+  -- to hex offset i*64, 16 bytes to 32 hex chars)
   SELECT doc_id,
-         lower(hex(encode(substr(text, i * 32 + 1, 16)))) AS hx
-  FROM (SELECT doc_id, text,
-               unnest(generate_series(0, CAST(greatest(length(text) - 16, 0) // 32 AS BIGINT))) AS i
+         lower(substr(hx_all, i * 64 + 1, 32)) AS hx
+  FROM (SELECT doc_id, hex(encode(text)) AS hx_all,
+               unnest(generate_series(0, CAST(greatest(octet_length(encode(text)) - 16, 0) // 32 AS BIGINT))) AS i
         FROM documents)
 )
 SELECT doc_id, count(*) AS n_chunks,
@@ -455,10 +470,13 @@ def multimodal_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_BINARY_PROFILE_ORACLE = """
 WITH chunks AS (
+  -- DuckDB has no BLOB substring: hex the whole payload once and
+  -- slice CHARACTERS (2 hex chars per byte -> byte offset i*32 maps
+  -- to hex offset i*64, 16 bytes to 32 hex chars)
   SELECT doc_id,
-         lower(hex(encode(substr(text, i * 32 + 1, 16)))) AS hx
-  FROM (SELECT doc_id, text,
-               unnest(generate_series(0, CAST(greatest(length(text) - 16, 0) // 32 AS BIGINT))) AS i
+         lower(substr(hx_all, i * 64 + 1, 32)) AS hx
+  FROM (SELECT doc_id, hex(encode(text)) AS hx_all,
+               unnest(generate_series(0, CAST(greatest(octet_length(encode(text)) - 16, 0) // 32 AS BIGINT))) AS i
         FROM documents)
 ), fr AS (
   SELECT doc_id, count(*) AS n_chunks,
@@ -466,7 +484,7 @@ WITH chunks AS (
   FROM chunks GROUP BY doc_id
 )
 SELECT d.doc_id,
-       CAST(length(d.text) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
        sha256(d.text) AS sha256,
        'image/png' AS mime,
        CAST(d.n_chars % 640 + 1 AS INTEGER) AS width,

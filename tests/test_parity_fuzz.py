@@ -121,7 +121,13 @@ def test_text_profile_fuzz(spark, fuzz_dir, fuzz_con):
     "qname",
     ["dedup_exact", "ngram_jaccard_dedup", "minhash_lsh_buckets",
      "simhash_profile", "tfidf_top_terms", "clean_corpus",
-     "pii_redaction_profile"],
+     "pii_redaction_profile",
+     # round 7: the multimodal queries (and the binary scalar chain)
+     # read payload bytes derived from the same documents table —
+     # NULL/empty/unicode text through the binary-cast, sniff-dispatch,
+     # and perceptual-dedup legs
+     "multimodal_binary_profile", "multimodal_decode_features",
+     "scalar_binary_chain"],
 )
 def test_documents_query_fuzz(spark, fuzz_dir, fuzz_con, qname):
     """Registered documents-only queries over the adversarial corpus:
@@ -497,3 +503,111 @@ def test_lorawan_pipeline_events_fuzz(spark, ev_fuzz_dir, ev_fuzz_con, qname):
 
     spec = collect_all()[qname]
     _check(qname, spec.build(spark, ev_fuzz_dir), spec.oracle, ev_fuzz_con)
+
+
+# --- round 7: dimension-table fuzz — q1/q5/set-ops/part-join --------------
+#
+# NULL nation keys on BOTH sides of the set ops (set semantics treat
+# NULL = NULL — a divergence here would be invisible on the dense
+# generated keys), dangling foreign keys through the 6-table q5 join
+# chain, NULL part brand/price under the broadcast join, and NULL
+# shipdate/discount/tax through q1's filter + arithmetic.
+
+
+@pytest.fixture(scope="module")
+def dims_fuzz_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_dims")
+
+    def w(name, df):
+        df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
+
+    li = pd.DataFrame(
+        [
+            # ok, pk, sk, qty, price, disc, tax, rf, ls, ship
+            (1, 10, 100, 1.0, 900.05, 0.01, 0.02, "A", "F", "1995-01-01"),
+            (2, 10, 101, 2.0, 901.15, 0.02, 0.03, "A", "O", "1998-09-02"),
+            (3, 11, 100, 3.0, 902.25, None, 0.02, "R", "F", "1998-09-03"),
+            (4, None, 100, 4.0, 903.35, 0.01, None, "R", "O", "1995-01-01"),
+            (5, 999, 999, 5.0, 904.45, 0.0, 0.0, None, "F", None),
+            (6, 12, 102, None, None, 0.01, 0.02, "N", None, "1995-06-01"),
+        ],
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                 "l_linestatus", "l_shipdate"],
+    )
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        li[c] = li[c].astype("Int64")
+    li["l_shipdate"] = pd.to_datetime(li["l_shipdate"])
+    w("lineitem", li)
+
+    orders = pd.DataFrame(
+        [(1, 50, "2024-01-01"), (2, 51, "2024-01-02"), (3, None, None),
+         (4, 53, "2024-02-01"), (5, 50, "2024-02-02"), (6, 99, "2024-03-01")],
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    for c in ("o_orderkey", "o_custkey"):
+        orders[c] = orders[c].astype("Int64")
+    orders["o_orderdate"] = pd.to_datetime(orders["o_orderdate"])
+    w("orders", orders)
+
+    customer = pd.DataFrame(
+        [(50, 0), (51, None), (53, 1), (54, 7)],
+        columns=["c_custkey", "c_nationkey"],
+    )
+    for c in customer.columns:
+        customer[c] = customer[c].astype("Int64")
+    w("customer", customer)
+
+    supplier = pd.DataFrame(
+        [(100, 0), (101, 1), (102, None), (999, 3)],
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    for c in supplier.columns:
+        supplier[c] = supplier[c].astype("Int64")
+    w("supplier", supplier)
+
+    nation = pd.DataFrame(
+        [(0, "ALGERIA", 0), (1, "BRAZIL", 1), (2, None, None), (3, "CHINA", 9)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    for c in ("n_nationkey", "n_regionkey"):
+        nation[c] = nation[c].astype("Int64")
+    w("nation", nation)
+
+    region = pd.DataFrame(
+        [(0, "AFRICA"), (1, "AMERICA")], columns=["r_regionkey", "r_name"]
+    )
+    region["r_regionkey"] = region["r_regionkey"].astype("Int64")
+    w("region", region)
+
+    part = pd.DataFrame(
+        [(10, "Brand#1", 10.5), (11, None, 11.5), (12, "Brand#2", None)],
+        columns=["p_partkey", "p_brand", "p_retailprice"],
+    )
+    part["p_partkey"] = part["p_partkey"].astype("Int64")
+    w("part", part)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def dims_fuzz_con(dims_fuzz_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(dims_fuzz_dir, t + '.parquet')}'"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q1_pricing_summary", "q5_local_supplier_volume", "set_ops_nations",
+     "broadcast_part_join"],
+)
+def test_dims_query_fuzz(spark, dims_fuzz_dir, dims_fuzz_con, qname):
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    spec = collect_all()[qname]
+    _check(qname, spec.build(spark, dims_fuzz_dir), spec.oracle, dims_fuzz_con)
