@@ -208,3 +208,48 @@ def test_histogram_percentiles_equals_sort_window_form(spark):
             assert (w is None and h is None) or math.isclose(
                 w, h, rel_tol=0, abs_tol=0
             ), (g, n, w, h)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                # values quantized to the bucket width -> forced ties
+                # and bucket-boundary landings
+                st.integers(min_value=-4, max_value=4).map(lambda i: i * 512.0),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_histogram_percentiles_random_property(spark, rows):
+    """Randomized equivalence: histogram_percentiles == the sort-window
+    form on arbitrary (group, value) corpora — hypothesis drives group
+    skew, NULL mixes, boundary-quantized ties, and tiny groups where
+    every fraction interpolates across a bucket edge."""
+    import math
+
+    from rolaguard_data_collectors_spark.operators.relational import (
+        counting_percentiles,
+        histogram_percentiles,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    fr = [0.0, 0.3, 0.5, 0.9, 1.0]
+    names = [f"p{i}" for i in range(len(fr))]
+    want = {r["g"]: r for r in counting_percentiles(df, "g", "v", fr, names).collect()}
+    got = {r["g"]: r for r in histogram_percentiles(df, "g", "v", fr, names).collect()}
+    assert set(want) == set(got)
+    for g in want:
+        for n in names:
+            w, h = want[g][n], got[g][n]
+            if w is None or h is None:
+                assert w is None and h is None, (g, n, w, h)
+            else:
+                assert math.isclose(w, h, rel_tol=1e-12, abs_tol=1e-12), (g, n, w, h)
