@@ -423,14 +423,17 @@ FROM embeddings
 
 def cosine_topk_int8(spark: SparkSession, sf_dir: str,
                      query_id: int = QUERY_VEC_ID, k: int = TOP_K,
-                     scales: list[float] | None = None) -> DataFrame:
+                     scales: list[float] | None = None,
+                     quantized: DataFrame | None = None) -> DataFrame:
     """Approximate brute-force top-k over the quantized corpus: the
     integer dot product rescaled per dimension (asymmetric per-dim
     scales fold into the product), same broadcast-1-row +
     TakeOrderedAndProject plan as the float baseline — but scanning
     int8-range codes instead of float32."""
     scales = scales if scales is not None else embedding_scales(spark, sf_dir)
-    q = quantize_embeddings(spark, sf_dir, scales)
+    q = quantized if quantized is not None else quantize_embeddings(
+        spark, sf_dir, scales
+    )
     # (s/127)*(s/127) as two explicit multiplies, not **2: the DuckDB
     # oracle computes the same weight with a multiply, and IEEE pow is
     # not guaranteed bit-identical to it.
@@ -492,7 +495,7 @@ def _emb_identity(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
-                scales: list[float]):
+                scales: list[float], quantized: DataFrame | None = None):
     """Collect the PQ_K codebook rows + the query row (<= 17 rows of
     64 small ints) and precompute the M x K ADC table driver-side —
     dot(query subvector, codebook entry) in exact int64."""
@@ -505,7 +508,9 @@ def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
     hit = _PQ_PREP_CACHE.get(key) if cacheable else None
     if hit is not None:
         return hit
-    q = quantize_embeddings(spark, sf_dir, scales)
+    q = quantized if quantized is not None else quantize_embeddings(
+        spark, sf_dir, scales
+    )
     rows = q.filter(
         (F.col("vec_id") < PQ_K) | (F.col("vec_id") == query_id)
     ).collect()
@@ -534,7 +539,8 @@ def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
 
 def cosine_topk_pq(spark: SparkSession, sf_dir: str,
                    query_id: int = QUERY_VEC_ID, k: int = TOP_K,
-                   scales: list[float] | None = None) -> DataFrame:
+                   scales: list[float] | None = None,
+                   quantized: DataFrame | None = None) -> DataFrame:
     """Product-quantization top-k over the int8-quantized corpus — the
     classic ANN memory ladder beyond flat int8: each vector stores M
     sub-codes; scoring is M table LOOKUPS per candidate instead of a
@@ -561,8 +567,10 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str,
     at ~2.2 s; the numpy kernel is pure vectorized integer math over
     Arrow batches, embarrassingly parallel, no shuffle."""
     scales = scales if scales is not None else embedding_scales(spark, sf_dir)
-    cb, adc = _pq_prepare(spark, sf_dir, query_id, scales)
-    q = quantize_embeddings(spark, sf_dir, scales)
+    cb, adc = _pq_prepare(spark, sf_dir, query_id, scales, quantized)
+    q = quantized if quantized is not None else quantize_embeddings(
+        spark, sf_dir, scales
+    )
     return (
         # NULL-embedding rows carry NULL codes: excluded (nothing to
         # encode), matching the oracle's unnest semantics — and the
@@ -597,7 +605,8 @@ def _pq_score_udf(cb, adc):
 
 def cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str,
                        query_id: int = QUERY_VEC_ID, k: int = TOP_K,
-                       scales: list[float] | None = None) -> DataFrame:
+                       scales: list[float] | None = None,
+                       quantized: DataFrame | None = None) -> DataFrame:
     """IVF-PQ — the full FAISS-style ladder: coarse inverted-file
     prune to the query's cell (here the ``label`` coarse quantizer,
     exactly as ``ivf_label_topk``) THEN product-quantized ADC scoring
@@ -608,8 +617,10 @@ def cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str,
     compose multiplicatively. Composition of two oracle/pytest-proven
     parts; pinned in tests/test_quantize.py."""
     scales = scales if scales is not None else embedding_scales(spark, sf_dir)
-    cb, adc = _pq_prepare(spark, sf_dir, query_id, scales)
-    q = quantize_embeddings(spark, sf_dir, scales)
+    cb, adc = _pq_prepare(spark, sf_dir, query_id, scales, quantized)
+    q = quantized if quantized is not None else quantize_embeddings(
+        spark, sf_dir, scales
+    )
     qcell = q.filter(F.col("vec_id") == query_id).select(
         F.col("label").alias("q_label")
     )
@@ -646,6 +657,13 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_kmeans.py). The per-dimension scales collect once and
     the memoized codebook/ADC artifact feeds both PQ legs."""
     scales = embedding_scales(spark, sf_dir)
+    # One materialization of the quantization fold (lazy
+    # localCheckpoint) feeds all three quantized legs — round 7: each
+    # leg previously re-evaluated the interpreted zip_with fold over
+    # the whole corpus (same staged-table discipline as llm/text.py).
+    quant = quantize_embeddings(spark, sf_dir, scales).localCheckpoint(
+        eager=False
+    )
     fp32 = cosine_topk_bruteforce(spark, sf_dir).select(
         F.lit("fp32").alias("method"),
         "vec_id",
@@ -660,14 +678,16 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("cosine").alias("score"),
     )
-    int8 = cosine_topk_int8(spark, sf_dir, scales=scales).select(
+    int8 = cosine_topk_int8(spark, sf_dir, scales=scales,
+                            quantized=quant).select(
         F.lit("int8").alias("method"),
         "vec_id",
         "label",
         F.lit(None).cast("int").alias("bucket"),
         F.col("approx_dot").alias("score"),
     )
-    pq = cosine_topk_pq(spark, sf_dir, scales=scales).select(
+    pq = cosine_topk_pq(spark, sf_dir, scales=scales,
+                        quantized=quant).select(
         F.lit("pq").alias("method"),
         "vec_id",
         "label",
@@ -678,7 +698,8 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x PQ/ADC scoring) registered as a 5th leg — previously pytest-
     # only (tests/test_quantize.py). Shares the memoized codebook/ADC
     # collect with the flat pq leg via _PQ_PREP_CACHE.
-    ivf_pq = cosine_topk_ivf_pq(spark, sf_dir, scales=scales).select(
+    ivf_pq = cosine_topk_ivf_pq(spark, sf_dir, scales=scales,
+                                quantized=quant).select(
         F.lit("ivf_pq").alias("method"),
         "vec_id",
         "label",
