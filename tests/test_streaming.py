@@ -714,3 +714,108 @@ def test_attach_parsed_streaming_ignores_distinct_strategy(spark):
     assert out.isStreaming
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "Deduplicate" not in plan and "Join" not in plan
+
+
+# --- round 7: adversarial-corpus stream == batch-shadow equivalence -------
+#
+# The same hand-adversarial events shapes the oracle fuzz uses
+# (tests/test_parity_fuzz.py: NULL user/value/props, identical
+# timestamps, session-gap boundaries) through the REAL
+# applyInPandasWithState twins. The batch shadows are DuckDB-oracled
+# on this corpus, so equality here transitively proves
+# stream == batch == oracle on inputs the generated feed never
+# produces — NULL grouping keys through the state key being the
+# riskiest (a None key per state group).
+
+_ADV_EVENTS = [
+    # (event_id, ts_offset_s, user_id, event_type, value, props)
+    (0, 0, 1, "signup", 1.0, '{"k": 1}'),
+    (1, 0, 1, "purchase", 2.0, '{"k": 2}'),
+    (2, 0, 1, "error", 3.0, '{"k": 3}'),
+    (3, 1800, 1, "purchase", 4.0, '{"k": 4}'),
+    (4, 3601, 1, "view", 5.0, None),
+    (5, 300, None, "view", 6.0, '{"k": 6}'),
+    (6, 360, 2, "purchase", None, '{"k": 7}'),
+    (7, 7200, 3, "signup", 8.0, '{"k": 8}'),
+    (8, 10800, 4, "error", 9.0, '{"k": 9}'),
+    (9, 10860, 4, "purchase", 10.0, '{"k": 10}'),
+    (10, 10920, 4, "error", 11.0, '{"k": 11}'),
+    (11, 14400, 5, "view", 12.0, '{"k": 12}'),
+    (12, 17999, 5, "view", 13.0, '{"k": 13}'),
+]
+
+
+@pytest.fixture(scope="module")
+def adv_events_env(spark, tmp_path_factory):
+    """(parquet_dir, feed_dir) for the adversarial corpus: parquet for
+    the batch shadows, a (ts, event_id)-ordered JSONL feed for the
+    replay-source stream."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    d = tmp_path_factory.mktemp("adv_events")
+    pq_dir, feed_dir = d / "pq", d / "feed"
+    pq_dir.mkdir(), feed_dir.mkdir()
+    rows = [
+        {
+            "event_id": i,
+            "ts": base + pd.Timedelta(seconds=off),
+            "user_id": uid,
+            "event_type": et,
+            "value": v,
+            "props": pr,
+        }
+        for i, off, uid, et, v, pr in _ADV_EVENTS
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    pdf.to_parquet(os.path.join(pq_dir, "events.parquet"), index=False)
+    ordered = sorted(rows, key=lambda r: (r["ts"], r["event_id"]))
+    with open(feed_dir / "collector_1.jsonl", "w") as fh:
+        for r in ordered:
+            fh.write(
+                json.dumps(
+                    {
+                        "topic": "events",
+                        "value": json.dumps(
+                            {
+                                "event_id": r["event_id"],
+                                "user_id": None if pd.isna(r["user_id"]) else int(r["user_id"]),
+                                "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                                "event_type": r["event_type"],
+                                "value": None if pd.isna(r["value"]) else r["value"],
+                                "props": r["props"],
+                            }
+                        ),
+                        "ts": int(r["ts"].timestamp()),
+                    }
+                )
+                + "\n"
+            )
+    return str(pq_dir), str(feed_dir)
+
+
+@pytest.mark.parametrize(
+    "stream_fn,shadow_fn,cols,mode",
+    [
+        (live.prev_packet_correlation_stream, batch_shadows.prev_packet_correlation,
+         ["event_id", "user_id", "f_count", "gw_value", "merged"], "append"),
+        (live.device_map_enrich_stream, batch_shadows.device_map_enrich,
+         ["event_id", "user_id", "dev_registration"], "append"),
+        (live.location_propagation_stream, batch_shadows.location_propagation,
+         ["event_id", "user_id", "latitude"], "append"),
+        (live.status_change_detection_stream, batch_shadows.status_change_detection,
+         ["event_id", "user_id", "status", "prev_status"], "update"),
+    ],
+)
+def test_stateful_stream_adversarial_matches_batch_shadow(
+    spark, adv_events_env, stream_fn, shadow_fn, cols, mode
+):
+    pq_dir, feed_dir = adv_events_env
+    name = f"fz_{stream_fn.__name__}"
+    _run_to_memory(
+        stream_fn(_events_stream(spark, feed_dir, batch_size=3)), name, mode
+    )
+    got = _rows_set(spark.sql(f"select * from {name}"), cols)
+    want = _rows_set(shadow_fn(spark, pq_dir), cols)
+    assert got == want
