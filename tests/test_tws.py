@@ -393,3 +393,81 @@ def test_tws_engine_state_survives_restart(spark, sf_dir, tmp_path_factory):
     first_users = {r["user_id"] for r in ev[:cut]}
     assert any(r["user_id"] in first_users for r in ev[cut:])
     assert got == want
+
+
+_ADV_EVENTS = [
+    # mirrors test_streaming's adversarial corpus: NULL user_id through
+    # the transformWithState grouping key, NULL value/props, identical
+    # timestamps, gap boundaries
+    (0, 0, 1, "signup", 1.0, '{"k": 1}'),
+    (1, 0, 1, "purchase", 2.0, '{"k": 2}'),
+    (2, 0, 1, "error", 3.0, '{"k": 3}'),
+    (3, 1800, 1, "purchase", 4.0, '{"k": 4}'),
+    (4, 3601, 1, "view", 5.0, None),
+    (5, 300, None, "view", 6.0, '{"k": 6}'),
+    (6, 360, 2, "purchase", None, '{"k": 7}'),
+    (7, 7200, 3, "signup", 8.0, '{"k": 8}'),
+    (8, 10800, 4, "error", 9.0, '{"k": 9}'),
+    (9, 10860, 4, "purchase", 10.0, '{"k": 10}'),
+    (10, 10920, 4, "error", 11.0, '{"k": 11}'),
+]
+
+
+@pytest.fixture(scope="module")
+def adv_env(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("tws_adv")
+    pq_dir, feed_dir = d / "pq", d / "feed"
+    pq_dir.mkdir(), feed_dir.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        {"event_id": i, "ts": base + pd.Timedelta(seconds=off), "user_id": u,
+         "event_type": et, "value": v, "props": pr}
+        for i, off, u, et, v, pr in _ADV_EVENTS
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    pdf.to_parquet(pq_dir / "events.parquet", index=False)
+    with open(feed_dir / "collector_1.jsonl", "w") as fh:
+        for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+            fh.write(json.dumps({
+                "topic": "events",
+                "value": json.dumps({
+                    "event_id": r["event_id"],
+                    "user_id": None if pd.isna(r["user_id"]) else int(r["user_id"]),
+                    "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                    "event_type": r["event_type"],
+                    "value": None if pd.isna(r["value"]) else r["value"],
+                    "props": r["props"],
+                }),
+                "ts": int(r["ts"].timestamp()),
+            }) + "\n")
+    return str(pq_dir), str(feed_dir)
+
+
+@needs_protobuf
+@pytest.mark.parametrize(
+    "tws_fn,shadow_fn,cols,mode",
+    [
+        (tws.prev_packet_correlation_tws, batch_shadows.prev_packet_correlation,
+         ["event_id", "user_id", "f_count", "gw_value", "merged"], "append"),
+        (tws.status_change_detection_tws, batch_shadows.status_change_detection,
+         ["event_id", "user_id", "status", "prev_status"], "update"),
+    ],
+)
+def test_tws_engine_adversarial_matches_batch_shadow(
+    spark, adv_env, tws_fn, shadow_fn, cols, mode
+):
+    """The transformWithState ENGINE over the adversarial corpus —
+    NULL grouping keys through the typed-state key path being the
+    shape the real protocol must round-trip (the shadows are
+    DuckDB-oracled on this corpus shape in tests/test_parity_fuzz.py)."""
+    pq_dir, feed_dir = adv_env
+    name = f"tws_adv_{tws_fn.__name__}"
+    _run_to_memory(
+        spark, tws_fn(_events_stream(spark, feed_dir, batch_size=3)), name, mode
+    )
+    shadow = shadow_fn(spark, pq_dir)
+    kinds = {f.name: f.dataType.simpleString() for f in shadow.schema.fields}
+    got = _as_set(spark.sql(f"select * from {name}"), cols, kinds)
+    want = _as_set(shadow, cols, kinds)
+    assert got == want
