@@ -718,8 +718,8 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     families differ), so they can't hash-match an oracle. Instead the
     output carries the exact values PLUS in-bounds booleans for the
     sketches (round-4 hardening): |approx-exact|/exact <= 5% for the
-    rsd=0.01 HLL, and the approx median landing inside the exact
-    [p49, p51] band for the accuracy=10000 quantile sketch. Every
+    rsd=0.02 HLL, and the approx median landing inside the exact
+    [p49, p51] band for the accuracy=1000 quantile sketch. Every
     output column is deterministic, so the driver verifies rows +
     schema + hash — the sketches are checked via their error
     contracts, which is the strongest cross-engine statement an
@@ -750,17 +750,24 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group keys are groups (sentinel-coalesced join key); NULL
     # measure keys filtered before distinct; base anchors with LEFT
     # joins + zero-coalesce.
-    # rsd 0.015 (not 0.01): the register merge at rsd=0.01 measured
-    # 0.85 s vs 0.55 s at sf0.1 for identical contract outcomes —
-    # observed worst error across SFs is 2.2%, well inside the 5%
-    # bound (HLL error is deterministic for a given dataset).
+    # rsd 0.02 (round-7 sweep over {0.015, 0.02, 0.023, 0.03, 0.04} at
+    # every SF): per-row HLL update cost falls off a cliff below p=13
+    # registers — the rsd=0.015 sketch measured +0.29 s at sf0.1 over
+    # the same aggregate without it, rsd=0.02 +0.13 s — while observed
+    # worst error only moves 2.17% -> 1.03% of the 5% certificate
+    # bound (HLL error is deterministic for a given dataset; rsd=0.03
+    # measured 4.39% — no margin — and 0.04 breaches at 7.43%).
+    # percentile_approx accuracy 1000 (not 10000): the certificate
+    # only requires the estimate inside the exact [p49, p51] bracket,
+    # i.e. rank error < 1%; accuracy 1000 bounds rank error at 0.1%
+    # with a 10x smaller QuantileSummaries insert cost (-0.04 s).
     gk = _sentinel_gk().alias("_gk")
     base = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.round(F.min("l_extendedprice"), 2).alias("exact_min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("exact_max_price"),
-        F.approx_count_distinct("l_partkey", 0.015).alias("_approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx_median"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_approx_median"),
     ).select("*", gk)
     exact_distinct = (
         li.where(F.col("l_partkey").isNotNull())
