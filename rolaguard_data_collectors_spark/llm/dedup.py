@@ -145,7 +145,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       probabilistic prefilter sits under a full hash oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    raw_hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    # Materialize (doc_id, content_hash) ONCE (lazy localCheckpoint):
+    # the three consumers below (corpus agg, batch probe, history
+    # confirm side) each re-ran the full-text md5 scan in the static
+    # plan — 0.55 -> 0.42 s at sf0.1, value-identical. The bloom memo
+    # keeps reading identity from the RAW frame (inputFiles on a
+    # checkpointed lineage is not contract-stable).
+    hashed = raw_hashed.localCheckpoint(eager=False)
     corpus = (
         hashed.groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
@@ -157,7 +164,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = hashed.filter(F.col("doc_id") % 2 == 1)
     novel = incremental.incremental_novel(
         batch, history, "content_hash",
-        bloom=_history_bloom(sf_dir, history),
+        bloom=_history_bloom(
+            sf_dir, raw_hashed.filter(F.col("doc_id") % 2 == 0)
+        ),
     )
     novel = novel.select(
         F.lit("incremental_novel").alias("leg"),

@@ -684,8 +684,13 @@ def histogram_percentiles(
 
 
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered on the histogram-pruned form: lineitem has 3
+    l_returnflag groups, exactly the few-groups regime where the
+    sort-window form (counting_percentiles) serializes to 3 tasks —
+    measured 0.74 vs 0.60 s at sf0.1, value-identical (the two forms
+    are property-pinned equal in tests/test_property_new_ops.py)."""
     li = _t(spark, sf_dir, "lineitem")
-    pct = counting_percentiles(
+    pct = histogram_percentiles(
         li, "l_returnflag", "l_extendedprice",
         [0.25, 0.5, 0.75], ["_p25", "_p50", "_p75"],
     )

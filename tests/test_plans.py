@@ -234,9 +234,12 @@ def test_round4_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges
 @pytest.mark.parametrize(
     "name,max_scans,max_exchanges",
     [
-        # raw-row rank window: ONE scan, ONE exchange (round 5 removed
-        # the (group, value) pre-dedup shuffle)
-        ("exact_percentiles", 1, 1),
+        # round 7: histogram-pruned form (3 l_returnflag groups = the
+        # few-groups regime where the r5 sort-window form serialized to
+        # 3 tasks): bucket-count scan + bracket-bucket scan, exchanges
+        # for the bucket agg / tiny offsets window / bracket broadcast /
+        # final agg — every heavy stage at scan parallelism
+        ("exact_percentiles", 2, 5),
         # base+sketches, exact-distinct leg, histogram-percentile leg
         # (bucket-count scan + bracket-bucket scan — every heavy stage
         # at scan parallelism; the r6 sort-window leg ran the whole
