@@ -69,9 +69,14 @@ def packet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shadow of the reference hot path (Orchestrator->collector->persist,
     SURVEY.md §3 EP1): heartbeat/empty drop (TTNCollector.py:164-166),
     mType routing (PhyParser.py:17), per-hour per-route packet counts.
-    Scale note: single hash aggregate after a pushed-down scan filter;
-    no join, partial aggregation map-side — the grouping keys
-    (route x hour) are low-cardinality so the shuffle is tiny at any SF.
+    Scale note: the distinct-device leg is its OWN aggregate joined
+    back on the group keys — countDistinct alongside count/sum plans
+    an Expand that multiplies every input row under every aggregate
+    (the approx_aggregates lesson, 19 s -> 3.9 s there); here the
+    split form measured 0.38 vs 0.44 s at sf0.1, row-identical, and
+    at 100 TB it replaces a 2x row blowup with a map-side-combined
+    dedup plus a join of two already-co-partitioned aggregates (both
+    exchanges hash on (m_type, hour) — no extra shuffle).
     """
     # NOT _events/spread(): this query aggregates immediately, so the
     # groupBy exchange already redistributes — a pre-agg roundrobin
@@ -79,20 +84,44 @@ def packet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1). spread() belongs on the NARROW chains below, whose whole
     # pipeline otherwise binds to the scan's task count.
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("value").isNotNull() & (F.length("props") > 1))
-        .select(
-            _mtype_col().alias("m_type"),
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-            F.col("value"),
-            F.col("user_id"),
-        )
+    base = ev.filter(F.col("value").isNotNull() & (F.length("props") > 1)).select(
+        _mtype_col().alias("m_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("value"),
+        F.col("user_id"),
+    )
+    counts = base.groupBy("m_type", "hour").agg(
+        F.count("*").alias("n_packets"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    # countDistinct semantics: NULL user_id is not a device, and a
+    # group whose devices are all NULL still exists with n_devices=0 —
+    # hence the NOT NULL filter, LEFT join, and zero-coalesce (the
+    # NULL discipline test_parity_fuzz.py pins on every split form).
+    devices = (
+        base.select("m_type", "hour", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
         .groupBy("m_type", "hour")
-        .agg(
-            F.count("*").alias("n_packets"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.countDistinct("user_id").alias("n_devices"),
-        )
+        .agg(F.count("*").alias("n_devices"))
+    )
+    # eqNullSafe on hour: a NULL ts row forms a NULL-hour GROUP in both
+    # aggregates (SQL GROUP BY treats NULLs as equal) but a plain join
+    # key would never re-match them (m_type is never NULL — the mType
+    # map ends in otherwise('Proprietary')). EqualNullSafe is still an
+    # equi-join key to the planner, so the join stays co-partitioned.
+    c, d = counts.alias("c"), devices.alias("d")
+    return c.join(
+        d,
+        (F.col("c.m_type") == F.col("d.m_type"))
+        & F.col("c.hour").eqNullSafe(F.col("d.hour")),
+        "left",
+    ).select(
+        F.col("c.m_type").alias("m_type"),
+        F.col("c.hour").alias("hour"),
+        "n_packets",
+        "sum_value",
+        F.coalesce("n_devices", F.lit(0)).alias("n_devices"),
     )
 
 
@@ -357,7 +386,12 @@ def envelope_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     as to_json(struct(...)). All fields coalesced non-null: Spark's
     to_json drops null fields while DuckDB keeps them (probe P2), so
     the envelope builder normalizes first — which the reference also
-    effectively does (it sets every key explicitly)."""
+    effectively does (it sets every key explicitly). The one field
+    left nullable by design is the stamp itself: ignoreNullFields=
+    false keeps "ts":null on unstamped rows (DuckDB always keeps null
+    fields — round-7 NULL-ts fuzz find), and an explicit null is the
+    wire-honest envelope (a consumer can tell "unstamped" from "field
+    absent")."""
     ev = _events(spark, sf_dir)
     packet = F.struct(
         F.col("event_id").alias("seqn"),
@@ -367,7 +401,13 @@ def envelope_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     messages = F.array(
         F.struct(
-            F.format_string("gateway/gw-%d/rx", F.col("user_id") % 5).alias("topic"),
+            # coalesce like the device field: format_string renders a
+            # NULL arg as "null" while printf NULL-propagates (fuzz
+            # find) — and the normalized -1 sentinel is the envelope's
+            # unknown-device convention anyway
+            F.format_string(
+                "gateway/gw-%d/rx", F.coalesce(F.col("user_id"), F.lit(-1)) % 5
+            ).alias("topic"),
             F.substring(F.coalesce("props", F.lit("")), 1, 4096).alias("message"),
             F.lit(7).cast("long").alias("data_collector_id"),
         )
@@ -379,7 +419,8 @@ def envelope_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 packet.alias("packet"),
                 messages.alias("messages"),
                 F.unix_micros("ts").alias("ts"),
-            )
+            ),
+            {"ignoreNullFields": "false"},
         ).alias("envelope"),
     )
 
@@ -393,7 +434,7 @@ SELECT event_id,
             rssi := coalesce(round(value, 2), 0.0),
             device := coalesce(user_id, -1)),
          messages := [struct_pack(
-            topic := printf('gateway/gw-%d/rx', user_id % 5),
+            topic := printf('gateway/gw-%d/rx', coalesce(user_id, -1) % 5),
             message := substr(coalesce(props, ''), 1, 4096),
             data_collector_id := CAST(7 AS BIGINT))],
          ts := epoch_us(ts))) AS envelope
@@ -738,7 +779,8 @@ def scalar_envelope_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 packet.alias("packet"),
                 messages.alias("messages"),
                 F.unix_micros("ts").alias("ts"),
-            )
+            ),
+            {"ignoreNullFields": "false"},
         ).alias("envelope"),
     )
 

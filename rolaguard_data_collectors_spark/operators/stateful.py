@@ -33,7 +33,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-_ARRIVAL = ["ts", "event_id"]  # deterministic arrival order within a key
+# Deterministic arrival order within a key. Spark's ascending window
+# order puts NULL timestamps FIRST (so does min(struct(ts, ...)) —
+# NULL is the smallest struct field value); every oracle over this
+# order spells ORDER BY ts NULLS FIRST explicitly, because DuckDB's
+# default is NULLS LAST (round-7 NULL-ts fuzz find).
+_ARRIVAL = ["ts", "event_id"]
 
 
 # --- op 34: prev-packet as-of correlation join ---------------------------
@@ -242,7 +247,8 @@ STATUS_CHANGE_ORACLE = """
 SELECT event_id, user_id, event_type AS status, prev_status
 FROM (
   SELECT event_id, user_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts NULLS FIRST, event_id) AS prev_status
   FROM events
 )
 WHERE prev_status IS NULL OR prev_status <> event_type
@@ -280,7 +286,7 @@ def dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_FIRST_ORACLE = """
 SELECT user_id, event_type, event_id, ts
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts, event_id) AS rn
+                                   ORDER BY ts NULLS FIRST, event_id) AS rn
       FROM events)
 WHERE rn = 1
 """
@@ -321,9 +327,10 @@ WITH g AS (
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER win) > 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 ), s AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM g
 )

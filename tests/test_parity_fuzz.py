@@ -316,6 +316,17 @@ def ev_fuzz_dir(spark, tmp_path_factory):
         # window-boundary: exactly on the hour
         (11, t0 + pd.Timedelta(hours=4), 5, "view", 12.0, '{"k": 12}'),
         (12, t0 + pd.Timedelta(hours=4, minutes=59, seconds=59), 5, "view", 13.0, '{"k": 13}'),
+        # NULL timestamps: a NULL event-time GROUP (GROUP BY treats
+        # NULLs as equal; a plain join key would drop it — the
+        # packet_summary split-aggregate regression case), and NULL
+        # ordering keys through every window/sessionize query
+        (13, None, 6, "view", 14.0, '{"k": 14}'),
+        (14, None, 6, "purchase", 15.0, '{"k": 15}'),
+        (15, None, None, "view", 16.0, '{"k": 16}'),
+        # ...and MIXED null/non-null within one user (user 5 has
+        # stamped rows above): NULLS FIRST vs LAST now changes which
+        # row is "previous" for every arrival-order window
+        (16, None, 5, "view", 17.0, '{"k": 17}'),
     ]
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -351,6 +362,25 @@ def test_events_query_fuzz(spark, ev_fuzz_dir, ev_fuzz_con, qname):
 
     spec = collect_all()[qname]
     _check(qname, spec.build(spark, ev_fuzz_dir), spec.oracle, ev_fuzz_con)
+
+
+def test_envelope_serialize_fuzz(spark, ev_fuzz_dir, ev_fuzz_con):
+    """The standalone op-28 envelope shadow (scalar_envelope_chain is
+    the registered consolidation, but the standalone form keeps its own
+    oracle): NULL user/value/props AND NULL ts through the to_json
+    envelope — ignoreNullFields=false must keep "ts":null exactly like
+    DuckDB's to_json."""
+    from rolaguard_data_collectors_spark.operators.scalar import (
+        ENVELOPE_SERIALIZE_ORACLE,
+        envelope_serialize,
+    )
+
+    _check(
+        "envelope_serialize",
+        envelope_serialize(spark, ev_fuzz_dir),
+        ENVELOPE_SERIALIZE_ORACLE,
+        ev_fuzz_con,
+    )
 
 
 # --- adversarial embeddings: NULL and degenerate vectors -----------------
