@@ -84,7 +84,7 @@ WITH t AS (
          lag(f_count) OVER win AS prev_fcnt,
          lag(value) OVER win AS prev_val
   FROM t
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 )
 SELECT event_id, user_id, f_count,
        CASE WHEN event_type = 'purchase' AND prev_type = 'click'
@@ -129,7 +129,7 @@ WITH t AS (
 )
 SELECT event_id, user_id,
        last_value(CASE WHEN event_type = 'signup' THEN k END IGNORE NULLS)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id
+         OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dev_registration
 FROM t
 """
@@ -174,13 +174,13 @@ LOCATION_PROPAGATION_ORACLE = """
 WITH t AS (
   SELECT event_id, user_id, ts, event_type, value,
          coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
+           OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pk_grp
   FROM events
 )
 SELECT event_id, user_id,
        last_value(CASE WHEN event_type = 'error' THEN round(value, 2) END IGNORE NULLS)
-         OVER (PARTITION BY user_id, pk_grp ORDER BY ts, event_id
+         OVER (PARTITION BY user_id, pk_grp ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latitude
 FROM t
 QUALIFY event_type = 'purchase'
