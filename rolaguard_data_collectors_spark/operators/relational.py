@@ -729,8 +729,17 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema + hash — the sketches are checked via their error
     contracts, which is the strongest cross-engine statement an
     approximate operator supports."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_partkey", "l_extendedprice"
+    # Stage the 3-column measure projection ONCE (lazy localCheckpoint,
+    # the staged-table discipline of tfidf/banded/DSIR): the three legs
+    # below each re-ran the parquet scan+project in the static plan —
+    # 0.87 -> 0.74 s at sf0.1, value-identical. At scale this is the
+    # "materialize the measure table before fan-out" step any
+    # multi-statistic pass does; each leg still aggregates at scan
+    # parallelism.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_partkey", "l_extendedprice")
+        .localCheckpoint(eager=False)
     )
     # Round 7 shape — three legs, every heavy stage at SCAN parallelism
     # (the measured history is the point):
