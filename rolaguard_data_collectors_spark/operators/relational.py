@@ -399,14 +399,18 @@ SELECT nationkey, 'except' AS op FROM (
 # --- distinct aggregates -------------------------------------------------
 
 
-def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def distinct_counts(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
     """Multi-distinct counts as SEPARATE aggregates joined on the tiny
     group key: two countDistincts in one agg plan an Expand that
     triples every input row across the shuffle (the approx_aggregates
     19s->3.9s lesson). Each split leg scans a 2-column pruned
     projection and partial-combines map-side (0.60s -> 0.42s for the
-    composed pivot query at sf0.1)."""
-    li = _t(spark, sf_dir, "lineitem")
+    composed pivot query at sf0.1). ``li`` lets a composing query pass
+    a staged (checkpointed) projection so the legs share one scan."""
+    if li is None:
+        li = _t(spark, sf_dir, "lineitem")
     # NULL discipline so the split form stays row-identical to the
     # single GROUP BY + count(DISTINCT) the oracle runs: (a) a NULL
     # group key is still a group — equi-joins drop NULL keys, so join
@@ -457,8 +461,11 @@ FROM lineitem GROUP BY l_returnflag
 # --- pivot ---------------------------------------------------------------
 
 
-def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+def pivot_linestatus(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
+    if li is None:
+        li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
@@ -1045,8 +1052,20 @@ def pivot_distinct_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits, but a plain equi-join here dropped it (caught by
     tests/test_parity_fuzz.py)."""
     gk = _sentinel_gk()
-    piv = pivot_linestatus(spark, sf_dir).withColumn("_gk", gk)
-    dc = distinct_counts(spark, sf_dir).withColumn("_gk", gk).drop(
+    # Stage the 5-column projection once (lazy localCheckpoint): the
+    # pivot leg and the three distinct_counts legs each re-ran the
+    # lineitem scan in the static plan — 4 scans -> 1 materialization
+    # shared by all four aggregates.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_partkey", "l_suppkey",
+        )
+        .localCheckpoint(eager=False)
+    )
+    piv = pivot_linestatus(spark, sf_dir, li=li).withColumn("_gk", gk)
+    dc = distinct_counts(spark, sf_dir, li=li).withColumn("_gk", gk).drop(
         "l_returnflag"
     )
     return (
