@@ -153,6 +153,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps reading identity from the RAW frame (inputFiles on a
     # checkpointed lineage is not contract-stable).
     hashed = raw_hashed.localCheckpoint(eager=False)
+    # ONE history predicate drives both the bloom build (raw frame) and
+    # the confirm-join side (checkpointed frame): incremental_novel's
+    # contract forbids a bloom built from a SUBSET of the join history
+    # (an undershooting filter silently admits duplicates), so the two
+    # derivations must never drift.
+    is_history = F.col("doc_id") % 2 == 0
     corpus = (
         hashed.groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
@@ -160,13 +166,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("corpus").alias("leg"), "doc_id", "content_hash", "n_copies"
         )
     )
-    history = hashed.filter(F.col("doc_id") % 2 == 0)
+    history = hashed.filter(is_history)
+    # NOT ~is_history: a negative odd doc_id has doc_id % 2 == -1 in
+    # both engines (sign of the dividend), matching NEITHER leg — the
+    # oracle's `% 2 = 1` must keep that exact behavior.
     batch = hashed.filter(F.col("doc_id") % 2 == 1)
     novel = incremental.incremental_novel(
         batch, history, "content_hash",
-        bloom=_history_bloom(
-            sf_dir, raw_hashed.filter(F.col("doc_id") % 2 == 0)
-        ),
+        bloom=_history_bloom(sf_dir, raw_hashed.filter(is_history)),
     )
     novel = novel.select(
         F.lit("incremental_novel").alias("leg"),

@@ -74,9 +74,8 @@ def packet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     an Expand that multiplies every input row under every aggregate
     (the approx_aggregates lesson, 19 s -> 3.9 s there); here the
     split form measured 0.38 vs 0.44 s at sf0.1, row-identical, and
-    at 100 TB it replaces a 2x row blowup with a map-side-combined
-    dedup plus a join of two already-co-partitioned aggregates (both
-    exchanges hash on (m_type, hour) — no extra shuffle).
+    at 100 TB it replaces a 2x input-row blowup with a map-side-
+    combined dedup plus a join of two group-count-sized aggregates.
     """
     # NOT _events/spread(): this query aggregates immediately, so the
     # groupBy exchange already redistributes — a pre-agg roundrobin
@@ -109,7 +108,12 @@ def packet_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates (SQL GROUP BY treats NULLs as equal) but a plain join
     # key would never re-match them (m_type is never NULL — the mType
     # map ends in otherwise('Proprietary')). EqualNullSafe is still an
-    # equi-join key to the planner, so the join stays co-partitioned.
+    # equi-join key to the planner, but note it rewrites the join keys
+    # to (coalesce(hour), isnull(hour)) — which does NOT line up with
+    # the aggregates' (m_type, hour) hash partitioning; locally the
+    # tiny devices side broadcasts, and at scale the group-count-sized
+    # aggregate outputs are trivially exchangeable relative to the 2x
+    # input-row Expand this split removes.
     c, d = counts.alias("c"), devices.alias("d")
     return c.join(
         d,

@@ -40,7 +40,12 @@ def _sorted_rows(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
     chunks = [p for p in pdfs if len(p)]
     if not chunks:
         return None
-    return pd.concat(chunks).sort_values(_ORDER)
+    # na_position='first': the arrival-order spec is ORDER BY ts NULLS
+    # FIRST, event_id (operators/stateful.py _ARRIVAL — Spark windows
+    # and min(struct) put NULL timestamps first); pandas defaults to
+    # NaT LAST, which diverged stream from batch on unstamped rows
+    # (round-7 review find).
+    return pd.concat(chunks).sort_values(_ORDER, na_position="first")
 
 
 def prepare_events_stream(events: DataFrame) -> DataFrame:

@@ -742,6 +742,16 @@ _ADV_EVENTS = [
     (10, 10920, 4, "error", 11.0, '{"k": 11}'),
     (11, 14400, 5, "view", 12.0, '{"k": 12}'),
     (12, 17999, 5, "view", 13.0, '{"k": 13}'),
+    # round 7: NULL event timestamps — the arrival-order spec is
+    # NULLS FIRST (operators/stateful.py _ARRIVAL), which pandas'
+    # default NaT-last sort_values contradicted until _sorted_rows
+    # pinned na_position='first'. All-NULL user, NULL user+ts, and
+    # mixed NULL/stamped within user 5 (the shape where the order
+    # actually changes which row is "previous").
+    (13, None, 6, "view", 14.0, '{"k": 14}'),
+    (14, None, 6, "purchase", 15.0, '{"k": 15}'),
+    (15, None, None, "view", 16.0, '{"k": 16}'),
+    (16, None, 5, "view", 17.0, '{"k": 17}'),
 ]
 
 
@@ -759,7 +769,7 @@ def adv_events_env(spark, tmp_path_factory):
     rows = [
         {
             "event_id": i,
-            "ts": base + pd.Timedelta(seconds=off),
+            "ts": pd.NaT if off is None else base + pd.Timedelta(seconds=off),
             "user_id": uid,
             "event_type": et,
             "value": v,
@@ -770,7 +780,13 @@ def adv_events_env(spark, tmp_path_factory):
     pdf = pd.DataFrame(rows)
     pdf["user_id"] = pdf["user_id"].astype("Int64")
     pdf.to_parquet(os.path.join(pq_dir, "events.parquet"), index=False)
-    ordered = sorted(rows, key=lambda r: (r["ts"], r["event_id"]))
+    # NaT-first to mirror the NULLS FIRST arrival-order spec (the feed
+    # order only matters for replay determinism, but keeping it aligned
+    # with the spec makes the fixture self-describing)
+    ordered = sorted(
+        rows,
+        key=lambda r: (pd.notna(r["ts"]), r["ts"].timestamp() if pd.notna(r["ts"]) else 0, r["event_id"]),
+    )
     with open(feed_dir / "collector_1.jsonl", "w") as fh:
         for r in ordered:
             fh.write(
@@ -781,13 +797,13 @@ def adv_events_env(spark, tmp_path_factory):
                             {
                                 "event_id": r["event_id"],
                                 "user_id": None if pd.isna(r["user_id"]) else int(r["user_id"]),
-                                "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                                "ts": None if pd.isna(r["ts"]) else r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
                                 "event_type": r["event_type"],
                                 "value": None if pd.isna(r["value"]) else r["value"],
                                 "props": r["props"],
                             }
                         ),
-                        "ts": int(r["ts"].timestamp()),
+                        "ts": 0 if pd.isna(r["ts"]) else int(r["ts"].timestamp()),
                     }
                 )
                 + "\n"

@@ -227,7 +227,7 @@ def events_feed(spark, sf_dir, tmp_path_factory):
                             {
                                 "event_id": r["event_id"],
                                 "user_id": r["user_id"],
-                                "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                                "ts": None if pd.isna(r["ts"]) else r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
                                 "event_type": r["event_type"],
                                 "value": r["value"],
                                 "props": r["props"],
@@ -344,7 +344,7 @@ def test_tws_engine_state_survives_restart(spark, sf_dir, tmp_path_factory):
                         {
                             "event_id": r["event_id"],
                             "user_id": r["user_id"],
-                            "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                            "ts": None if pd.isna(r["ts"]) else r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
                             "event_type": r["event_type"],
                             "value": r["value"],
                             "props": r["props"],
@@ -410,6 +410,14 @@ _ADV_EVENTS = [
     (8, 10800, 4, "error", 9.0, '{"k": 9}'),
     (9, 10860, 4, "purchase", 10.0, '{"k": 10}'),
     (10, 10920, 4, "error", 11.0, '{"k": 11}'),
+    # round 7: NULL event timestamps (NULLS FIRST arrival spec;
+    # mirrors test_streaming) — all-NULL-ts user, NULL user+ts, and a
+    # mixed NULL/stamped user so the order changes which row is
+    # "previous" in the engine's state
+    (11, 14400, 5, "view", 12.0, '{"k": 12}'),
+    (12, None, 5, "view", 13.0, '{"k": 13}'),
+    (13, None, 6, "view", 14.0, '{"k": 14}'),
+    (14, None, None, "purchase", 15.0, '{"k": 15}'),
 ]
 
 
@@ -420,26 +428,32 @@ def adv_env(spark, tmp_path_factory):
     pq_dir.mkdir(), feed_dir.mkdir()
     base = pd.Timestamp("2024-01-01 00:00:00")
     rows = [
-        {"event_id": i, "ts": base + pd.Timedelta(seconds=off), "user_id": u,
-         "event_type": et, "value": v, "props": pr}
+        {"event_id": i,
+         "ts": pd.NaT if off is None else base + pd.Timedelta(seconds=off),
+         "user_id": u, "event_type": et, "value": v, "props": pr}
         for i, off, u, et, v, pr in _ADV_EVENTS
     ]
     pdf = pd.DataFrame(rows)
     pdf["user_id"] = pdf["user_id"].astype("Int64")
     pdf.to_parquet(pq_dir / "events.parquet", index=False)
     with open(feed_dir / "collector_1.jsonl", "w") as fh:
-        for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        for r in sorted(
+            rows,
+            key=lambda r: (pd.notna(r["ts"]),
+                           r["ts"].timestamp() if pd.notna(r["ts"]) else 0,
+                           r["event_id"]),
+        ):
             fh.write(json.dumps({
                 "topic": "events",
                 "value": json.dumps({
                     "event_id": r["event_id"],
                     "user_id": None if pd.isna(r["user_id"]) else int(r["user_id"]),
-                    "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                    "ts": None if pd.isna(r["ts"]) else r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
                     "event_type": r["event_type"],
                     "value": None if pd.isna(r["value"]) else r["value"],
                     "props": r["props"],
                 }),
-                "ts": int(r["ts"].timestamp()),
+                "ts": 0 if pd.isna(r["ts"]) else int(r["ts"].timestamp()),
             }) + "\n")
     return str(pq_dir), str(feed_dir)
 
