@@ -328,6 +328,18 @@ def status_change_detection_stream(events: DataFrame) -> DataFrame:
 
 
 # --- event-time windows + streaming dedup (§2B) ---------------------------
+#
+# NULL event-time boundary: everything below is WATERMARKED, and
+# Spark drops rows whose event time is NULL before a watermarked
+# aggregate (the analyzer injects Filter isnotnull(ts) under
+# EventTimeWatermark — verified against the compiled plan). The batch
+# shadows keep NULL-ts rows as ordinary GROUP BY groups — so on
+# unstamped rows the watermarked streams are deliberately a SUBSET of
+# their shadows. The keyed state twins above carry no watermark and
+# match their shadows row-for-row on NULL ts (NULLS FIRST arrival,
+# _sorted_rows). In the composed pipelines every event time is stamped
+# at normalize (date/tmst derive from the transport envelope), so the
+# boundary only surfaces on hand-built corpora.
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
