@@ -430,6 +430,61 @@ def validate_mic(data_b64: pd.Series, key_hex: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def make_crack_udf(spark, sample: list[tuple]):
+    """Key-sweep kernel for op 46 over a BROADCAST frame sample: the
+    UDF receives only candidate keys (one Arrow row per key) and
+    returns the frames each key authenticates. The previous shape
+    shipped the |keyspace| x |frames| cross join through Arrow; an
+    isolated A/B (identical plan, no-op UDF) showed ~80% of that
+    leg's cost was row generation + transfer, not CMAC — so the
+    sweep now moves the bounded frame sample once per executor
+    (torrent broadcast, same relation the cross join already
+    broadcast) and only survivors cross back.
+
+    ``sample`` rows are (event_id, user_id, cmac_input, mic_trailer)
+    — the key-independent half of MIC validation, prebuilt once
+    (lorawan_codec.mic_cmac_input). The broadcast handle rides on the
+    returned udf as ``frames_broadcast`` so long-running callers can
+    unpersist it (the might_contain_udf convention)."""
+    bc = spark.sparkContext.broadcast(sample)
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("user_id", T.LongType()),
+                ]
+            )
+        )
+    )
+    def crack_key(key_hex: pd.Series) -> pd.Series:
+        rows = bc.value
+        inputs = [r[2] for r in rows]
+        out = []
+        for kh in key_hex:
+            # Malformed candidate hex = no match (as in validate_mic);
+            # kernel failures must propagate — a sweep that maps them
+            # to "no survivors" would silently report nothing cracked.
+            try:
+                key = bytes.fromhex(kh)
+            except (ValueError, TypeError):
+                out.append([])
+                continue
+            macs = lc.aes_cmac_batch(key, inputs)
+            out.append(
+                [
+                    (rows[i][0], rows[i][1])
+                    for i, mac in enumerate(macs)
+                    if mac[:4] == rows[i][3]
+                ]
+            )
+        return pd.Series(out)
+
+    crack_key.frames_broadcast = bc
+    return crack_key
+
+
 @F.pandas_udf(T.StringType())
 def pb_uplink_to_json(value: pd.Series) -> pd.Series:
     """Op 15 (LoraServerIOCollector.py:253-263): when a gateway uplink
