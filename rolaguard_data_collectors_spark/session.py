@@ -63,6 +63,14 @@ def get_spark(
         # Parquet scans: vectorized reader + pushdown are on by default;
         # keep split size large enough that sf0.1 doesn't over-split.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Whole-stage-codegen class cache: the default 100 entries
+        # evicts the entire 50-query board between bench passes (each
+        # query compiles several codegen units), forcing Janino
+        # recompilation on every materialization of a previously-run
+        # query. A session that serves a many-query workload wants the
+        # cache sized to the workload; 2000 entries is a few hundred
+        # MB ceiling of generated classes at most.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
