@@ -71,6 +71,15 @@ def get_spark(
         # cache sized to the workload; 2000 entries is a few hundred
         # MB ceiling of generated classes at most.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # Arrow batch size for pandas-UDF crossings: the default 10000
+        # leaves per-batch serialization + kernel-dispatch overhead
+        # dominant on the light per-row chains (A/B at sf0.1:
+        # decode_roundtrip 0.97 -> 0.85 s, chirpstack 0.84 -> 0.71 s,
+        # security suite 1.05 -> 0.97 s; the fat-column multimodal and
+        # text queries measured equal-or-better). On a cluster with
+        # wide binary rows, size this to rows-per-batch x row-width ~
+        # tens of MB per in-flight batch per core.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
