@@ -113,6 +113,25 @@ def compute_parallelism(spark: SparkSession) -> int:
     return max(spark.sparkContext.defaultParallelism, 1)
 
 
+def content_identity(sf_dir: str, df: DataFrame) -> tuple:
+    """Cache key for driver-side artifacts derived from a table scan
+    (history blooms, PQ codebooks, brute-force frame samples): the
+    sorted input files WITH their mtimes, so a dataset regenerated
+    in-place invalidates the memo — keying on the directory path alone
+    would silently serve a stale artifact built from the old data."""
+    import os
+
+    def _mtime(uri: str) -> int:
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            return os.stat(path).st_mtime_ns
+        except OSError:
+            return -1
+
+    files = tuple(sorted(df.inputFiles()))
+    return (sf_dir,) + tuple((f, _mtime(f)) for f in files)
+
+
 # Split-count decisions memoized per input-file set: spread() sits on
 # the hot build path of every UDF-heavy query, so it must not pay a
 # per-call planning cost (an earlier version called

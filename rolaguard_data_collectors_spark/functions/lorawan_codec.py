@@ -652,6 +652,19 @@ def mic_cmac_input(raw: bytes) -> tuple[bytes, bytes] | None:
     return b0 + raw[:-4], raw[-4:]
 
 
+def mic_cmac_input_b64(data_b64: str) -> tuple[bytes, bytes] | None:
+    """mic_cmac_input over a (possibly unpadded) base64 wire string;
+    None for undecodable input — the shared prep step of the
+    validate_mic UDF's frame memo and the brute-force frame sample."""
+    import base64
+
+    try:
+        pad = "=" * ((4 - len(data_b64) % 4) % 4)
+        return mic_cmac_input(base64.b64decode(data_b64 + pad))
+    except Exception:
+        return None
+
+
 def validate_mic_batch(raws: list[bytes], key: bytes) -> list[bool]:
     """Batch MIC validation of many frames under ONE key via
     aes_cmac_batch over prebuilt mic_cmac_input()s. Per-frame

@@ -287,23 +287,11 @@ def _frame_sample(spark: SparkSession, sf_dir: str) -> list[tuple]:
     frame sample (event_id % 97) — the key-independent half of MIC
     validation, prebuilt once per frame (mic_cmac_input) so the sweep
     kernel only pays CMAC per (key, frame)."""
-    import base64
-    import os
-
+    from ..catalog import content_identity
     from . import lorawan_codec as lc
 
     ev = load_table(spark, sf_dir, "events")
-
-    def _mtime(uri: str) -> int:
-        path = uri[5:] if uri.startswith("file:") else uri
-        try:
-            return os.stat(path).st_mtime_ns
-        except OSError:
-            return -1
-
-    key = (sf_dir,) + tuple(
-        (f, _mtime(f)) for f in sorted(ev.inputFiles())
-    )
+    key = content_identity(sf_dir, ev)
     sample = _FRAME_SAMPLE_CACHE.get(key)
     if sample is None:
         for stale in [k for k in _FRAME_SAMPLE_CACHE if k[0] == sf_dir]:
@@ -322,13 +310,7 @@ def _frame_sample(spark: SparkSession, sf_dir: str) -> list[tuple]:
         )
         sample = []
         for r in frames.collect():  # bounded: |events| / 97 rows
-            if r.data is None:
-                continue
-            try:
-                pad = "=" * ((4 - len(r.data) % 4) % 4)
-                built = lc.mic_cmac_input(base64.b64decode(r.data + pad))
-            except Exception:
-                continue
+            built = lc.mic_cmac_input_b64(r.data) if r.data is not None else None
             if built is None:
                 continue
             sample.append((r.event_id, r.user_id, built[0], built[1]))

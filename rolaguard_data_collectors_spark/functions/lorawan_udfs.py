@@ -403,12 +403,7 @@ def validate_mic(data_b64: pd.Series, key_hex: pd.Series) -> pd.Series:
         if b64 in frame_memo:
             built = frame_memo[b64]
         else:
-            try:
-                pad = "=" * ((4 - len(b64) % 4) % 4)
-                built = lc.mic_cmac_input(base64.b64decode(b64 + pad))
-            except Exception:
-                built = None
-            frame_memo[b64] = built
+            built = frame_memo[b64] = lc.mic_cmac_input_b64(b64)
         if built is None:
             continue
         slot = by_key.setdefault(kh, ([], [], []))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, spread
+from ..catalog import content_identity, load_table, spread
 from ..portable_sql import HASH_PRIME, hex32, minhash_term
 from ..registry import QuerySpec
 from . import incremental
@@ -93,22 +93,8 @@ FROM documents GROUP BY md5(text)
 _HISTORY_BLOOM_CACHE: dict[tuple, tuple[bytes, int, int]] = {}
 
 
-def _history_identity(sf_dir: str, history: DataFrame) -> tuple:
-    import os
-
-    def _mtime(uri: str) -> int:
-        path = uri[5:] if uri.startswith("file:") else uri
-        try:
-            return os.stat(path).st_mtime_ns
-        except OSError:
-            return -1
-
-    files = tuple(sorted(history.inputFiles()))
-    return (sf_dir,) + tuple((f, _mtime(f)) for f in files)
-
-
 def _history_bloom(sf_dir: str, history: DataFrame) -> tuple[bytes, int, int]:
-    key = _history_identity(sf_dir, history)
+    key = content_identity(sf_dir, history)
     state = _HISTORY_BLOOM_CACHE.get(key)
     if state is None:
         # evict superseded entries for the same directory: an in-place

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import content_identity, load_table
 from ..registry import QuerySpec
 
 QUERY_VEC_ID = 0  # deterministic query point
@@ -480,18 +480,7 @@ _PQ_PREP_CACHE: dict[tuple, tuple] = {}
 
 
 def _emb_identity(spark: SparkSession, sf_dir: str) -> tuple:
-    import os
-
-    files = tuple(sorted(_emb(spark, sf_dir).inputFiles()))
-
-    def _mtime(uri: str) -> int:
-        path = uri[5:] if uri.startswith("file:") else uri
-        try:
-            return os.stat(path).st_mtime_ns
-        except OSError:
-            return -1
-
-    return (sf_dir,) + tuple((f, _mtime(f)) for f in files)
+    return content_identity(sf_dir, _emb(spark, sf_dir))
 
 
 def _pq_prepare(spark: SparkSession, sf_dir: str, query_id: int,
