@@ -266,11 +266,13 @@ def reference_keyspaces(spark: SparkSession, per_family: int = 65536) -> DataFra
 
 
 # Bench-friendly default; the full reference sweep is 65536/family
-# (SPARK_GRAFT_BRUTE_KEYS=65536). With the stage-vectorized CMAC
-# batch kernel the sweep sustains ~2.4M MIC checks/s on local[32]
-# (measured at 8192/family: 26M checks in 10.7 s), putting the full
-# 203M-check reference sweep at ~80 s locally — and the keyspace is
-# the partitioned side, so a cluster scales it linearly.
+# (SPARK_GRAFT_BRUTE_KEYS=65536). With the broadcast-frame-sample
+# kernel (keys-only Arrow crossing + stage-vectorized CMAC batch) the
+# sweep sustains ~12M MIC checks/s on local[32] (measured at
+# 8192/family: 26M checks in 2.2 s; the round-6 cross-join form
+# measured 2.4M/s on the same workload), putting the full 203M-check
+# reference sweep at ~17 s locally — and the keyspace is the
+# partitioned side, so a cluster scales it linearly.
 BRUTE_KEYS_PER_FAMILY = int(os.environ.get("SPARK_GRAFT_BRUTE_KEYS", "16"))
 
 
