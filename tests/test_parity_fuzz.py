@@ -327,6 +327,17 @@ def ev_fuzz_dir(spark, tmp_path_factory):
         # stamped rows above): NULLS FIRST vs LAST now changes which
         # row is "previous" for every arrival-order window
         (16, None, 5, "view", 17.0, '{"k": 17}'),
+        # pre-1970 timestamps: NEGATIVE epochs through every
+        # floor/epoch/date_trunc expression — integer division and
+        # double->long casts truncate toward zero while floor rounds
+        # down, so the two only agree when both sides spell the same
+        # operation (and a pre-epoch event is a real decode artifact:
+        # a zeroed GPS stamp)
+        (17, t0 - pd.Timedelta(days=20000), 7, "purchase", 18.0, '{"k": 18}'),
+        (18, t0 - pd.Timedelta(days=20000, seconds=1801), 7, "view", 19.5, '{"k": 19}'),
+        # sub-second precision: .999999 must truncate DOWN through
+        # date_trunc('second')/epoch_s on both engines, never round up
+        (19, t0 + pd.Timedelta(seconds=1, microseconds=999999), 7, "purchase", 20.0, '{"k": 20}'),
     ]
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
