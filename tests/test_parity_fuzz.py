@@ -45,6 +45,13 @@ _DOCS = [
     (12, "dup dup dup dup dup dup dup dup dup dup dup dup", "en", "s5"),
     (13, "dup dup dup dup dup dup dup dup dup dup dup dup", "en", "s5"),
     (14, "the of and to in is a " * 6, "en", "s6"),
+    # astral-plane codepoints (UTF-16 surrogate pairs in the JVM) and
+    # combining marks: length()/substr() must agree codepoint-wise
+    # across a JVM engine and a UTF-8-native one
+    (15, "astral \U0001F600\U0001F680 pair é combining ñ end", "und", "s7"),
+    # one unbroken 400-char token: tokenizers, mean-word-length and
+    # the 40-char substring windows all hit the no-spaces edge
+    (16, "w" * 400, "en", "s7"),
 ]
 
 
