@@ -752,6 +752,12 @@ _ADV_EVENTS = [
     (14, None, 6, "purchase", 15.0, '{"k": 15}'),
     (15, None, None, "view", 16.0, '{"k": 16}'),
     (16, None, 5, "view", 17.0, '{"k": 17}'),
+    # pre-1970 (negative-epoch) and sub-second timestamps: the stream
+    # twins must order and stamp these identically to the batch
+    # shadows (mirrors the oracle-fuzz corpus rows 17-19)
+    (17, -1728000000, 7, "purchase", 18.0, '{"k": 18}'),
+    (18, -1728001801, 7, "view", 19.5, '{"k": 19}'),
+    (19, 1.999999, 7, "purchase", 20.0, '{"k": 20}'),
 ]
 
 

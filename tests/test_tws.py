@@ -418,6 +418,11 @@ _ADV_EVENTS = [
     (12, None, 5, "view", 13.0, '{"k": 13}'),
     (13, None, 6, "view", 14.0, '{"k": 14}'),
     (14, None, None, "purchase", 15.0, '{"k": 15}'),
+    # pre-1970 (negative-epoch) and sub-second timestamps through the
+    # engine's state ordering (mirrors the oracle-fuzz corpus)
+    (15, -1728000000, 7, "purchase", 18.0, '{"k": 18}'),
+    (16, -1728001801, 7, "view", 19.5, '{"k": 19}'),
+    (17, 1.999999, 7, "purchase", 20.0, '{"k": 20}'),
 ]
 
 
