@@ -36,7 +36,11 @@ from ..portable_sql import hex32
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    # lazy, like the quantizer import below: keeps this module free of
+    # a module-level dependency on similarity
+    from .similarity import finite_embeddings
+
+    return finite_embeddings(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 

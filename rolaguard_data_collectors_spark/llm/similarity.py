@@ -34,8 +34,39 @@ QUERY_VEC_ID = 0  # deterministic query point
 TOP_K = 10
 
 
+# Corrupt-vector gate: a vector containing a NULL/NaN/Inf component is
+# corrupt input (a truncated write, an overflowed encoder) and is
+# excluded from indexing and scoring at the TABLE boundary — the same
+# policy FAISS-style index builds apply, and the only semantic under
+# which quantization stays well-defined (a non-finite component
+# poisons the per-dimension scale for every OTHER vector, and ANSI
+# mode errors casting NaN to int). Fully-NULL vectors still pass:
+# every consumer already handles those explicitly (round-6 fuzz).
+# The SQL twin shadows the `embeddings` view with a same-named CTE so
+# each oracle states the policy in one prefix.
+FINITE_EMB_CTE = (
+    # main.embeddings: the schema-qualified name reaches the base view
+    # under the shadowing CTE (a bare self-reference is a DuckDB
+    # circular-CTE error)
+    "embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NULL"
+    " OR len(list_filter(embedding, x -> x IS NULL OR isnan(x)"
+    " OR isinf(x))) = 0)"
+)
+
+
+def finite_embeddings(df: DataFrame) -> DataFrame:
+    """Drop rows whose embedding contains a non-finite component (see
+    FINITE_EMB_CTE — the two gates must stay element-for-element
+    identical)."""
+    finite = F.forall(
+        F.col("embedding"),
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
+    )
+    return df.where(F.col("embedding").isNull() | finite)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return finite_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
 def _dot(a: str, b: str) -> Column:
@@ -189,6 +220,7 @@ def ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_LABEL_TOPK_ORACLE = f"""
+WITH {FINITE_EMB_CTE}
 SELECT a.vec_id, a.label,
        round({_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
 FROM embeddings a,
@@ -249,8 +281,9 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LABEL_CENTROID_ORACLE = """
-WITH dims AS (
+LABEL_CENTROID_ORACLE = f"""
+WITH {FINITE_EMB_CTE},
+dims AS (
   SELECT vec_id, label,
          unnest(generate_series(1, len(embedding))) AS dim,
          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
@@ -339,6 +372,7 @@ _DOT_AB_SQL = (
 )
 
 NEAR_DUP_ORACLE = f"""
+WITH {FINITE_EMB_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST({_ND_BUCKET_SQL_A} AS INTEGER) AS bucket,
        round({_DOT_AB_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
@@ -707,7 +741,8 @@ def ann_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dot, so the oracle is fully static SQL with no data-dependent
 # literals.
 ANN_TOPK_SUITE_ORACLE = f"""
-WITH fp AS (
+WITH {FINITE_EMB_CTE},
+fp AS (
   SELECT 'fp32' AS method, vec_id, label, CAST(NULL AS INTEGER) AS bucket, cosine AS score
   FROM ({COSINE_TOPK_ORACLE})
 ), lsh AS (

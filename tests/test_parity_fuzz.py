@@ -419,6 +419,8 @@ def emb_fuzz_dir(spark, tmp_path_factory):
     vecs[20] = None                       # NULL embedding
     vecs[21] = [0.0] * 64                 # zero vector (norm 0)
     vecs[22] = vecs[5]                    # exact duplicate of vec 5
+    vecs[23] = [float("nan")] + vecs[6][1:]   # corrupt: NaN component
+    vecs[19] = [float("inf")] + vecs[7][1:]   # corrupt: Inf component
     tbl = pa.table(
         {
             "vec_id": pa.array(range(24), type=pa.int64()),
