@@ -419,6 +419,18 @@ def embedding_scales(spark: SparkSession, sf_dir: str) -> list[float]:
     scales = [0.0] * len(rows)
     for r in rows:
         scales[r["pos"]] = r["m"] or 0.0
+    # Defense-in-depth behind finite_embeddings: these values render
+    # into SQL array literals (a NaN renders as the unresolvable token
+    # nanD) — fail loudly at the source if a future loader bypasses
+    # the corrupt-vector gate.
+    import math
+
+    bad = [i for i, s in enumerate(scales) if not math.isfinite(s)]
+    if bad:
+        raise ValueError(
+            f"non-finite embedding scales at dims {bad[:8]} — corrupt "
+            "vectors reached the quantizer (finite_embeddings gate bypassed?)"
+        )
     return scales
 
 
