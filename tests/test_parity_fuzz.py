@@ -52,6 +52,10 @@ _DOCS = [
     # one unbroken 400-char token: tokenizers, mean-word-length and
     # the 40-char substring windows all hit the no-spaces edge
     (16, "w" * 400, "en", "s7"),
+    # NULL lang and NULL source: grouping keys of the curation split,
+    # DSIR's target-language selector, and every per-source profile
+    (17, "plain text with a null language tag", None, "s8"),
+    (18, "plain text with a null source tag", "en", None),
 ]
 
 
