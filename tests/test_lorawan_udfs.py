@@ -157,3 +157,60 @@ def test_pruned_decode_rejects_unknown_field():
 
     with pytest.raises(ValueError, match="unknown parse fields"):
         decode_phypayload_for(("m_type", "nope"))
+
+
+def test_frame_sample_memo_invalidates_on_regeneration(spark, tmp_path):
+    """The driver-side artifact memos (frame sample, history bloom, PQ
+    prep) key on catalog.content_identity — input files + mtimes — so
+    a dataset regenerated IN-PLACE must produce a fresh artifact: a
+    stale frame sample would sweep the wrong frames (and a stale bloom
+    is the forbidden false-negative state). Proven end-to-end on the
+    frame-sample memo."""
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+
+    from rolaguard_data_collectors_spark.catalog import content_identity
+    from rolaguard_data_collectors_spark.functions.lorawan_queries import (
+        _frame_sample,
+    )
+
+    d = tmp_path / "sf_regen"
+    d.mkdir()
+
+    def write_events(n):
+        rows = [
+            {
+                "event_id": i,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                "user_id": i % 3 + 1,
+                "event_type": "purchase",
+                "value": float(i),
+                "props": '{"k": 1}',
+            }
+            for i in range(n)
+        ]
+        pdf = pd.DataFrame(rows)
+        pdf["user_id"] = pdf["user_id"].astype("Int64")
+        tmp = d / "events.parquet.tmp"
+        pdf.to_parquet(tmp, index=False)
+        shutil.move(str(tmp), str(d / "events.parquet"))
+
+    write_events(200)  # event_id % 97 == 0 -> frames 0, 97, 194
+    s1 = _frame_sample(spark, str(d))
+    assert len(s1) == 3
+    id1 = content_identity(str(d), spark.read.parquet(str(d / "events.parquet")))
+
+    # regenerate IN-PLACE with different content (and a newer mtime —
+    # content_identity keys on mtime_ns, so nudge the clock if the
+    # filesystem is coarse)
+    time.sleep(0.05)
+    write_events(100)  # frames 0, 97 only
+    os.utime(d / "events.parquet")
+    id2 = content_identity(str(d), spark.read.parquet(str(d / "events.parquet")))
+    assert id1 != id2, "content identity must change on in-place regeneration"
+
+    s2 = _frame_sample(spark, str(d))
+    assert len(s2) == 2, "stale frame sample served after regeneration"
