@@ -68,8 +68,11 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8,
                iters: int = 5) -> tuple[list[list[float]], list[float]]:
     """Lloyd iterations; returns (centroids, inertia history). Seeds =
     embeddings of the k hash-smallest vec_ids (deterministic, spread
-    by the uniform hash). Empty clusters keep their previous centroid."""
-    df = _emb(spark, sf_dir)
+    by the uniform hash). Empty clusters keep their previous centroid. NULL embeddings
+    are excluded from training (a seed or mean over NULL is
+    meaningless; non-finite vectors are already gated at the
+    loader)."""
+    df = _emb(spark, sf_dir).where(F.col("v").isNotNull())
     seeds = (
         df.withColumn("_h", F.expr(hex32("cast(vec_id as string)")))
         .orderBy("_h", "vec_id")
@@ -78,6 +81,7 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8,
     )
     centroids = [[float(x) for x in r["v"]] for r in seeds]
     history: list[float] = []
+    assert centroids, "no non-NULL vectors to train on"
     for _ in range(iters):
         assigned = _assign(df, centroids)
         stats = (
@@ -245,3 +249,105 @@ def ivf_topk(spark: SparkSession, sf_dir: str, centroids: list[list[float]],
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(top_k)
     )
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str,
+                   centroids: list[list[float]],
+                   threshold: float = 0.4) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    clusters as candidate blocks, exact pairwise cosine WITHIN each
+    cluster only, drop every vector that has a smaller-vec_id
+    cluster-mate with round(cosine, 6) >= threshold. Returns the
+    surviving (vec_id, cluster) rows.
+
+    Scale shape: the only join is the within-cluster self-join — the
+    all-pairs O(N^2) never happens; each task's pair count is bounded
+    by its cluster's size, and at 100 TB the assignment IS the
+    bucketed IVF posting layout (persist_ivf_index), so the self-join
+    is partition-local with zero shuffle. Zero-norm vectors can't be
+    dropped (cosine undefined -> NULL -> predicate false) but still
+    block as cluster members; the deterministic keep-smallest rule is
+    the same survivor convention as dedup_exact.
+
+    Oracled per trained codebook by semantic_dedup_oracle_sql (the
+    centroids render as literals, like quantize_oracle_sql's scales).
+    NULL embeddings are excluded explicitly (a vector with no
+    embedding has no cluster; _assign would otherwise give it the
+    NULL-distance-first cluster 0)."""
+    assigned = _assign(
+        _emb(spark, sf_dir).where(F.col("v").isNotNull()), centroids
+    )
+    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                             F.lit(0.0), lambda a, z: a + z))
+    rows = assigned.select("vec_id", "cluster", "v", nrm.alias("n"))
+    a, b = rows.alias("a"), rows.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, z: acc + z,
+    )
+    cos = F.round(dot / (F.col("a.n") * F.col("b.n")), 6)
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where((F.col("a.n") > 0) & (F.col("b.n") > 0)
+               & (cos >= F.lit(threshold)))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(drops, "vec_id", "left_anti").select(
+        "vec_id", "cluster"
+    )
+
+
+def semantic_dedup_oracle_sql(centroids: list[list[float]],
+                              threshold: float = 0.4) -> str:
+    """DuckDB twin of semantic_dedup for the same trained codebook:
+    assignment = argmin squared distance (ties -> smaller cluster id,
+    mirroring _assign's array_min struct order), then the identical
+    within-cluster keep-smallest rule."""
+    from .similarity import FINITE_EMB_CTE
+
+    cent_rows = ", ".join(
+        f"({cid}, {dim + 1}, {x!r})"
+        for cid, c in enumerate(centroids)
+        for dim, x in enumerate(c)
+    )
+    return f"""
+WITH {FINITE_EMB_CTE},
+cents(cid, dim, c) AS (VALUES {cent_rows}),
+v AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+d AS (
+  SELECT v.vec_id, cents.cid, sum((v.x - cents.c) * (v.x - cents.c)) AS d
+  FROM v JOIN cents USING (dim) GROUP BY v.vec_id, cents.cid
+),
+best AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM d) WHERE rn = 1
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS n FROM v GROUP BY vec_id
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM best a JOIN best b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id AND vb.dim = va.dim
+  WHERE na.n > 0 AND nb.n > 0
+  GROUP BY a.vec_id, b.vec_id, na.n, nb.n
+  HAVING round(sum(va.x * vb.x) / (na.n * nb.n), 6) >= {threshold!r}
+)
+SELECT vec_id, cluster FROM best
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+"""

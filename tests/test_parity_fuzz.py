@@ -665,3 +665,58 @@ def test_dims_query_fuzz(spark, dims_fuzz_dir, dims_fuzz_con, qname):
 
     spec = collect_all()[qname]
     _check(qname, spec.build(spark, dims_fuzz_dir), spec.oracle, dims_fuzz_con)
+
+
+def test_semantic_dedup_fuzz(spark, emb_fuzz_dir, emb_fuzz_con):
+    """SemDeDup (cluster-blocked semantic dedup, llm/kmeans.py) over
+    the adversarial embeddings: NULL vectors (no cluster), a zero
+    vector (undefined cosine — can't be dropped), NaN/Inf vectors
+    (gated at the table boundary), and the planted exact duplicate
+    (must be dropped in favor of its smaller vec_id twin). The oracle
+    is parameterized by the SAME trained codebook."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        kmeans_fit,
+        semantic_dedup,
+        semantic_dedup_oracle_sql,
+    )
+
+    centroids, _ = kmeans_fit(spark, emb_fuzz_dir, k=3, iters=2)
+    out = semantic_dedup(spark, emb_fuzz_dir, centroids, threshold=0.4)
+    _check(
+        "semantic_dedup",
+        out,
+        semantic_dedup_oracle_sql(centroids, threshold=0.4),
+        emb_fuzz_con,
+    )
+    survivors = {r["vec_id"] for r in out.collect()}
+    assert 5 in survivors and 22 not in survivors, (
+        "the exact-duplicate pair must keep the smaller vec_id"
+    )
+    assert 21 in survivors, "the zero vector has no defined cosine"
+    assert 20 not in survivors and 23 not in survivors and 19 not in survivors, (
+        "NULL and non-finite vectors have no cluster"
+    )
+
+
+def test_semantic_dedup_real_corpus(spark):
+    """Same operator over the generated sf0.01 embeddings — the
+    no-adversarial-rows leg of the oracle comparison."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        kmeans_fit,
+        semantic_dedup,
+        semantic_dedup_oracle_sql,
+    )
+
+    sfd = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sfd}/embeddings.parquet'"
+    )
+    centroids, _ = kmeans_fit(spark, sfd, k=4, iters=2)
+    out = semantic_dedup(spark, sfd, centroids, threshold=0.4)
+    _check(
+        "semantic_dedup_real",
+        out,
+        semantic_dedup_oracle_sql(centroids, threshold=0.4),
+        con,
+    )
