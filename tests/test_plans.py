@@ -320,3 +320,26 @@ def test_bench_cost_tripwire(spark, sf_dir):
             overs.append((name, round(wall, 2)))
     assert not overs, f"per-query cost blowup (>12s at sf0.01): {overs}"
     assert total < 110.0, f"whole-board cost blowup: {total:.1f}s at sf0.01"
+
+
+def test_semantic_dedup_join_is_equi(spark, sf_dir):
+    """SemDeDup's no-all-pairs claim as a plan invariant: the
+    within-cluster self-join must compile to an equi-join on the
+    cluster key (SortMergeJoin / ShuffledHashJoin / BroadcastHashJoin
+    with the vec_id inequality as a post-condition), never a
+    nested-loop over all pairs."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    sf001 = sf_dir.replace("sf0.001", "sf0.01")
+    centroids, _ = kmeans_fit(spark, sf001, k=4, iters=1)
+    df = semantic_dedup(spark, sf001, centroids)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan, "all-pairs join"
+    assert "BroadcastNestedLoopJoin" not in plan, "all-pairs join"
