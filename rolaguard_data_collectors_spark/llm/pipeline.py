@@ -123,3 +123,54 @@ QUERIES = [
         "composed exact-dedup -> near-dup removal -> quality gate",
     ),
 ]
+
+
+def clean_corpus_semantic(spark: SparkSession, sf_dir: str,
+                          centroids: list[list[float]],
+                          threshold: float = 0.4) -> DataFrame:
+    """The full modern-pipeline composition: the text-level clean
+    (exact dedup -> near-dup removal -> quality gate) followed by a
+    SemDeDup stage over the 1:1 embeddings table (vec_id == doc_id in
+    the lake layout). A document DROPPED by cluster-blocked semantic
+    dedup (llm/kmeans.semantic_dedup) leaves the corpus; a document
+    with NO usable embedding (NULL or corrupt — finite_embeddings)
+    cannot be semantically deduped and is KEPT — an embedder failure
+    must not silently delete data. Still one lazy plan end to end."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from .kmeans import semantic_dedup
+    from .similarity import finite_embeddings
+
+    base = clean_corpus(spark, sf_dir)
+    valid = (
+        finite_embeddings(load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id")
+    )
+    survivors = semantic_dedup(spark, sf_dir, centroids, threshold).select(
+        "vec_id"
+    )
+    dropped = valid.join(survivors, "vec_id", "left_anti").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return base.join(dropped, "doc_id", "left_anti")
+
+
+def clean_corpus_semantic_oracle_sql(centroids: list[list[float]],
+                                     threshold: float = 0.4) -> str:
+    """DuckDB twin: the registered clean oracle minus the ids that a
+    semantic_dedup_oracle_sql run (same codebook) dropped."""
+    from .kmeans import semantic_dedup_oracle_sql
+    from .similarity import FINITE_EMB_CTE
+
+    sem = semantic_dedup_oracle_sql(centroids, threshold)
+    return f"""
+SELECT c.* FROM ({CLEAN_CORPUS_ORACLE}) c
+WHERE c.doc_id NOT IN (
+  WITH {FINITE_EMB_CTE}
+  SELECT vec_id FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND vec_id NOT IN (SELECT vec_id FROM ({sem}))
+)
+"""

@@ -720,3 +720,55 @@ def test_semantic_dedup_real_corpus(spark):
         semantic_dedup_oracle_sql(centroids, threshold=0.4),
         con,
     )
+
+
+def test_clean_corpus_semantic_composed(spark, fuzz_dir, emb_fuzz_dir, fuzz_con):
+    """The full modern pipeline (text clean -> SemDeDup stage) over a
+    MIXED corpus: the adversarial documents (ids 0-18) paired with the
+    adversarial embeddings (ids 0-23) — partial id overlap, so docs
+    without embeddings exercise the keep-if-unembeddable rule, and the
+    NULL/zero/NaN/dup vectors flow through the semantic stage."""
+    import shutil
+
+    from rolaguard_data_collectors_spark.llm.kmeans import kmeans_fit
+    from rolaguard_data_collectors_spark.llm.pipeline import (
+        clean_corpus_semantic,
+        clean_corpus_semantic_oracle_sql,
+    )
+
+    combined = os.path.join(os.path.dirname(fuzz_dir), "fuzz_combined")
+    os.makedirs(combined, exist_ok=True)
+    shutil.copy(os.path.join(fuzz_dir, "documents.parquet"), combined)
+    shutil.copy(os.path.join(emb_fuzz_dir, "embeddings.parquet"), combined)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{combined}/{t}.parquet'"
+        )
+    centroids, _ = kmeans_fit(spark, combined, k=3, iters=2)
+    _check(
+        "clean_corpus_semantic",
+        clean_corpus_semantic(spark, combined, centroids, threshold=0.4),
+        clean_corpus_semantic_oracle_sql(centroids, threshold=0.4),
+        con,
+    )
+
+
+def test_clean_corpus_semantic_real_corpus(spark):
+    from rolaguard_data_collectors_spark.llm.kmeans import kmeans_fit
+    from rolaguard_data_collectors_spark.llm.pipeline import (
+        clean_corpus_semantic,
+        clean_corpus_semantic_oracle_sql,
+    )
+
+    sfd = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfd}/{t}.parquet'")
+    centroids, _ = kmeans_fit(spark, sfd, k=4, iters=2)
+    _check(
+        "clean_corpus_semantic_real",
+        clean_corpus_semantic(spark, sfd, centroids, threshold=0.4),
+        clean_corpus_semantic_oracle_sql(centroids, threshold=0.4),
+        con,
+    )
