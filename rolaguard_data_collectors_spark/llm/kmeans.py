@@ -64,6 +64,24 @@ def _assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
+def seed_codebook(spark: SparkSession, sf_dir: str, k: int = 8) -> list[list[float]]:
+    """Deterministic k-vector codebook WITHOUT training: the embeddings
+    of the k hash-smallest vec_ids (hex32 of the decimal id — spread
+    uniformly by the hash, tie-broken by vec_id). This is exactly
+    kmeans_fit's seeding step; unlike trained centroids it is
+    SQL-derivable, so operators built on it get fully static DuckDB
+    oracles (semantic_seed_cents_cte). The collect is k x dim floats —
+    bounded at any corpus scale."""
+    df = _emb(spark, sf_dir).where(F.col("v").isNotNull())
+    seeds = (
+        df.withColumn("_h", F.expr(hex32("cast(vec_id as string)")))
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in seeds]
+
+
 def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8,
                iters: int = 5) -> tuple[list[list[float]], list[float]]:
     """Lloyd iterations; returns (centroids, inertia history). Seeds =
@@ -73,13 +91,7 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8,
     meaningless; non-finite vectors are already gated at the
     loader)."""
     df = _emb(spark, sf_dir).where(F.col("v").isNotNull())
-    seeds = (
-        df.withColumn("_h", F.expr(hex32("cast(vec_id as string)")))
-        .orderBy("_h", "vec_id")
-        .limit(k)
-        .collect()
-    )
-    centroids = [[float(x) for x in r["v"]] for r in seeds]
+    centroids = seed_codebook(spark, sf_dir, k)
     history: list[float] = []
     assert centroids, "no non-NULL vectors to train on"
     for _ in range(iters):
@@ -251,9 +263,18 @@ def ivf_topk(spark: SparkSession, sf_dir: str, centroids: list[list[float]],
     )
 
 
+# Within-cluster pair work is O(sum c_i^2); the cap bounds the largest
+# block a single task can see REGARDLESS of codebook skew. 1024 keeps
+# the worst shard at ~0.5M pairs (x dim flops) — comfortably one task —
+# while at the test SFs (<= 2000 vectors / 8 clusters) no cluster
+# reaches it, so the default result equals uncapped SemDeDup.
+DEFAULT_CLUSTER_CAP = 1024
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str,
                    centroids: list[list[float]],
-                   threshold: float = 0.4) -> DataFrame:
+                   threshold: float = 0.4,
+                   cluster_cap: int = DEFAULT_CLUSTER_CAP) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
     clusters as candidate blocks, exact pairwise cosine WITHIN each
     cluster only, drop every vector that has a smaller-vec_id
@@ -261,40 +282,36 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     surviving (vec_id, cluster) rows.
 
     Scale shape: the only join is the within-cluster self-join — the
-    all-pairs O(N^2) never happens; each task's pair count is bounded
-    by its cluster's size, and at 100 TB the assignment IS the
+    all-pairs O(N^2) never happens; at 100 TB the assignment IS the
     bucketed IVF posting layout (persist_ivf_index), so the self-join
-    is partition-local with zero shuffle. Zero-norm vectors can't be
-    dropped (cosine undefined -> NULL -> predicate false) but still
-    block as cluster members; the deterministic keep-smallest rule is
-    the same survivor convention as dedup_exact.
+    is partition-local with zero shuffle. Clusters larger than
+    ``cluster_cap`` are sub-sharded by a secondary hash of vec_id
+    (ceil(size/cap) shards), so a skewed or badly-trained codebook —
+    exactly the near-duplicate-heavy corpus SemDeDup targets — can
+    never make one task quadratic: per-shard pair count stays
+    O(cap^2) and total pair work O(N * cap). The trade — duplicates
+    split across shards of an over-cap cluster are not detected — is
+    the standard blocking trade every bounded-block dedup in this
+    repo makes (ngram buckets, perceptual-dedup band re-keying). Zero-norm vectors can't be dropped (cosine
+    undefined -> NULL -> predicate false) but still block as cluster
+    members; the deterministic keep-smallest rule is the same
+    survivor convention as dedup_exact.
 
-    Oracled per trained codebook by semantic_dedup_oracle_sql (the
-    centroids render as literals, like quantize_oracle_sql's scales).
-    NULL embeddings are excluded explicitly (a vector with no
-    embedding has no cluster; _assign would otherwise give it the
-    NULL-distance-first cluster 0)."""
+    Oracled per codebook by semantic_dedup_oracle_sql (the centroids
+    render as literals, like quantize_oracle_sql's scales), which
+    mirrors the shard arithmetic exactly. NULL embeddings are
+    excluded explicitly (a vector with no embedding has no cluster;
+    _assign would otherwise give it the NULL-distance-first cluster
+    0)."""
     assigned = _assign(
         _emb(spark, sf_dir).where(F.col("v").isNotNull()), centroids
     )
-    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
-                             F.lit(0.0), lambda a, z: a + z))
-    rows = assigned.select("vec_id", "cluster", "v", nrm.alias("n"))
-    a, b = rows.alias("a"), rows.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, z: acc + z,
-    )
-    cos = F.round(dot / (F.col("a.n") * F.col("b.n")), 6)
+    pairs = _semantic_candidate_pairs(assigned, cluster_cap)
+    cos = F.round(F.col("_dot") / (F.col("a_n") * F.col("b_n")), 6)
     drops = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where((F.col("a.n") > 0) & (F.col("b.n") > 0)
-               & (cos >= F.lit(threshold)))
-        .select(F.col("b.vec_id").alias("vec_id"))
+        pairs.where((F.col("a_n") > 0) & (F.col("b_n") > 0)
+                    & (cos >= F.lit(threshold)))
+        .select(F.col("b_vec_id").alias("vec_id"))
         .distinct()
     )
     return assigned.join(drops, "vec_id", "left_anti").select(
@@ -302,28 +319,85 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     )
 
 
-def semantic_dedup_oracle_sql(centroids: list[list[float]],
-                              threshold: float = 0.4) -> str:
-    """DuckDB twin of semantic_dedup for the same trained codebook:
-    assignment = argmin squared distance (ties -> smaller cluster id,
-    mirroring _assign's array_min struct order), then the identical
-    within-cluster keep-smallest rule."""
+def _semantic_candidate_pairs(assigned: DataFrame,
+                              cluster_cap: int) -> DataFrame:
+    """The within-(cluster, shard) candidate pair frame — SemDeDup's
+    only join, exposed so tests/test_scale.py can count exactly the
+    pairs a run evaluates. Returns (a_vec_id, b_vec_id, a_n, b_n,
+    _dot) with a_vec_id < b_vec_id."""
+    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                             F.lit(0.0), lambda a, z: a + z))
+    # Per-cluster sizes: k rows — always broadcast. shard = portable
+    # hash of vec_id mod ceil(size/cap); 1 for every under-cap cluster,
+    # so the cap is a no-op until skew actually appears.
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csz"))
+    n_shards = F.ceil(F.col("_csz") / F.lit(float(cluster_cap)))
+    shard = F.expr(hex32("cast(vec_id as string)")) % n_shards
+    rows = (
+        assigned.join(F.broadcast(sizes), "cluster")
+        .select("vec_id", "cluster", "v", nrm.alias("n"),
+                shard.alias("_shard"))
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, z: acc + z,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._shard") == F.col("b._shard"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_vec_id"),
+            F.col("b.vec_id").alias("b_vec_id"),
+            F.col("a.n").alias("a_n"),
+            F.col("b.n").alias("b_n"),
+            dot.alias("_dot"),
+        )
+    )
+
+
+def semantic_seed_cents_cte(k: int) -> str:
+    """``cents(cid, dim, c)`` CTE derived from the data itself: the
+    embeddings of the k hash-smallest vec_ids, cid = rank order —
+    byte-identical to seed_codebook's collect (raw stored doubles, no
+    arithmetic), which is what makes a seed-codebook SemDeDup fully
+    static SQL. Expects the ``v`` (vec_id, dim, x) CTE in scope."""
+    h = hex32("CAST(vec_id AS VARCHAR)")
+    return f"""seedrank AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY {h}, vec_id) - 1 AS INTEGER) AS cid
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cents AS (
+  SELECT s.cid, v.dim, v.x AS c
+  FROM seedrank s JOIN v USING (vec_id) WHERE s.cid < {k}
+)"""
+
+
+def _semantic_oracle_body(cents_cte: str, threshold: float,
+                          cluster_cap: int) -> str:
+    """Shared SemDeDup oracle: assignment = argmin squared distance
+    (ties -> smaller cluster id, mirroring _assign's array_min struct
+    order), the shard arithmetic of semantic_dedup (hex32(vec_id) mod
+    ceil(size/cap)), then the identical within-(cluster, shard)
+    keep-smallest rule. ``cents_cte`` must define cents(cid, dim, c)
+    with 1-based dims and may reference the ``v`` CTE."""
     from .similarity import FINITE_EMB_CTE
 
-    cent_rows = ", ".join(
-        f"({cid}, {dim + 1}, {x!r})"
-        for cid, c in enumerate(centroids)
-        for dim, x in enumerate(c)
-    )
+    shard_h = hex32("CAST(b.vec_id AS VARCHAR)")
     return f"""
 WITH {FINITE_EMB_CTE},
-cents(cid, dim, c) AS (VALUES {cent_rows}),
 v AS (
   SELECT vec_id,
          unnest(generate_series(1, len(embedding))) AS dim,
          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
   FROM embeddings WHERE embedding IS NOT NULL
 ),
+{cents_cte},
 d AS (
   SELECT v.vec_id, cents.cid, sum((v.x - cents.c) * (v.x - cents.c)) AS d
   FROM v JOIN cents USING (dim) GROUP BY v.vec_id, cents.cid
@@ -334,12 +408,22 @@ best AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
     FROM d) WHERE rn = 1
 ),
+sizes AS (
+  SELECT cluster, count(*) AS csz FROM best GROUP BY cluster
+),
+sharded AS (
+  SELECT b.vec_id, b.cluster,
+         {shard_h} % CAST(ceil(s.csz / CAST({cluster_cap} AS DOUBLE)) AS BIGINT)
+           AS shard
+  FROM best b JOIN sizes s USING (cluster)
+),
 norms AS (
   SELECT vec_id, sqrt(sum(x * x)) AS n FROM v GROUP BY vec_id
 ),
 drops AS (
   SELECT DISTINCT b.vec_id
-  FROM best a JOIN best b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  FROM sharded a JOIN sharded b
+    ON a.cluster = b.cluster AND a.shard = b.shard AND a.vec_id < b.vec_id
   JOIN norms na ON na.vec_id = a.vec_id
   JOIN norms nb ON nb.vec_id = b.vec_id
   JOIN v va ON va.vec_id = a.vec_id
@@ -351,3 +435,26 @@ drops AS (
 SELECT vec_id, cluster FROM best
 WHERE vec_id NOT IN (SELECT vec_id FROM drops)
 """
+
+
+def semantic_dedup_oracle_sql(centroids: list[list[float]],
+                              threshold: float = 0.4,
+                              cluster_cap: int = DEFAULT_CLUSTER_CAP) -> str:
+    """DuckDB twin of semantic_dedup for an explicit (e.g. trained)
+    codebook, rendered as literals."""
+    cent_rows = ", ".join(
+        f"({cid}, {dim + 1}, {x!r})"
+        for cid, c in enumerate(centroids)
+        for dim, x in enumerate(c)
+    )
+    return _semantic_oracle_body(
+        f"cents(cid, dim, c) AS (VALUES {cent_rows})", threshold, cluster_cap
+    )
+
+
+def semantic_seed_dedup_oracle_sql(k: int = 8, threshold: float = 0.4,
+                                   cluster_cap: int = DEFAULT_CLUSTER_CAP) -> str:
+    """DuckDB twin of semantic_dedup over seed_codebook(k) — no
+    data-dependent literals, so it can register as a driver oracle."""
+    return _semantic_oracle_body(semantic_seed_cents_cte(k), threshold,
+                                 cluster_cap)

@@ -115,19 +115,10 @@ def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-QUERIES = [
-    QuerySpec(
-        "clean_corpus",
-        clean_corpus,
-        CLEAN_CORPUS_ORACLE,
-        "composed exact-dedup -> near-dup removal -> quality gate",
-    ),
-]
-
-
 def clean_corpus_semantic(spark: SparkSession, sf_dir: str,
                           centroids: list[list[float]],
-                          threshold: float = 0.4) -> DataFrame:
+                          threshold: float = 0.4,
+                          cluster_cap: int | None = None) -> DataFrame:
     """The full modern-pipeline composition: the text-level clean
     (exact dedup -> near-dup removal -> quality gate) followed by a
     SemDeDup stage over the 1:1 embeddings table (vec_id == doc_id in
@@ -139,7 +130,7 @@ def clean_corpus_semantic(spark: SparkSession, sf_dir: str,
     from pyspark.sql import functions as F
 
     from ..catalog import load_table
-    from .kmeans import semantic_dedup
+    from .kmeans import DEFAULT_CLUSTER_CAP, semantic_dedup
     from .similarity import finite_embeddings
 
     base = clean_corpus(spark, sf_dir)
@@ -148,23 +139,22 @@ def clean_corpus_semantic(spark: SparkSession, sf_dir: str,
         .where(F.col("embedding").isNotNull())
         .select("vec_id")
     )
-    survivors = semantic_dedup(spark, sf_dir, centroids, threshold).select(
-        "vec_id"
-    )
+    survivors = semantic_dedup(
+        spark, sf_dir, centroids, threshold,
+        cluster_cap=cluster_cap or DEFAULT_CLUSTER_CAP,
+    ).select("vec_id")
     dropped = valid.join(survivors, "vec_id", "left_anti").select(
         F.col("vec_id").alias("doc_id")
     )
     return base.join(dropped, "doc_id", "left_anti")
 
 
-def clean_corpus_semantic_oracle_sql(centroids: list[list[float]],
-                                     threshold: float = 0.4) -> str:
-    """DuckDB twin: the registered clean oracle minus the ids that a
-    semantic_dedup_oracle_sql run (same codebook) dropped."""
-    from .kmeans import semantic_dedup_oracle_sql
+def _semantic_wrap_oracle(sem: str) -> str:
+    """The registered clean oracle minus the ids a SemDeDup oracle run
+    dropped (keep-if-unembeddable: only vectors that EXIST and are
+    finite can drop their document)."""
     from .similarity import FINITE_EMB_CTE
 
-    sem = semantic_dedup_oracle_sql(centroids, threshold)
     return f"""
 SELECT c.* FROM ({CLEAN_CORPUS_ORACLE}) c
 WHERE c.doc_id NOT IN (
@@ -174,3 +164,83 @@ WHERE c.doc_id NOT IN (
     AND vec_id NOT IN (SELECT vec_id FROM ({sem}))
 )
 """
+
+
+def clean_corpus_semantic_oracle_sql(centroids: list[list[float]],
+                                     threshold: float = 0.4,
+                                     cluster_cap: int | None = None) -> str:
+    """DuckDB twin of clean_corpus_semantic for an explicit codebook."""
+    from .kmeans import DEFAULT_CLUSTER_CAP, semantic_dedup_oracle_sql
+
+    return _semantic_wrap_oracle(semantic_dedup_oracle_sql(
+        centroids, threshold, cluster_cap or DEFAULT_CLUSTER_CAP
+    ))
+
+
+# --- driver registration: the seed-codebook composition --------------------
+#
+# The registered query uses seed_codebook (the k hash-smallest
+# embeddings, llm/kmeans.py) instead of Lloyd-trained centroids: the
+# codebook is then SQL-derivable, so the oracle is fully static — no
+# data-dependent literals — and the whole SemDeDup stage becomes
+# driver-hash-checkable. Trained-codebook runs stay available via the
+# explicit-centroids functions above (pytest-oracled in
+# tests/test_parity_fuzz.py). Blocking quality differs (seeds are
+# spread uniformly by the hash rather than fitted), but every scale
+# and correctness property — cluster blocking, shard cap, survivor
+# rule — is identical code.
+SEMANTIC_SEED_K = 8
+SEMANTIC_THRESHOLD = 0.4
+
+# Seed-codebook memo (content-keyed like the op-46 frame sample,
+# functions/lorawan_queries.py): plan tests and bench build registered
+# queries repeatedly; the k x dim collect must not re-run per build.
+_SEED_CODEBOOK_MEMO: dict = {}
+
+
+def _seed_codebook_memo(spark: SparkSession, sf_dir: str, k: int) -> list[list[float]]:
+    from ..catalog import content_identity, load_table
+    from .kmeans import seed_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (content_identity(sf_dir, emb), k)
+    if key not in _SEED_CODEBOOK_MEMO:
+        _SEED_CODEBOOK_MEMO[key] = seed_codebook(spark, sf_dir, k)
+    return _SEED_CODEBOOK_MEMO[key]
+
+
+def clean_corpus_semantic_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered build: seed codebook -> full semantic clean."""
+    cb = _seed_codebook_memo(spark, sf_dir, SEMANTIC_SEED_K)
+    return clean_corpus_semantic(spark, sf_dir, cb,
+                                 threshold=SEMANTIC_THRESHOLD)
+
+
+def _clean_corpus_semantic_static_oracle() -> str:
+    from .kmeans import semantic_seed_dedup_oracle_sql
+
+    return _semantic_wrap_oracle(semantic_seed_dedup_oracle_sql(
+        SEMANTIC_SEED_K, SEMANTIC_THRESHOLD
+    ))
+
+
+CLEAN_CORPUS_SEMANTIC_ORACLE = _clean_corpus_semantic_static_oracle()
+
+# The text-only composition stays available (and fuzz-oracled) as a
+# building block; the registered slot carries the strict superset.
+CLEAN_CORPUS_SPEC = QuerySpec(
+    "clean_corpus",
+    clean_corpus,
+    CLEAN_CORPUS_ORACLE,
+    "composed exact-dedup -> near-dup removal -> quality gate",
+)
+
+QUERIES = [
+    QuerySpec(
+        "clean_corpus_semantic",
+        clean_corpus_semantic_seeded,
+        CLEAN_CORPUS_SEMANTIC_ORACLE,
+        "composed exact-dedup -> near-dup removal -> quality gate "
+        "-> cluster-blocked SemDeDup (seed codebook, shard-capped)",
+    ),
+]

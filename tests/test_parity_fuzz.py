@@ -95,6 +95,18 @@ def _check(name, spark_df, oracle_sql, con):
     assert r.dtypes_match, f"{name}: {r.dtype_skews}"
 
 
+def _spec(qname):
+    """Resolve a query spec: the driver registry plus the unregistered
+    building blocks that keep their own oracle (clean_corpus ceded its
+    slot to clean_corpus_semantic in round 8 but stays fuzz-covered)."""
+    from rolaguard_data_collectors_spark.llm.pipeline import CLEAN_CORPUS_SPEC
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    merged = dict(collect_all())
+    merged.setdefault("clean_corpus", CLEAN_CORPUS_SPEC)
+    return merged[qname]
+
+
 def test_substring_dup_profile_fuzz(spark, fuzz_dir, fuzz_con):
     from rolaguard_data_collectors_spark.catalog import load_table
 
@@ -145,9 +157,7 @@ def test_documents_query_fuzz(spark, fuzz_dir, fuzz_con, qname):
     the dedup family's oracles are the most hash-arithmetic-dense in
     the repo, and none of them has ever seen a NULL or boundary-length
     document before this suite."""
-    from rolaguard_data_collectors_spark.registry import collect_all
-
-    spec = collect_all()[qname]
+    spec = _spec(qname)
     _check(qname, spec.build(spark, fuzz_dir), spec.oracle, fuzz_con)
 
 
@@ -529,9 +539,7 @@ def test_curation_query_mono_fuzz(spark, mono_fuzz_dir, mono_fuzz_con, qname):
     corpus — the DSIR columns ride curation_sample_pack, so this also
     pins the round-7 distributed rank on a corpus where every
     log-weight ties (one bucket holds everything)."""
-    from rolaguard_data_collectors_spark.registry import collect_all
-
-    spec = collect_all()[qname]
+    spec = _spec(qname)
     _check(qname, spec.build(spark, mono_fuzz_dir), spec.oracle, mono_fuzz_con)
 
 
@@ -772,3 +780,54 @@ def test_clean_corpus_semantic_real_corpus(spark):
         clean_corpus_semantic_oracle_sql(centroids, threshold=0.4),
         con,
     )
+
+
+def test_semantic_dedup_cap_sharding_fuzz(spark, emb_fuzz_dir, emb_fuzz_con):
+    """Round 8: the cluster-size cap under a cap SMALL enough that the
+    fuzz clusters actually shard (ceil(size/cap) > 1). Parity must hold
+    with the shard arithmetic mirrored in the oracle, and capping may
+    only LOSE drops (cross-shard pairs) — survivors are a superset of
+    the uncapped run's."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        kmeans_fit,
+        semantic_dedup,
+        semantic_dedup_oracle_sql,
+    )
+
+    centroids, _ = kmeans_fit(spark, emb_fuzz_dir, k=2, iters=1)
+    capped = semantic_dedup(spark, emb_fuzz_dir, centroids, threshold=0.4,
+                            cluster_cap=3)
+    _check(
+        "semantic_dedup_capped",
+        capped,
+        semantic_dedup_oracle_sql(centroids, threshold=0.4, cluster_cap=3),
+        emb_fuzz_con,
+    )
+    uncapped = semantic_dedup(spark, emb_fuzz_dir, centroids, threshold=0.4)
+    kept_uncapped = {r["vec_id"] for r in uncapped.collect()}
+    kept_capped = {r["vec_id"] for r in capped.collect()}
+    assert kept_uncapped <= kept_capped
+
+
+def test_clean_corpus_semantic_registered_spec(spark, fuzz_dir, emb_fuzz_dir,
+                                               fuzz_con):
+    """The REGISTERED seed-codebook build + its fully static oracle —
+    the exact pair the driver hashes — over the mixed adversarial
+    corpus (partial doc/embedding id overlap, NULL/zero/NaN/dup
+    vectors)."""
+    import shutil
+
+    from rolaguard_data_collectors_spark.registry import collect_all
+
+    combined = os.path.join(os.path.dirname(fuzz_dir), "fuzz_combined_reg")
+    os.makedirs(combined, exist_ok=True)
+    shutil.copy(os.path.join(fuzz_dir, "documents.parquet"), combined)
+    shutil.copy(os.path.join(emb_fuzz_dir, "embeddings.parquet"), combined)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{combined}/{t}.parquet'"
+        )
+    spec = collect_all()["clean_corpus_semantic"]
+    _check("clean_corpus_semantic_registered",
+           spec.build(spark, combined), spec.oracle, con)
