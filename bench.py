@@ -160,22 +160,35 @@ def main() -> None:
     duck_total = round(sum(t for t in duck.values() if t >= 0), 2)
 
     # Headline throughput vs the reference: BASELINE.md's only number
-    # is the callback-per-message ceiling (O(10^3-10^4) msg/s). Each
-    # pipeline_* query normalizes every events row end-to-end (JSON
-    # parse -> route -> radio metadata -> PHY decode), so rows/sec =
-    # the engine's single-node messages-per-second on that source.
+    # is the callback-per-message ceiling (O(10^3-10^4) msg/s). Round
+    # 8: the registered pipeline queries are routed slices of a shared
+    # staged normalization (their per-query times measure the slice,
+    # not the parse), so the honest rate is measured directly on a
+    # FRESH un-memoized build of the staged union — 4 x |events| rows
+    # through the full JSON parse -> route -> radio metadata -> PHY
+    # decode in one materialization.
     pipe_rate = None
+    stage_build_sec = None
     try:
+        from rolaguard_data_collectors_spark.streaming.pipeline_queries import (
+            staged_pipeline_union,
+        )
+
         n_events = (
             spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         )
-        pipe_times = [
-            t for n, t in timings.items() if n.startswith("pipeline_") and t > 0
-        ]
-        if pipe_times:
-            pipe_rate = int(n_events / min(pipe_times))
-    except Exception:
-        pass
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            staged_pipeline_union(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            took = time.perf_counter() - t0
+            best = took if best is None else min(best, took)
+        stage_build_sec = round(best, 2)
+        pipe_rate = int(4 * n_events / best)
+    except Exception as exc:
+        print(f"bench: pipeline rate skipped: {exc}", file=sys.stderr)
     # Per-query dicts first, headline totals LAST: the driver archives
     # the TAIL of stdout, so head-truncation of a long line must cost
     # per-query detail, never the totals (round 1 lost "value" this
@@ -190,7 +203,16 @@ def main() -> None:
                 "unit": "sec",
                 "sf": _sf_of(sf_dir),
                 "runs_per_query": 3,
+                # min-of-3 round-robin passes (full board per pass) —
+                # recorded so a methodology regression is visible in
+                # the artifact itself, alongside the codegen-cache
+                # sizing the steady-state number depends on.
+                "run_order": "round_robin",
+                "codegen_cache_max": spark.conf.get(
+                    "spark.sql.codegen.cache.maxEntries", "unset"
+                ),
                 "pipeline_msgs_per_sec": pipe_rate,
+                "pipeline_stage_build_sec": stage_build_sec,
                 "oracle_total": duck_total,
                 "value": total,
             },

@@ -143,26 +143,53 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert all("l_comment" not in l for l in schema_lines), schema_lines
 
 
-_PIPELINES = (
-    "pipeline_mqtt_forwarder",
-    "pipeline_chirpstack_gateway",
-    "pipeline_ttn_v2",
-    "pipeline_ttn_v3",
-)
+def _df_plan(df, spark, mode="simple"):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def _full_builders():
+    from rolaguard_data_collectors_spark.streaming import pipeline_queries as pq
+
+    return dict(pq._SRC_BUILDERS)
 
 
 def test_decode_pipelines_default_memo_single_scan(spark, sf_dir):
     """Default batch decode strategy is the measured winner (see
     normalize.DECODE_STRATEGY A/B note): ONE narrow pass over events -
     single scan, Arrow codec UDF in-line, no join/exchange introduced
-    for the decode."""
-    for name in _PIPELINES:
-        plan = _plan(spark, sf_dir, name, mode="simple")
+    for the decode. Round 8: asserted on the FULL per-source builders
+    (the components of the staged union — the registered queries are
+    routed slices, tested below)."""
+    for name, build in _full_builders().items():
+        plan = _df_plan(build(spark, sf_dir), spark)
         assert plan.count("FileScan parquet") == 1, (
             f"{name}: expected single scan\n{plan}"
         )
         assert "decode_phypayload" in plan, f"{name}: codec UDF missing\n{plan}"
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python\n{plan}"
+
+
+def test_staged_pipeline_union_and_slices(spark, sf_dir):
+    """Round 8 consolidation shape: the staged union carries all four
+    end-to-end normalize chains (4 scans of the same events source, 4
+    in-line Arrow decode crossings — one per source, never more), and
+    every registered pipeline query is a routed slice of the SHARED
+    checkpointed frame: no parquet re-scan, no second Arrow crossing,
+    all four slices reading the same staged plan."""
+    from rolaguard_data_collectors_spark.streaming import pipeline_queries as pq
+
+    union_plan = _df_plan(pq.staged_pipeline_union(spark, sf_dir), spark)
+    assert union_plan.count("FileScan parquet") == 4, union_plan
+    assert union_plan.count("decode_phypayload") == 4, union_plan
+    assert "BatchEvalPython" not in union_plan, union_plan
+    for name in ("pipeline_mqtt_forwarder", "pipeline_chirpstack_gateway",
+                 "pipeline_ttn_v2", "pipeline_ttn_v3"):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert "FileScan parquet" not in plan, f"{name} re-scans\n{plan}"
+        assert "ArrowEvalPython" not in plan, f"{name} re-decodes\n{plan}"
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
 
 
 def test_decode_distinct_strategy_plan(spark, sf_dir):
@@ -176,7 +203,7 @@ def test_decode_distinct_strategy_plan(spark, sf_dir):
     old = nz.DECODE_STRATEGY
     nz.DECODE_STRATEGY = "distinct"
     try:
-        plan = _plan(spark, sf_dir, "pipeline_mqtt_forwarder", mode="simple")
+        plan = _df_plan(_full_builders()["mqtt"](spark, sf_dir), spark)
     finally:
         nz.DECODE_STRATEGY = old
     assert plan.count("FileScan parquet") == 2, plan
@@ -291,7 +318,7 @@ def test_chirpstack_pb_fallback_single_eval(spark, sf_dir):
     second full Arrow crossing per row (~1s at sf0.1). Guarded by the
     UDF's nondeterministic flag + the single textual reference in
     normalize_chirpstack."""
-    plan = _plan(spark, sf_dir, "pipeline_chirpstack_gateway", mode="simple")
+    plan = _df_plan(_full_builders()["chirpstack"](spark, sf_dir), spark)
     assert plan.count("ArrowEvalPython") == 2, plan
     assert plan.count("pb_uplink_to_json") == 1, plan
 
