@@ -306,7 +306,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     assigned = _assign(
         _emb(spark, sf_dir).where(F.col("v").isNotNull()), centroids
     )
-    pairs = _semantic_candidate_pairs(assigned, cluster_cap)
+    # Small-codebook parallelism: the pair join's key cardinality is
+    # k x shards; with a small k the join output (where the candidate
+    # EXPLOSION happens) lands on a handful of partitions — and AQE,
+    # seeing only the tiny pre-join shuffle, coalesces it to ONE task
+    # that then evaluates every interpreted cosine fold serially
+    # (measured at sf0.1: 3.0 s single-task for 252k pairs;
+    # salt-replicated: 0.9 s). Salt the join when k is below the core
+    # count; a production-scale codebook (SemDeDup uses thousands of
+    # clusters) clears the bar and never pays the replication.
+    from ..catalog import compute_parallelism
+
+    width = compute_parallelism(spark)
+    fan_out = width if len(centroids) < width else None
+    pairs = _semantic_candidate_pairs(assigned, cluster_cap,
+                                      fan_out=fan_out)
     cos = F.round(F.col("_dot") / (F.col("a_n") * F.col("b_n")), 6)
     drops = (
         pairs.where((F.col("a_n") > 0) & (F.col("b_n") > 0)
@@ -319,12 +333,29 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     )
 
 
-def _semantic_candidate_pairs(assigned: DataFrame,
-                              cluster_cap: int) -> DataFrame:
+def _semantic_candidate_pairs(assigned: DataFrame, cluster_cap: int,
+                              fan_out: int | None = None) -> DataFrame:
     """The within-(cluster, shard) candidate pair frame — SemDeDup's
     only join, exposed so tests/test_scale.py can count exactly the
     pairs a run evaluates. Returns (a_vec_id, b_vec_id, a_n, b_n,
-    _dot) with a_vec_id < b_vec_id."""
+    _dot) with a_vec_id < b_vec_id.
+
+    ``fan_out`` parallelizes the PAIR EXPLOSION itself via
+    salt-replication: the a-side gets a hash-derived salt in
+    [0, fan_out), the b-side replicates once per salt value, and the
+    salt joins as an extra equi-key — every (a, b) pair still matches
+    exactly once (a's salt picks exactly one b replica), so the pair
+    SET is untouched and no oracle change is needed; only the physical
+    distribution changes. Both sides are explicitly repartitioned on
+    the full key set with a pinned partition count — a user-specified
+    width AQE cannot coalesce away — so the join AND the inline cosine
+    fold run across fan_out tasks in ONE stage, with no second
+    shuffle of the (much larger) pair frame. The fold is staged behind
+    a Generate barrier so it evaluates exactly once however many
+    consumers reference it (interpreted higher-order functions get no
+    CSE — catalog.arrays_barrier)."""
+    from ..catalog import arrays_barrier
+
     nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
                              F.lit(0.0), lambda a, z: a + z))
     # Per-cluster sizes: k rows — always broadcast. shard = portable
@@ -338,25 +369,35 @@ def _semantic_candidate_pairs(assigned: DataFrame,
         .select("vec_id", "cluster", "v", nrm.alias("n"),
                 shard.alias("_shard"))
     )
-    a, b = rows.alias("a"), rows.alias("b")
+    if fan_out and fan_out > 1:
+        a_rows = rows.withColumn(
+            "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(fan_out)).cast("int")
+        ).repartition(fan_out, "cluster", "_shard", "_salt")
+        b_rows = rows.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(fan_out)])),
+        ).repartition(fan_out, "cluster", "_shard", "_salt")
+        keys = ("cluster", "_shard", "_salt")
+    else:
+        a_rows, b_rows, keys = rows, rows, ("cluster", "_shard")
+    a, b = a_rows.alias("a"), b_rows.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    for c in keys:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    joined = a.join(b, cond).select(
+        F.col("a.vec_id").alias("a_vec_id"),
+        F.col("b.vec_id").alias("b_vec_id"),
+        F.col("a.n").alias("a_n"),
+        F.col("b.n").alias("b_n"),
+        F.col("a.v").alias("_va"),
+        F.col("b.v").alias("_vb"),
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
         F.lit(0.0), lambda acc, z: acc + z,
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a._shard") == F.col("b._shard"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("a_vec_id"),
-            F.col("b.vec_id").alias("b_vec_id"),
-            F.col("a.n").alias("a_n"),
-            F.col("b.n").alias("b_n"),
-            dot.alias("_dot"),
-        )
+    return arrays_barrier(
+        joined, ["a_vec_id", "b_vec_id", "a_n", "b_n"], {"_dot": dot}
     )
 
 
