@@ -184,13 +184,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = scored.select("*", hb).localCheckpoint(eager=False)
     bcnt = bucketed.groupBy("_hb").agg(F.count("*").alias("_c"))
     # Partition-less window over the AGGREGATED bucket-count frame
-    # only (O(buckets) rows) — the sanctioned offset idiom; the plan
-    # invariant in tests/test_plans.py allows exactly this shape
-    # (order column prefixed "_hb"/"_b").
-    woff = Window.orderBy("_hb")
-    offs = bcnt.select(
-        "_hb", (F.sum("_c").over(woff) - F.col("_c")).alias("_off")
-    )
+    # only (O(buckets) rows) — the sanctioned offset idiom, built via
+    # the guarded helper (plans/scale.global_bucket_offsets refuses a
+    # non-aggregate input at build time; the plan invariant in
+    # tests/test_plans.py additionally pins the shape).
+    from ..plans.scale import global_bucket_offsets
+
+    offs = global_bucket_offsets(bcnt, "_hb", "_c").select("_hb", "_off")
     wloc = Window.partitionBy("_hb").orderBy(
         F.desc("dsir_logw"), F.asc("doc_id")
     )

@@ -44,6 +44,40 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
+def global_bucket_offsets(bcnt: DataFrame, bucket_col: str,
+                          count_col: str) -> DataFrame:
+    """Exclusive prefix-sum offsets over a bucket-count frame — THE
+    sanctioned partition-less-window idiom (distributed global rank /
+    percentile brackets): a ``Window.orderBy(bucket)`` is only
+    100-TB-safe when its input is the AGGREGATED per-bucket count
+    frame (O(buckets) rows), never data rows. tests/test_plans.py pins
+    the plan shape; this helper adds the build-time guard the shape
+    test can't express — it refuses any input whose optimized plan
+    does not terminate in an aggregate grouping by the bucket column,
+    so a refactor can't silently route data rows through the one
+    reducer. Returns (bucket_col, count_col, _off) with ``_off`` =
+    rows in all earlier buckets."""
+    from pyspark.sql import Window
+
+    top = (
+        bcnt._jdf.queryExecution().optimizedPlan().toString()
+        .splitlines()[0]
+    )
+    if not top.lstrip().startswith("Aggregate") or f"{bucket_col}#" not in top:
+        raise ValueError(
+            "global_bucket_offsets input must be a per-bucket aggregate "
+            f"grouped by {bucket_col!r} (got plan head: {top.strip()!r}) — "
+            "a partition-less window over anything else is a single-"
+            "reducer funnel at scale"
+        )
+    w = Window.orderBy(bucket_col)
+    return bcnt.select(
+        bucket_col,
+        count_col,
+        (F.sum(count_col).over(w) - F.col(count_col)).alias("_off"),
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

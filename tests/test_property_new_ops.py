@@ -158,7 +158,7 @@ def test_heavy_hitters_strict_guard_rejects_flat_distribution(spark):
     # 5000 distinct singleton items: kth freq = 1, W = 5000,
     # 1 * (counters+1) = 101 <= 5000 -> bound violated
     df = spark.range(5000).selectExpr("concat('u', id) AS tok").repartition(8)
-    with pytest.raises(Exception, match="exactness bound violated"):
+    with pytest.raises(Exception, match="heavy_hitters bound violated"):
         heavy_hitters(df, "tok", k=10, counters=100).collect()
     # strict=False restores the advisory behavior — and demonstrates
     # the silent miss the guard exists for: the flat stream decrements

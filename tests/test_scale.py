@@ -258,6 +258,34 @@ def test_clean_corpus_semantic_invariant_under_duplication(spark, tmp_path):
     assert big_dropped >= k * base_dropped
 
 
+def test_global_bucket_offsets_guard(spark):
+    """The sanctioned partition-less-window idiom is only safe over an
+    aggregated bucket-count frame; the helper must refuse data rows at
+    build time (round 8, r7 verdict 'What's wrong #3') and compute
+    exclusive offsets correctly on a legitimate input."""
+    import pytest
+
+    from rolaguard_data_collectors_spark.plans.scale import (
+        global_bucket_offsets,
+    )
+
+    data_rows = spark.range(100).select(
+        F.col("id").alias("_hb"), F.lit(1).alias("_c")
+    )
+    with pytest.raises(ValueError, match="per-bucket aggregate"):
+        global_bucket_offsets(data_rows, "_hb", "_c")
+
+    agg = (
+        spark.range(100)
+        .select((F.col("id") % 5).alias("_hb"))
+        .groupBy("_hb")
+        .agg(F.count("*").alias("_c"))
+    )
+    offs = {r["_hb"]: r["_off"] for r in
+            global_bucket_offsets(agg, "_hb", "_c").collect()}
+    assert offs == {0: 0, 1: 20, 2: 40, 3: 60, 4: 80}
+
+
 def test_bloom_prefilter_bounds_confirm_join_input(spark):
     """Scale contract of the incremental-dedup bloom (llm/incremental):
     the exact-confirm anti-join must only ever see (true-dup rate +
