@@ -164,9 +164,17 @@ class CollectorManager:
             self._stop(cid)
             if etype == "DELETED":
                 self.configs.pop(cid, None)
-            else:
+            elif cid in self.configs:
                 self.configs[cid].enabled = False
+            else:
+                # DISABLED for an id never created (or already deleted)
+                # — out-of-order control traffic, not a crash
+                # (round-8 fuzz; Orchestrator.py logs and carries on).
+                self._emit_error(cid, etype, "unknown collector id")
         elif etype == "ENABLED":
+            if cid not in self.configs:
+                self._emit_error(cid, etype, "unknown collector id")
+                return
             self.configs[cid].enabled = True
             self._start(self.configs[cid])
         elif etype == "UPDATED":
@@ -200,25 +208,48 @@ class CollectorManager:
                 q.stop()
                 self._last_status.pop(cfg.id, None)
 
+    def _emit_error(self, collector_id, etype: str, message: str) -> None:
+        self.status_events.append(
+            StatusEvent(
+                collector_id if isinstance(collector_id, int) else -1,
+                "ERROR", type=etype, message=message,
+            )
+        )
+
     def handle_event_rows(self, rows) -> None:
         """Dispatch parsed control events (sources.control
-        .control_event_stream rows): the EP2 loop fed from a queue."""
+        .control_event_stream rows): the EP2 loop fed from a queue.
+
+        Fault isolation (round-8 fuzz): one malformed row — NULL/unknown
+        type, config-less CREATED, unknown-id references — must never
+        kill the control loop and strand every healthy collector; each
+        row dispatches under its own guard and failures surface as
+        ERROR status events (the reference's Orchestrator wraps its
+        dispatch the same way, Orchestrator.py:138-231)."""
         for r in rows:
-            cfg_row = r["config"]
-            event: dict[str, Any] = {"type": r["type"]}
-            if cfg_row is not None and cfg_row["id"] is not None:
-                # File-backed deployment: config.ip carries the feed
-                # location (the reference's ip/port point at brokers).
-                event["config"] = CollectorConfig(
-                    id=cfg_row["id"],
-                    type=cfg_row["type"]["type"],
-                    organization_id=cfg_row["organization_id"] or 0,
-                    source_format="lorawan_replay",
-                    source_options={"path": cfg_row["ip"]},
-                    enabled=cfg_row["status"] != "DISABLED",
-                )
-                event["id"] = cfg_row["id"]
-            self.handle_event(event)
+            try:
+                cfg_row = r["config"]
+                event: dict[str, Any] = {"type": r["type"]}
+                if cfg_row is not None and cfg_row["id"] is not None:
+                    # File-backed deployment: config.ip carries the feed
+                    # location (the reference's ip/port point at brokers).
+                    event["config"] = CollectorConfig(
+                        id=cfg_row["id"],
+                        type=cfg_row["type"]["type"],
+                        organization_id=cfg_row["organization_id"] or 0,
+                        source_format="lorawan_replay",
+                        source_options={"path": cfg_row["ip"]},
+                        enabled=cfg_row["status"] != "DISABLED",
+                    )
+                    event["id"] = cfg_row["id"]
+                self.handle_event(event)
+            except Exception as exc:  # noqa: BLE001 — control-loop isolation
+                try:
+                    cid = r["config"]["id"] if r["config"] is not None else None
+                except Exception:
+                    cid = None
+                self._emit_error(cid if cid is not None else -1,
+                                 str(r["type"]), repr(exc))
 
     # -- lifecycle ---------------------------------------------------------
 

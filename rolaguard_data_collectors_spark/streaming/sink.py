@@ -72,7 +72,13 @@ def _publish_partition(epoch_dir: str):
         final = os.path.join(epoch_dir, f"part-{pid:05d}")
         with open(tmp, "w", encoding="utf-8") as fh:
             for r in rows:
-                fh.write(r["envelope"] + "\n")
+                # NULL envelope -> JSON null line (round-8 fuzz): the
+                # serializer never emits one (to_json over a non-null
+                # struct), but a NULL from a custom caller must neither
+                # poison the epoch with a crash-retry loop nor silently
+                # drop a row the commit accounting saw.
+                env = r["envelope"]
+                fh.write(("null" if env is None else env) + "\n")
         os.replace(tmp, final)  # atomic on POSIX
 
     return publish
@@ -127,6 +133,14 @@ class QueueFileSink:
         if epoch_id in commits:
             return  # replayed micro-batch: already published
         epoch_dir = os.path.join(self.epoch_root, f"epoch={epoch_id}")
+        # Clear any scratch left by a CRASHED attempt of this epoch
+        # before republishing (round-8 fuzz): a replay may run with a
+        # different partitioning (AQE re-plan after restart), and a
+        # stale part file beyond the new partition count would
+        # otherwise be appended alongside the fresh ones — duplicated
+        # rows inside an "exactly-once" epoch. Overwrite-idempotence
+        # only covers same-numbered partitions.
+        shutil.rmtree(epoch_dir, ignore_errors=True)
         os.makedirs(epoch_dir, exist_ok=True)
         batch_df.select("envelope").foreachPartition(_publish_partition(epoch_dir))
 

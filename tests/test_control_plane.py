@@ -92,6 +92,65 @@ def test_control_event_dispatch_drives_manager(spark, tmp_path):
     ]
 
 
+def test_control_event_dispatch_survives_malformed_sequences(spark, tmp_path):
+    """Round-8 fuzz of the EP2 dispatch: unknown-id ENABLED/DISABLED
+    (out-of-order control traffic), DELETED-then-ENABLED, a config-less
+    CREATED, a NULL/unknown event type, and duplicate CREATED must not
+    kill the control loop — failures surface as ERROR status events and
+    a healthy collector processed afterwards still works end to end."""
+    feed = tmp_path / "pktfeed"
+    feed.mkdir()
+    body = {"phyPayload": DATA_UP_B64,
+            "rxInfo": {"rssi": -60.0, "mac": "aabbccddeeff0011"}}
+    with open(feed / "collector_41.jsonl", "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps({"topic": "gateway/aabb/rx",
+                                 "value": json.dumps(body),
+                                 "ts": 1700000000 + i}) + "\n")
+    events = [
+        {"type": "DISABLED", "data": _config(99, "ttn_collector", "/nope"),
+         "message": None},                                  # never created
+        {"type": "ENABLED", "data": _config(98, "ttn_collector", "/nope"),
+         "message": None},                                  # never created
+        {"type": "CREATED", "data": None, "message": None},  # config-less
+        {"type": None, "data": None, "message": None},       # NULL type
+        {"type": "REBOOTED", "data": _config(97, "ttn_collector", "/nope"),
+         "message": None},                                   # unknown type
+        {"type": "CREATED", "data": _config(41, "chirpstack_collector",
+                                            str(feed)), "message": None},
+        {"type": "CREATED", "data": _config(41, "chirpstack_collector",
+                                            str(feed)), "message": None},  # dup
+        {"type": "DELETED", "data": _config(96, "ttn_collector", "/nope"),
+         "message": None},                                   # unknown DELETE
+    ]
+    raw = spark.createDataFrame([(json.dumps(e),) for e in events],
+                                "value string")
+    parsed = control_event_stream(raw).collect()
+    out = tmp_path / "out"
+    out.mkdir()
+    mgr = CollectorManager(spark, str(out))
+    mgr.handle_event_rows(parsed)  # one call: a bad row must not stop later rows
+    mgr.process_all()
+    mgr.handle_event({"type": "DISABLED", "id": 41})
+    # the healthy collector processed its feed despite earlier garbage
+    with open(out / "queue_41.jsonl") as fh:
+        assert len(fh.readlines()) == 3
+    errors = [e for e in mgr.status_events if e.status == "ERROR"]
+    # unknown-id DISABLED + unknown-id ENABLED + config-less CREATED +
+    # NULL type + unknown type >= 5 isolated failures
+    assert len(errors) >= 5
+    # the healthy lifecycle events still emitted change-only
+    assert [(e.data_collector_id, e.status)
+            for e in mgr.status_events if e.status != "ERROR"] == [
+        (41, "CONNECTED"), (41, "DISCONNECTED"),
+    ]
+    # DELETED then ENABLED (out of order): isolated, not a crash
+    mgr.handle_event({"type": "DELETED", "id": 41})
+    mgr.handle_event({"type": "ENABLED", "id": 41})
+    assert mgr.status_events[-1].status == "ERROR"
+    mgr.stop_all()
+
+
 def test_protobuf_gate(spark):
     with pytest.raises(NotImplementedError, match="descriptor"):
         from_protobuf_uplink(F.col("x"))

@@ -107,6 +107,44 @@ def test_jdbc_sink_round_trip_derby(spark, tmp_path):
             assert g[c] == w[c], f"column {c}: {g[c]!r} != {w[c]!r}"
 
 
+def test_jdbc_sink_null_identity_rows(spark, tmp_path):
+    """Round-8 fuzz: the normalize fuzz produces packets whose identity
+    columns (dev_eui/dev_addr/gateway, even date) are all NULL — e.g. a
+    frame with no parseable identity. The row contract has no NOT NULL
+    column, so the sink must persist an ALL-NULL row and read it back
+    intact rather than crash or drop it."""
+    import json as _json
+
+    db = tmp_path / "null_db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": DERBY_DRIVER}
+
+    base = {c: None for c in PACKET_COLUMNS}
+    all_null = Row(**{c: base[c] for c in PACKET_COLUMNS})
+    # a NULL-identity row that still carries radio metadata, like the
+    # fuzz corpus's NULL-user_id events
+    partial = dict(base, rssi=-120.0, lsnr=-19.5, size=0,
+                   datr=_json.dumps({"spread_factor": "12", "bandwidth": "125"}))
+    partial_row = Row(**{c: partial[c] for c in PACKET_COLUMNS})
+    batch = spark.createDataFrame([all_null, partial_row], schema=PACKET_SCHEMA)
+    write_packets_jdbc(batch, url, "packets", properties=props)
+
+    back = spark.read.jdbc(url, "packets", properties=props).toDF(
+        *JDBC_PACKET_COLUMNS
+    )
+    rows = back.collect()
+    assert len(rows) == 2
+    nulls = [r for r in rows if r["rssi"] is None]
+    kept = [r for r in rows if r["rssi"] is not None]
+    assert len(nulls) == 1 and len(kept) == 1
+    assert all(nulls[0][c] is None for c in JDBC_PACKET_COLUMNS)
+    assert kept[0]["lsnr"] == -19.5 and kept[0]["size"] == 0
+    assert all(
+        kept[0][c] is None
+        for c in ("date", "dev_eui", "dev_addr", "gateway", "m_type")
+    )
+
+
 def test_jdbc_sink_appends_across_batches(spark, tmp_path):
     """foreachBatch delivers one call per epoch; mode('append') must
     accumulate rows, mirroring the reference's per-message INSERT."""

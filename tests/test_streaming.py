@@ -626,6 +626,63 @@ def test_queue_sink_multi_partition_and_crash_window(spark, tmp_path):
     assert os.listdir(out + ".epochs") == []
 
 
+def test_queue_sink_null_and_adversarial_envelopes(spark, tmp_path):
+    """Round-8 fuzz: NULL envelopes (impossible from to_envelope_json,
+    possible from a custom caller) must publish as JSON ``null`` lines —
+    neither a crash-retry poison pill nor a silent drop — and envelopes
+    with embedded escapes/unicode land byte-identical."""
+    import json as _json
+
+    out = str(tmp_path / "queue.jsonl")
+    sink = QueueFileSink(out)
+    payloads = [
+        None,
+        _json.dumps({"s": 'quote " backslash \\ newline \n tab \t'}),
+        _json.dumps({"u": "héllo 你好 \U0001F600"}),
+        "null",
+    ]
+    df = spark.createDataFrame(
+        [(1, p) for p in payloads], "collector_id long, envelope string"
+    )
+    sink(df, epoch_id=0)
+    with open(out, encoding="utf-8") as fh:
+        lines = [line.rstrip("\n") for line in fh]
+    assert len(lines) == 4  # NULL row accounted for, not dropped
+    assert lines.count("null") == 2
+    decoded = [_json.loads(line) for line in lines]
+    assert {"s": 'quote " backslash \\ newline \n tab \t'} in decoded
+    assert {"u": "héllo 你好 \U0001F600"} in decoded
+
+
+def test_queue_sink_stale_parts_from_crashed_attempt(spark, tmp_path):
+    """Round-8 fuzz: an epoch attempt that crashed AFTER writing part
+    files but BEFORE the commit may replay with a DIFFERENT
+    partitioning (AQE re-plan after restart). Stale higher-numbered
+    part files must not be appended next to the fresh ones — the
+    replay clears the epoch scratch before republishing."""
+    import json as _json
+
+    out = str(tmp_path / "queue.jsonl")
+    sink = QueueFileSink(out)
+    # simulate the crashed 8-partition attempt: stale parts + a torn tmp
+    epoch_dir = os.path.join(out + ".epochs", "epoch=0")
+    os.makedirs(epoch_dir)
+    for pid in (3, 7):
+        with open(os.path.join(epoch_dir, f"part-{pid:05d}"), "w") as fh:
+            fh.write('{"stale": %d}\n' % pid)
+    with open(os.path.join(epoch_dir, ".part-00009.tmp"), "w") as fh:
+        fh.write('{"torn": true}')
+    # the replay runs with 2 partitions
+    df = spark.createDataFrame(
+        [(1, _json.dumps({"i": i})) for i in range(6)],
+        "collector_id long, envelope string",
+    ).repartition(2)
+    sink(df, epoch_id=0)
+    with open(out) as fh:
+        got = sorted(_json.loads(line).get("i", -1) for line in fh)
+    assert got == list(range(6)), got  # no stale/torn rows, no drops
+
+
 # --- orchestrator (EP2) ---------------------------------------------------
 
 
