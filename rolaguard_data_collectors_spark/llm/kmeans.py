@@ -319,6 +319,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
 
     width = compute_parallelism(spark)
     fan_out = width if len(centroids) < width else None
+    return _semantic_survivors(assigned, threshold, cluster_cap, fan_out)
+
+
+def _semantic_survivors(assigned: DataFrame, threshold: float,
+                        cluster_cap: int,
+                        fan_out: int | None) -> DataFrame:
+    """Shared SemDeDup tail: candidate pairs -> cosine drop set ->
+    keep-smallest anti-join. ``assigned`` must carry (vec_id, cluster,
+    v)."""
     pairs = _semantic_candidate_pairs(assigned, cluster_cap,
                                       fan_out=fan_out)
     cos = F.round(F.col("_dot") / (F.col("a_n") * F.col("b_n")), 6)
@@ -331,6 +340,42 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     return assigned.join(drops, "vec_id", "left_anti").select(
         "vec_id", "cluster"
     )
+
+
+def semantic_dedup_from_index(spark: SparkSession, path: str,
+                              threshold: float = 0.4,
+                              cluster_cap: int = DEFAULT_CLUSTER_CAP,
+                              clusters: list[int] | None = None) -> DataFrame:
+    """SemDeDup over a PERSISTED IVF index (persist_ivf_index, float
+    postings) — the 100 TB shape the in-memory variant's docstring
+    promises: the k-means assignment already EXISTS as the
+    ``postings/cluster=N/`` directory layout, so the dedup never
+    recomputes it, and ``clusters`` restricts the run to a subset of
+    coarse cells as a pure PartitionFilters scan (the reader never
+    opens the other directories — proven in tests/test_kmeans.py).
+    Because blocking is cluster-local, a per-cell run returns exactly
+    the full run's rows for those cells, which is what makes
+    cell-at-a-time (or changed-cells-only) dedup sweeps over a lake
+    index correct. Quantized postings carry int8 codes, not vectors —
+    exact-cosine dedup needs the float layout."""
+    posts = spark.read.parquet(path + "/postings")
+    if "v" not in posts.columns:
+        raise ValueError(
+            "semantic_dedup_from_index needs float postings (persist_"
+            "ivf_index(quantize=False)); quantized postings carry codes"
+        )
+    if clusters is not None:
+        posts = posts.where(F.col("cluster").isin([int(c) for c in clusters]))
+    assigned = posts.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "v"
+    )
+    from ..catalog import compute_parallelism
+
+    k = (len(clusters) if clusters is not None
+         else spark.read.parquet(path + "/centroids.parquet").count())
+    width = compute_parallelism(spark)
+    fan_out = width if k < width else None
+    return _semantic_survivors(assigned, threshold, cluster_cap, fan_out)
 
 
 def _semantic_candidate_pairs(assigned: DataFrame, cluster_cap: int,

@@ -134,3 +134,49 @@ def test_quantized_index_matches_int8_bruteforce(spark, sf_dir, tmp_path):
         (r.vec_id, r.approx_dot) for r in cosine_topk_int8(spark, sf_dir).collect()
     ]
     assert got == want and got
+
+
+def test_semantic_dedup_from_index_matches_and_prunes(spark, sf_dir, tmp_path):
+    """Round 8: SemDeDup over the persisted IVF posting layout — the
+    100 TB shape the in-memory variant's docstring promises. Full-index
+    survivors must equal semantic_dedup over the same codebook
+    recomputed in-plan; a run restricted to one coarse cell must (a)
+    scan ONLY that cell's posting directory (PartitionFilters on
+    cluster) and (b) return exactly the full run's rows for that cell
+    (blocking is cluster-local, so cell-at-a-time sweeps are correct)."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        persist_ivf_index,
+        semantic_dedup,
+        semantic_dedup_from_index,
+    )
+
+    path = str(tmp_path / "ivf_sem")
+    centroids = persist_ivf_index(spark, sf_dir, path, k=K, iters=2)
+
+    from_index = semantic_dedup_from_index(spark, path, threshold=0.4)
+    in_plan = semantic_dedup(spark, sf_dir, centroids, threshold=0.4)
+    got = sorted((r.vec_id, r.cluster) for r in from_index.collect())
+    want = sorted((r.vec_id, r.cluster) for r in in_plan.collect())
+    assert got == want and got
+
+    cell = want[0][1]
+    cell_df = semantic_dedup_from_index(spark, path, threshold=0.4,
+                                        clusters=[cell])
+    plan = cell_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf_lines = [l for l in plan.splitlines()
+                if "PartitionFilters" in l and "cluster" in l]
+    assert pf_lines, plan
+    cell_rows = sorted((r.vec_id, r.cluster) for r in cell_df.collect())
+    assert cell_rows == [t for t in want if t[1] == cell]
+
+    # quantized postings refuse exact-cosine dedup with a clear error
+    import pytest
+
+    qpath = str(tmp_path / "ivf_semq")
+    persist_ivf_index(spark, sf_dir, qpath, k=K, iters=1, quantize=True)
+    with pytest.raises(ValueError, match="float postings"):
+        semantic_dedup_from_index(spark, qpath)

@@ -807,6 +807,16 @@ def test_semantic_dedup_cap_sharding_fuzz(spark, emb_fuzz_dir, emb_fuzz_con):
     kept_uncapped = {r["vec_id"] for r in uncapped.collect()}
     kept_capped = {r["vec_id"] for r in capped.collect()}
     assert kept_uncapped <= kept_capped
+    # cap=1 boundary: every cluster shards to ~singleton blocks — the
+    # degenerate everything-is-cross-shard regime; parity must still
+    # hold exactly (shard arithmetic mirrored), and nothing crashes
+    _check(
+        "semantic_dedup_cap1",
+        semantic_dedup(spark, emb_fuzz_dir, centroids, threshold=0.4,
+                       cluster_cap=1),
+        semantic_dedup_oracle_sql(centroids, threshold=0.4, cluster_cap=1),
+        emb_fuzz_con,
+    )
 
 
 def test_clean_corpus_semantic_registered_spec(spark, fuzz_dir, emb_fuzz_dir,
