@@ -177,12 +177,11 @@ def main() -> None:
         n_events = (
             spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         )
+        staged = staged_pipeline_union(spark, sf_dir)  # build once, like the main loop
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            staged_pipeline_union(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            staged.write.format("noop").mode("overwrite").save()
             took = time.perf_counter() - t0
             best = took if best is None else min(best, took)
         stage_build_sec = round(best, 2)

@@ -291,6 +291,20 @@ def test_round5_query_plan_budgets(spark, sf_dir, name, max_scans, max_exchanges
     assert plan.count("Exchange") <= max_exchanges, plan
 
 
+def test_clean_corpus_semantic_plan_budget(spark, sf_dir):
+    """Scan/shuffle budget for the round-8 flagship composition
+    (exact dedup -> near-dup -> quality -> seed-codebook SemDeDup):
+    measured 11 scans / 22 exchanges — the text-clean legs (base +
+    exact-dedup + three pruned near-dup scans), the embeddings legs
+    (seed collect is driver-side and NOT in this plan; finite gate +
+    assignment + sizes broadcast + salted pair join + drop distinct +
+    two anti-joins). A regression that re-scans the corpus per band or
+    un-broadcasts the sizes frame fails here before bench sees it."""
+    plan = _plan(spark, sf_dir, "clean_corpus_semantic", mode="simple")
+    assert plan.count("FileScan parquet") <= 12, plan
+    assert plan.count("Exchange") <= 25, plan
+
+
 def test_pushdown_barrier_survives_optimizer(spark):
     """Spark 4.1's range-aware folding removes ``rand() >= 0`` — the
     round-4 barrier predicate — silently re-enabling pushdown below
