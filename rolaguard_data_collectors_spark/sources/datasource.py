@@ -101,16 +101,26 @@ class LorawanReplayStreamReader(DataSourceStreamReader):
         # Spark, so a restarted reader would otherwise begin at 0 and
         # hand the engine an offset BEHIND the checkpoint — Spark logs
         # it and replays already-committed records. With the
-        # ``cursorPath`` option the cursor is persisted on commit()
-        # (this sidecar is to the replay source what the consumer-group
-        # offset is to Kafka) and additionally floored at whatever
-        # start offset Spark passes to partitions(). Queries that never
-        # restart (tests, one-shot backfills) can omit it.
+        # ``cursorPath`` option the cursor is persisted on every
+        # announce (see latestOffset — Spark's commit() callback only
+        # fires on offset-log purges, ~100 batches in) (this sidecar is
+        # to the replay source what the consumer-group offset is to
+        # Kafka) and additionally floored at whatever start offset
+        # Spark passes to partitions(). Queries that never restart
+        # (tests, one-shot backfills) can omit it.
         self._cursor_path = options.get("cursorPath")
         self._last = {f: 0 for f in self.files}
         if self._cursor_path and os.path.exists(self._cursor_path):
-            with open(self._cursor_path, encoding="utf-8") as fh:
-                self._floor(json.load(fh))
+            # A torn cursor write (crash mid-dump) must not brick the
+            # restart: treat it as absent. Worst case the reader
+            # re-announces committed offsets, which Spark logs and the
+            # exactly-once sink dedupes — at-least-once degraded, never
+            # stuck (round-8 fuzz).
+            try:
+                with open(self._cursor_path, encoding="utf-8") as fh:
+                    self._floor(json.load(fh))
+            except (ValueError, OSError):
+                pass
 
     def _floor(self, offset: dict) -> None:
         for f in self.files:
@@ -127,7 +137,25 @@ class LorawanReplayStreamReader(DataSourceStreamReader):
             for f in self.files
         }
         self._last = nxt
+        # Persist the cursor at ANNOUNCE time, not just in commit():
+        # MicroBatchExecution only calls source.commit() when it purges
+        # old offset-log entries (minBatchesToRetain, default 100), so
+        # a short-lived stream would otherwise never write the sidecar
+        # and a restarted reader re-announces from 0 (round-8 probe).
+        # Announced-but-uncommitted offsets are safe to persist: the
+        # cursor is a rate-limit resume hint, and replay correctness is
+        # governed by Spark's own checkpoint via partitions(start, ...)
+        # flooring either way.
+        self._save_cursor()
         return nxt
+
+    def _save_cursor(self) -> None:
+        if not self._cursor_path:
+            return
+        tmp = self._cursor_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(self._last, fh)
+        os.replace(tmp, self._cursor_path)  # no torn reads for restarts
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         self._floor(start)
@@ -151,10 +179,22 @@ class LorawanReplayStreamReader(DataSourceStreamReader):
                 if idx >= partition.end:
                     break
                 if idx >= partition.start:
-                    rec = json.loads(line)
+                    # A torn/garbage capture line (writer crash
+                    # mid-append) must not kill the task — and with it
+                    # the whole query — on every replay of this slice.
+                    # Emit it as a topic-less raw body: the normalize
+                    # routes drop it (no matching topic/route), the
+                    # same fate the reference gives an unparseable
+                    # frame, while offsets stay line-accurate.
+                    try:
+                        rec = json.loads(line)
+                        if not isinstance(rec, dict):
+                            rec = {"topic": None, "value": line}
+                    except ValueError:
+                        rec = {"topic": None, "value": line}
                     yield (
                         idx,
-                        int(rec.get("ts", 0)),
+                        int(rec.get("ts") or 0),
                         rec.get("topic", ""),
                         rec.get("value", ""),
                         partition.collector_id,
@@ -163,13 +203,11 @@ class LorawanReplayStreamReader(DataSourceStreamReader):
                 idx += 1
 
     def commit(self, end: dict) -> None:
-        # Persist consumed positions so a restarted query (fresh reader
-        # instance) resumes its rate-limit cursor from here instead of
-        # re-announcing offset 0.
+        # Confirmed positions (Spark calls this only when the offset
+        # log purges past a batch); the announce-time save above is
+        # what restarts actually read on short-lived streams.
         self._floor(end)
-        if self._cursor_path:
-            with open(self._cursor_path, "w", encoding="utf-8") as fh:
-                json.dump(self._last, fh)
+        self._save_cursor()
 
     def stop(self) -> None:
         pass

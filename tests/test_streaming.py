@@ -683,6 +683,83 @@ def test_queue_sink_stale_parts_from_crashed_attempt(spark, tmp_path):
     assert got == list(range(6)), got  # no stale/torn rows, no drops
 
 
+def test_replay_source_survives_torn_lines_and_corrupt_cursor(spark, tmp_path):
+    """Round-8 fuzz of the replay source's restart path: a capture file
+    with torn/garbage lines (writer crash mid-append) must not kill the
+    task — torn lines flow through as topic-less raw bodies that the
+    normalize routes drop — and a corrupt rate-limit cursor sidecar
+    must be treated as absent, not brick the restart."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    good = json.dumps({
+        "topic": "gateway/aabb/rx",
+        "value": json.dumps({"phyPayload": DATA_UP_B64,
+                             "rxInfo": {"rssi": -60.0, "mac": "aabbccddeeff0011"}}),
+        "ts": 1700000000,
+    })
+    lines = [
+        good,
+        '{"topic": "gateway/aabb/rx", "value": "{\\"phyPa',  # torn mid-write
+        "not json at all \x00\xc3\xa9",                       # garbage
+        '["array", "not", "object"]',                          # wrong JSON shape
+        '{"topic": null, "value": null, "ts": null}',          # all-NULL envelope
+        good,
+    ]
+    with open(feed / "collector_55.jsonl", "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    cursor = tmp_path / "cursor_55.json"
+    cursor.write_text('{"torn json')  # crashed mid-dump
+
+    register_sources(spark)
+    from rolaguard_data_collectors_spark.streaming.normalize import (
+        normalize_chirpstack,
+    )
+
+    raw = (
+        spark.readStream.format("lorawan_replay")
+        .option("path", str(feed))
+        .option("cursorPath", str(cursor))
+        .load()
+    )
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    from rolaguard_data_collectors_spark.streaming.sink import (
+        start_envelope_queue_sink,
+    )
+
+    q = start_envelope_queue_sink(
+        normalize_chirpstack(raw),
+        out_path=str(out_dir / "queue.jsonl"),
+        checkpoint=str(out_dir / "ckpt"),
+    )
+    import time as _time
+
+    try:
+        q.processAllAvailable()
+        # commit() (which rewrites the cursor sidecar) lands after the
+        # batch completes — poll briefly for the clean rewrite
+        deadline = _time.time() + 15
+        rewritten = None
+        while _time.time() < deadline:
+            try:
+                rewritten = json.loads(cursor.read_text())
+                break
+            except ValueError:
+                _time.sleep(0.25)
+                q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(out_dir / "queue.jsonl") as fh:
+        envs = [json.loads(line) for line in fh]
+    # exactly the two well-formed frames survive routing; every torn/
+    # garbage line was read (offsets advanced past them) and dropped
+    assert len(envs) == 2
+    assert all(e["packet"]["dev_addr"] == "017fc1c4" for e in envs)
+    # the cursor was rewritten cleanly on commit
+    assert rewritten is not None, "cursor never rewritten"
+    assert rewritten[str(feed / "collector_55.jsonl")] == 6
+
+
 # --- orchestrator (EP2) ---------------------------------------------------
 
 
