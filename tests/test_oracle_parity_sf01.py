@@ -1,0 +1,54 @@
+"""Oracle parity at sf0.1 for the PARTITIONING-SENSITIVE queries.
+
+The driver's gate and test_oracle_parity.py run at small SFs where a
+whole table often fits one task — exactly the regime that hides
+partitioning-dependent divergence (the round-5 repartitionByRange
+boundary-sampling corruption passed sf0.001/0.01 and silently broke at
+sf0.1). This sweep re-runs the queries whose results flow through
+multi-job logic, per-partition state, hash bucketing, or sketches at
+the largest generated SF, through the exact driver comparator.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rolaguard_data_collectors_spark.oracle import compare, duckdb_connection
+from rolaguard_data_collectors_spark.registry import collect_all
+
+SF01 = "/root/testdata/sf0.1"
+
+# Queries with partitioning-sensitive machinery: two-phase prefix sums
+# (curation shard packing), bucket-offset distributed ranks (DSIR,
+# percentiles), Misra-Gries partition summaries (tfidf), map-side
+# sketch partials (approx aggregates), hash-bucketed dedup families,
+# the salted SemDeDup composition, and the banded multimodal join.
+_SENSITIVE = [
+    "curation_sample_pack",
+    "pack_sequence_spans",
+    "tfidf_top_terms",
+    "exact_percentiles",
+    "approx_aggregates",
+    "dedup_exact",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_buckets",
+    "simhash_profile",
+    "clean_corpus_semantic",
+    "ann_topk_suite",
+    "multimodal_decode_features",
+    "prev_packet_correlation",
+]
+
+
+@pytest.fixture(scope="module")
+def sf01_con():
+    return duckdb_connection(SF01)
+
+
+@pytest.mark.parametrize("name", _SENSITIVE)
+def test_sf01_parity(spark, sf01_con, name):
+    spec = collect_all()[name]
+    r = compare(name, spec.build(spark, SF01), spec.oracle, sf01_con)
+    assert r.ok, f"{name}@sf0.1: {r.detail}"
+    assert r.exact_match, f"{name}@sf0.1: {r.detail}"
+    assert r.dtypes_match, f"{name}@sf0.1: {r.dtype_skews}"
