@@ -138,4 +138,49 @@ GROUP BY 1, 2
 """
 
 
+def error_window_event_pairs(events: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """(window_id, w_start, p_event_id, p_ts) pairs — every event
+    inside any error-opened window — from ONE frame that may be batch
+    or streaming. The bucket expansion is what makes the UNKEYED
+    interval join STREAMABLE: a stream-stream join needs an equi key
+    for StreamingSymmetricHashJoin, and the bucket provides one, while
+    the [w_start, w_start+30min) range condition between the two
+    event-time columns (plus the watermarks) gives the engine the
+    state-cleanup bound — old window state is dropped once the probe
+    watermark passes w_end. Inner join: NULL-timestamp windows and
+    probes match nothing on both paths, so the batch twin (the same
+    code on a batch frame) is the exact oracle for the stream
+    (tests/test_streaming.py)."""
+    w = F.lit(float(WINDOW_SECONDS))
+    wins = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    probe = events.select(
+        F.col("event_id").alias("p_event_id"), F.col("ts").alias("p_ts")
+    )
+    if events.isStreaming:
+        wins = wins.withWatermark("w_start", watermark)
+        probe = probe.withWatermark("p_ts", watermark)
+    wins = wins.withColumn(
+        "w_bucket",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp("w_start") / w),
+            F.floor(F.unix_timestamp("w_end") / w),
+        )),
+    )
+    probe = probe.withColumn(
+        "p_bucket", F.floor(F.unix_timestamp("p_ts") / w)
+    )
+    return wins.join(
+        probe,
+        (F.col("w_bucket") == F.col("p_bucket"))
+        & (F.col("p_ts") >= F.col("w_start"))
+        & (F.col("p_ts") < F.col("w_end")),
+        "inner",
+    ).select("window_id", "w_start", "p_event_id", "p_ts")
+
+
 QUERIES: list[QuerySpec] = []

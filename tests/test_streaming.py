@@ -626,6 +626,31 @@ def test_queue_sink_multi_partition_and_crash_window(spark, tmp_path):
     assert os.listdir(out + ".epochs") == []
 
 
+def test_streaming_interval_join_matches_batch_twin(
+    spark, sf_dir, events_stream_feed
+):
+    """Round 8: the bucketed range join run as a stream-stream
+    SELF-join (errors open windows, all events probe) must emit
+    exactly the batch twin's pair set — the bucket equi-key is what
+    lets an unkeyed interval join plan as StreamingSymmetricHashJoin
+    at all, and the time-range condition bounds its state."""
+    from rolaguard_data_collectors_spark.operators.rangejoin import (
+        error_window_event_pairs,
+    )
+
+    stream = error_window_event_pairs(
+        _events_stream(spark, events_stream_feed)
+    )
+    assert stream.isStreaming
+    _run_to_memory(stream, "st_interval_pairs", "append")
+    cols = ["window_id", "p_event_id"]
+    got = _rows_set(spark.sql("select * from st_interval_pairs"), cols)
+    want = _rows_set(
+        error_window_event_pairs(load_table(spark, sf_dir, "events")), cols
+    )
+    assert got == want and len(want) > 0
+
+
 def test_queue_sink_null_and_adversarial_envelopes(spark, tmp_path):
     """Round-8 fuzz: NULL envelopes (impossible from to_envelope_json,
     possible from a custom caller) must publish as JSON ``null`` lines —
