@@ -311,10 +311,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     # EXPLOSION happens) lands on a handful of partitions — and AQE,
     # seeing only the tiny pre-join shuffle, coalesces it to ONE task
     # that then evaluates every interpreted cosine fold serially
-    # (measured at sf0.1: 3.0 s single-task for 252k pairs;
-    # salt-replicated: 0.9 s). Salt the join when k is below the core
-    # count; a production-scale codebook (SemDeDup uses thousands of
-    # clusters) clears the bar and never pays the replication.
+    # (measured at sf0.1: the pair stage alone 3.0 s single-task for
+    # 252k pairs; whole operator 6.2 s -> 1.6 s once salted). Salt the
+    # join when k is below the core count; a production-scale codebook
+    # (SemDeDup uses thousands of clusters) clears the bar and never
+    # pays the replication.
     from ..catalog import compute_parallelism
 
     width = compute_parallelism(spark)
