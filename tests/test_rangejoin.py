@@ -99,6 +99,61 @@ def test_range_join_plan_is_equi_never_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_rangejoin_property_random_shapes(spark):
+    """Property fuzz: random probe/interval offsets — including
+    zero-length and INVERTED (end < start) intervals — must always
+    match the brute-force condition join exactly. Inverted intervals
+    explode into descending bucket sequences (Spark's sequence()
+    auto-steps -1); they must contribute zero matches, exactly like
+    the empty brute-force predicate, never crash or invent rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base_epoch = 1_700_000_000
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        probe_offs=st.lists(st.integers(min_value=-4000, max_value=4000),
+                            min_size=5, max_size=40),
+        ivls=st.lists(
+            st.tuples(st.integers(min_value=-4000, max_value=4000),
+                      st.integers(min_value=-2000, max_value=2000)),
+            min_size=2, max_size=8,
+        ),
+        width=st.sampled_from([30, 300, 1800]),
+    )
+    def check(probe_offs, ivls, width):
+        probe = spark.createDataFrame(
+            [(i, base_epoch + o) for i, o in enumerate(probe_offs)],
+            "p_id long, _e long",
+        ).select("p_id", F.timestamp_seconds("_e").alias("p_ts"))
+        intervals = spark.createDataFrame(
+            [(i, base_epoch + s, base_epoch + s + dur)
+             for i, (s, dur) in enumerate(ivls)],
+            "w_id long, _s long, _t long",
+        ).select(
+            "w_id",
+            F.timestamp_seconds("_s").alias("s"),
+            F.timestamp_seconds("_t").alias("e"),
+        )
+        got = sorted(
+            (r["w_id"], r["p_id"])
+            for r in bucketed_range_join(probe, intervals, "p_ts", "s", "e",
+                                         width)
+            .where("_in_range").select("w_id", "p_id").collect()
+        )
+        want = sorted(
+            (r["w_id"], r["p_id"])
+            for r in intervals.join(
+                probe,
+                (F.col("p_ts") >= F.col("s")) & (F.col("p_ts") < F.col("e")),
+            ).select("w_id", "p_id").collect()
+        )
+        assert got == want
+
+    check()
+
+
 def test_bucket_completeness_under_width_mismatch(spark):
     """Property: results are identical for ANY bucket width — including
     widths much smaller and larger than the interval length — because
