@@ -308,6 +308,16 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
                 }
         if counts:
             yield pd.DataFrame({col: list(counts.keys())})
+        # One NULL marker row per partition, emitted by the SAME pass
+        # that emits candidates: the strict guard's partition count must
+        # come from the evaluation that produced the candidates, not an
+        # independent re-evaluation of the input (AQE / scan-split
+        # nondeterminism can change the partition count between two
+        # subtrees, turning the _nc <= counters * _np bound into a
+        # false-positive abort — round-9 ADVICE fix). NULL can never be
+        # a candidate (pandas value_counts/groupby drop NaN), so the
+        # marker is unambiguous.
+        yield pd.DataFrame({col: [None]})
 
     spark = tokens.sparkSession
     # Candidate (and sentinel) columns carry the ITEM column's real
@@ -315,7 +325,15 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
     # key column through Union type coercion (or raised under ANSI).
     item_dt = tokens.schema[col].dataType.simpleString()
     proj = tokens.select(col) if weight is None else tokens.select(col, weight)
-    candidates = proj.mapInPandas(_mg, schema=f"{col} {item_dt}").distinct()
+    # Lazy local checkpoint: the MG output feeds BOTH the candidate
+    # semi-join and the strict guard's marker count — staging it pins
+    # one evaluation so _np counts the partitions of the run that
+    # emitted the candidates. Tiny frame: <= counters + 1 rows per
+    # partition.
+    mg_out = proj.mapInPandas(
+        _mg, schema=f"{col} {item_dt}"
+    ).localCheckpoint(eager=False)
+    candidates = mg_out.where(F.col(col).isNotNull()).distinct()
     freq_agg = (
         F.count("*") if weight is None else F.sum(weight).cast("bigint")
     ).alias("freq")
@@ -337,17 +355,19 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
         # yields zero candidates), so the assert also catches the
         # fewer-than-k / empty-candidate cases. Costs one recompute of
         # the k-row confirm subtree plus one scalar scan for W.
-        # input-partition count, piggybacked on the same scan: the
-        # MG rank is the board's one sanctioned partition-less Window
-        # over non-bucket rows, sanctioned BECAUSE its input is
+        # The MG rank is the board's one sanctioned partition-less
+        # Window over non-bucket rows, sanctioned BECAUSE its input is
         # bounded by counters x partitions — asserted at runtime below
         # (round 8, r7 verdict 'What's wrong #3'), so a refactor that
         # feeds it unbounded rows fails the job, not just a plan-shape
-        # test. spark_partition_id is nondeterministic so it must be
-        # projected before the aggregate, not inside it.
-        total = proj.withColumn("_pid", F.spark_partition_id()).agg(
+        # test. _np = the marker rows the MG pass itself emitted (one
+        # per partition of the staged evaluation), never a re-derived
+        # partition count.
+        total = proj.agg(
             (F.count("*") if weight is None else F.sum(weight).cast("bigint")).alias("_W"),
-            F.count_distinct("_pid").alias("_np"),
+        )
+        npart = mg_out.agg(
+            F.count(F.when(F.col(col).isNull(), F.lit(1))).alias("_np")
         )
         stats = ranked.agg(
             F.count("*").alias("_nc"),
@@ -358,7 +378,7 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
             & (F.col("_kth") * (counters + 1) > F.col("_W"))
             & (F.col("_nc") <= F.lit(counters) * F.col("_np"))
         )
-        guard = stats.crossJoin(total).select(
+        guard = stats.crossJoin(total).crossJoin(npart).select(
             F.coalesce(
                 F.assert_true(
                     bound_ok,

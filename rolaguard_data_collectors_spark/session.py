@@ -36,12 +36,22 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str = "local",
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so tests and
     bench share one configuration path; on a real cluster pass
     ``master=None`` with ``--master`` supplied by spark-submit.
+
+    ``profile='local'`` (tests/bench) applies the small-shuffle AQE
+    tuning measured on this host — parallelismFirst=false with a 2 MB
+    advisory — which sizes coalesced (and skew-split) partitions for
+    sub-second local queries. ``profile='cluster'`` leaves BOTH at the
+    Spark defaults (parallelismFirst=true, 64 MB advisory): the 2 MB
+    advisory also sizes AQE skew-join splits, so a large deployment
+    routed through this factory would otherwise get ~2 MB tasks on
+    big shuffles — pure scheduling overhead (round-9 ADVICE fix).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
@@ -54,27 +64,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Default (true) forbids AQE from coalescing below
-        # defaultParallelism — which on local[32] is ABOVE the 12-wide
-        # exchange conf, so tiny aggregate shuffles never coalesced at
-        # all and every small relational query paid 12-task exchange
-        # scheduling against a µs-scale oracle (the r7 "scheduling
-        # floor" cluster: q3/q5/packet_summary/join_left_outer ~0.2-0.5
-        # s each). False lets the advisory target size govern: KB-scale
-        # shuffles run 1-2 tasks. Stages that need compute fan-out use
-        # explicit repartition/spread widths, which AQE never shrinks.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
-        # Coalesce target with parallelismFirst off. The 64 MB default
-        # over-coalesces the mid-size shuffles (the sf0.1 lineitem
-        # sort-merge ~20 MB -> ONE task: asof_join 0.57 -> 1.08 s);
-        # 2 MB keeps those parallel while KB-scale aggregate shuffles
-        # still collapse to 1-2 tasks (A/B at sf0.1 over the ten
-        # smallest relational queries: 64m 3.98 s, 8m 3.36, 4m 3.8,
-        # 2m 3.17, 1m 3.20). A small advisory only LIMITS coalescing —
-        # on a cluster it can never under-parallelize a stage, it just
-        # leaves more of the initial width in place.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -102,6 +91,34 @@ def get_spark(
         # tens of MB per in-flight batch per core.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     )
+    if profile == "local":
+        builder = (
+            builder
+            # Default (true) forbids AQE from coalescing below
+            # defaultParallelism — which on local[32] is ABOVE the
+            # 12-wide exchange conf, so tiny aggregate shuffles never
+            # coalesced at all and every small relational query paid
+            # 12-task exchange scheduling against a µs-scale oracle
+            # (the r7 "scheduling floor" cluster: q3/q5/packet_summary/
+            # join_left_outer ~0.2-0.5 s each). False lets the advisory
+            # target size govern: KB-scale shuffles run 1-2 tasks.
+            # Stages that need compute fan-out use explicit
+            # repartition/spread widths, which AQE never shrinks.
+            .config(
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false",
+            )
+            # Coalesce target with parallelismFirst off. The 64 MB
+            # default over-coalesces the mid-size shuffles (the sf0.1
+            # lineitem sort-merge ~20 MB -> ONE task: asof_join 0.57 ->
+            # 1.08 s); 2 MB keeps those parallel while KB-scale
+            # aggregate shuffles still collapse to 1-2 tasks (A/B at
+            # sf0.1 over the ten smallest relational queries: 64m
+            # 3.98 s, 8m 3.36, 4m 3.8, 2m 3.17, 1m 3.20). Local-only:
+            # on a cluster this advisory would also size AQE skew-join
+            # splits down to ~2 MB tasks.
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

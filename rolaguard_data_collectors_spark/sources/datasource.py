@@ -119,12 +119,24 @@ class LorawanReplayStreamReader(DataSourceStreamReader):
             try:
                 with open(self._cursor_path, encoding="utf-8") as fh:
                     self._floor(json.load(fh))
-            except (ValueError, OSError):
+            except (ValueError, OSError, TypeError, AttributeError):
+                # TypeError/AttributeError: cursor JSON parsed but isn't
+                # a str->int dict (null values, a bare list) — any
+                # unusable cursor is treated as absent, same degraded
+                # at-least-once restart as a torn write (round-9 fix:
+                # the (ValueError, OSError) guard still bricked on
+                # {"path": null}).
                 pass
 
     def _floor(self, offset: dict) -> None:
         for f in self.files:
-            self._last[f] = max(self._last[f], int(offset.get(f, 0)))
+            try:
+                v = int(offset.get(f, 0))
+            except (TypeError, ValueError):
+                # A null/list/garbage per-file value in a parsed cursor
+                # must degrade to "no floor", not kill the restart.
+                v = 0
+            self._last[f] = max(self._last[f], v)
 
     def initialOffset(self) -> dict:
         return {f: 0 for f in self.files}
@@ -192,11 +204,28 @@ class LorawanReplayStreamReader(DataSourceStreamReader):
                             rec = {"topic": None, "value": line}
                     except ValueError:
                         rec = {"topic": None, "value": line}
+                    # Dict-shaped garbage must degrade field-by-field,
+                    # not raise in the task (round-9 fix: {"ts": "x"}
+                    # or a non-string topic recreated the replay-poison
+                    # crash loop the dict guard above was meant to end).
+                    try:
+                        ts = int(rec.get("ts") or 0)
+                    except (TypeError, ValueError):
+                        ts = 0
+                    topic = rec.get("topic", "")
+                    value = rec.get("value", "")
+                    if not (topic is None or isinstance(topic, str)) or not (
+                        value is None or isinstance(value, str)
+                    ):
+                        # Non-string payload fields: drop to the
+                        # topic-less fallback (normalize routes discard
+                        # it) instead of failing Arrow conversion.
+                        topic, value = None, line
                     yield (
                         idx,
-                        int(rec.get("ts") or 0),
-                        rec.get("topic", ""),
-                        rec.get("value", ""),
+                        ts,
+                        topic,
+                        value,
                         partition.collector_id,
                         partition.org_id,
                     )
