@@ -387,40 +387,101 @@ GROUP BY 1
 
 
 def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1h and sliding 2h/1h event-time windows in one tagged
-    union (batch shadows of window(ts, ...) + watermark; the sliding
-    branch materializes the same slot expansion Spark's window()
-    performs internally). The sliding branch has no event_type key, so
-    it carries a null tag column."""
-    tum = tumbling_window_hourly(spark, sf_dir).select(
-        F.lit("tumbling").alias("kind"),
+    """Events time-analytics in ONE tagged union over the schema
+    (kind, window_start, event_type, window_id, n, n_purchases,
+    total_value, max_value) — the round-9 consolidation that gives the
+    two r8 operators their driver CORRECTNESS rows without a new slot
+    (the same fold that registered SemDeDup, BM25, PQ and DSIR):
+
+    - kind in ('minute','hour','day'): the CASCADED time-grain rollup
+      (operators/cascade.py) — hour re-aggregated from minute, day
+      from hour, one raw scan. The 'hour' leg IS the hourly tumbling
+      window the previous revision registered directly (same grouping,
+      now decimal-exact), so tumbling coverage is retained.
+    - kind = 'sliding': 2h/1h sliding window (the slot expansion
+      Spark's window() performs internally; no event_type key, so it
+      carries a null tag column).
+    - kind = 'error_window': the BUCKETED RANGE JOIN
+      (operators/rangejoin.py) — every event inside any error-opened
+      30-minute half-open window, profiled per window, empty windows
+      kept. The unkeyed interval join Spark would otherwise plan as
+      BroadcastNestedLoopJoin, expressed as a bucket equi-join.
+    """
+    from .cascade import cascade_rollup
+    from .rangejoin import range_join_error_windows
+
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    casc = cascade_rollup(spark, sf_dir).select(
+        F.col("grain").alias("kind"),
         "window_start",
         "event_type",
-        "n",
+        null_l.alias("window_id"),
+        F.col("n_events").alias("n"),
+        null_l.alias("n_purchases"),
         "total_value",
+        null_d.alias("max_value"),
     )
     sli = sliding_window_2h_1h(spark, sf_dir).select(
         F.lit("sliding").alias("kind"),
         "window_start",
-        F.lit(None).cast("string").alias("event_type"),
+        null_s.alias("event_type"),
+        null_l.alias("window_id"),
         "n",
+        null_l.alias("n_purchases"),
         "total_value",
+        null_d.alias("max_value"),
     )
-    return tum.unionByName(sli)
+    rng = range_join_error_windows(spark, sf_dir).select(
+        F.lit("error_window").alias("kind"),
+        F.col("w_start").alias("window_start"),
+        null_s.alias("event_type"),
+        "window_id",
+        F.col("n_events").alias("n"),
+        "n_purchases",
+        null_d.alias("total_value"),
+        "max_value",
+    )
+    return casc.unionByName(sli).unionByName(rng)
 
 
-TIME_WINDOWS_ORACLE = """
-SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value
-FROM events GROUP BY 2, 3
+def _time_windows_sql() -> str:
+    from .cascade import CASCADE_ROLLUP_ORACLE
+    from .rangejoin import WINDOW_SECONDS
+
+    assert WINDOW_SECONDS == 1800
+    return f"""
+WITH casc AS ({CASCADE_ROLLUP_ORACLE})
+SELECT grain AS kind, window_start, event_type,
+       CAST(NULL AS BIGINT) AS window_id, n_events AS n,
+       CAST(NULL AS BIGINT) AS n_purchases, total_value,
+       CAST(NULL AS DOUBLE) AS max_value
+FROM casc
 UNION ALL
-SELECT 'sliding' AS kind,
-       CAST(date_trunc('hour', ts) AS TIMESTAMP) - slot * INTERVAL 1 HOUR AS window_start,
-       CAST(NULL AS VARCHAR) AS event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value
+SELECT 'sliding',
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) - slot * INTERVAL 1 HOUR,
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       count(*), CAST(NULL AS BIGINT),
+       round(sum(value), 2), CAST(NULL AS DOUBLE)
 FROM events, (VALUES (0), (1)) AS slots(slot)
 GROUP BY 2
+UNION ALL
+SELECT 'error_window', w.w_start, CAST(NULL AS VARCHAR), w.window_id,
+       count(e.event_id),
+       count(e.event_id) FILTER (e.event_type = 'purchase'),
+       CAST(NULL AS DOUBLE), max(e.value)
+FROM (SELECT event_id AS window_id, ts AS w_start,
+             ts + INTERVAL 30 MINUTE AS w_end
+      FROM events WHERE event_type = 'error') w
+LEFT JOIN events e
+  ON w.w_start IS NOT NULL AND e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id, w.w_start
 """
+
+
+TIME_WINDOWS_ORACLE = _time_windows_sql()
 
 
 QUERIES = [
