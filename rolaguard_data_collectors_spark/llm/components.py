@@ -26,17 +26,23 @@ Scale shape (the part that must survive 100 TB):
   doubles per iteration and Catalyst analysis time dominates by round
   8 (the classic iterative-DataFrame trap).
 
-Iterative fixpoints are not one SQL statement, so this module is
-driver-unregistered like kmeans; tests/test_components.py pins it
-against a driver-side union-find oracle on the same edges.
+tests/test_components.py pins the fixpoint against a driver-side
+union-find oracle on the same edges.
 
-(Round 5 measured the registration alternative and rejected it: a
-recursive-CTE transitive-closure oracle DOES hash-match this operator
-exactly at every SF, but closure is O(sum of component^2) rows and the
-dup-heavy corpus makes DuckDB pay ~38 s per run at sf0.1 — 90 s of
-bench wall for coverage the union-find pytest oracle already provides.
-The contracted rep-graph closure would fix the oracle cost; not worth
-the complexity while the driver gate is already 50/50.)
+Driver registration (round 9): the iterative fixpoint IS
+SQL-expressible per fixed iteration count — K chained CTE rounds of
+min-label propagation, each one join + one grouped min — and K rounds
+equal the converged fixpoint whenever convergence takes <= K rounds
+(propagation is monotone and idempotent at the fixpoint, so extra
+rounds are the identity). That sidesteps BOTH rejected oracles: the
+recursive-CTE transitive closure (round 5: O(sum component^2) rows,
+~38 s/run at sf0.1 on the dup-heavy corpus) and a driver-side-only
+check. The member/cluster legs ride the ``ngram_jaccard_dedup``
+registry slot as a tagged union with the verify leg — the zero-slot
+consolidation pattern — with K = ORACLE_ROUNDS sized ~3x the measured
+convergence depth (2-3 rounds at sf0.001-0.1; star edges keep
+components shallow) and the slack costs only microseconds in DuckDB
+because each round's CTE is one join over the tiny edge list.
 
 Reference parity note: the reference engine has no graph surface —
 this is part of the LLM-corpus extension (brief: dedup as first-class
@@ -48,6 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import QuerySpec
 from .dedup import _band_assignments, minhash_signatures
 
 
@@ -68,7 +75,7 @@ def candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 20
+    edges: DataFrame, max_iters: int = 20, stats: dict | None = None
 ) -> DataFrame:
     """Min-label propagation to a fixpoint. Input: (src, dst) edges.
     Output: (doc_id, cluster_id) for every vertex that appears in an
@@ -87,7 +94,11 @@ def connected_components(
         .localCheckpoint()
     )
     half = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if stats is not None:
+        stats["rounds"] = 0
     for _ in range(max_iters):
+        if stats is not None:
+            stats["rounds"] += 1
         # min label among neighbors, per vertex
         neigh = (
             half.join(labels, half.dst == labels.doc_id)
@@ -131,3 +142,136 @@ def cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .withColumnRenamed("cluster_id", "survivor_doc_id")
     )
+
+
+# --- driver registration (tagged union with the Jaccard verify leg) ------
+
+# Fixed oracle iteration depth. Valid whenever Spark's fixpoint
+# converges in <= ORACLE_ROUNDS rounds (see module docstring);
+# tests/test_components.py asserts the actual depth stays under half
+# of this at every test SF.
+ORACLE_ROUNDS = 10
+
+
+def ngram_jaccard_with_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``ngram_jaccard_dedup`` registry slot, round 9: the exact
+    Jaccard verify rows PLUS the transitive clustering they feed, in
+    one tagged union over (leg, doc_id, rep_id, jaccard, n_docs):
+
+    - leg='verify': (doc_id, rep_id, jaccard) — one verified edge per
+      non-representative doc (the dedup drop list), unchanged.
+    - leg='member': (doc_id, rep_id=cluster_id) — every doc in a
+      multi-doc near-dup component with its component's min doc_id,
+      from the min-label-propagation fixpoint.
+    - leg='cluster': (doc_id=survivor, n_docs) — one row per
+      component: the survivor and the component size.
+    """
+    from .dedup import ngram_jaccard_dedup
+
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    verify = ngram_jaccard_dedup(spark, sf_dir).select(
+        F.lit("verify").alias("leg"),
+        "doc_id",
+        "rep_id",
+        "jaccard",
+        null_l.alias("n_docs"),
+    )
+    # near_dup_clusters' final frame is already localCheckpoint-ed by
+    # the fixpoint loop, so the member and cluster legs share one
+    # materialization.
+    labels = near_dup_clusters(spark, sf_dir)
+    member = labels.select(
+        F.lit("member").alias("leg"),
+        "doc_id",
+        F.col("cluster_id").alias("rep_id"),
+        null_d.alias("jaccard"),
+        null_l.alias("n_docs"),
+    )
+    clusters = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("cluster").alias("leg"),
+            F.col("cluster_id").alias("doc_id"),
+            null_l.alias("rep_id"),
+            null_d.alias("jaccard"),
+            "n_docs",
+        )
+    )
+    return verify.unionByName(member).unionByName(clusters)
+
+
+def _cluster_rounds_sql(k_rounds: int) -> str:
+    """K chained min-label-propagation rounds as CTEs l1..lK over
+    ``half`` (both-direction edges) and ``l0`` (identity labels)."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, k_rounds + 1):
+        # AS MATERIALIZED is load-bearing: each round references the
+        # previous one TWICE (own label + neighbor probe), so inlined
+        # CTEs re-expand the whole edges/bands/sig subtree 2^K times —
+        # measured as fd exhaustion + ~150 s at sf0.001 before the
+        # keyword pinned every round to one evaluation.
+        rounds.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT l.doc_id,
+         least(l.cluster_id, coalesce(nm.nbr_min, l.cluster_id)) AS cluster_id
+  FROM {prev} l LEFT JOIN (
+    SELECT h.src AS doc_id, min(p.cluster_id) AS nbr_min
+    FROM half h JOIN {prev} p ON h.dst = p.doc_id GROUP BY h.src
+  ) nm USING (doc_id)
+)""")
+        prev = f"l{i}"
+    return ",".join(rounds)
+
+
+def _ngram_jaccard_clusters_sql(k_rounds: int = ORACLE_ROUNDS) -> str:
+    from .dedup import _bands_sql, _minhash_sig_sql, _ngram_jaccard_ctes_sql
+
+    final = f"l{k_rounds}"
+    # ONE WITH level: the verify CTEs are spliced in next to the
+    # clustering CTEs (sharing sig/bands/reps) instead of nested as a
+    # sub-WITH — shadowing an outer MATERIALIZED CTE name trips a
+    # DuckDB 1.0.0 internal error, and the shared scan is cheaper.
+    return f"""
+WITH sig AS MATERIALIZED ({_minhash_sig_sql()}),
+bands AS MATERIALIZED ({_bands_sql()}),{_ngram_jaccard_ctes_sql()},
+edges AS MATERIALIZED (
+  SELECT DISTINCT b.doc_id AS src, r.rep AS dst
+  FROM bands b JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
+  WHERE b.doc_id != r.rep
+),
+half AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+),
+l0 AS MATERIALIZED (
+  SELECT doc_id, doc_id AS cluster_id
+  FROM (SELECT src AS doc_id FROM edges UNION SELECT dst FROM edges)
+),{_cluster_rounds_sql(k_rounds)}
+SELECT 'verify' AS leg, v.doc_id, v.rep_id, v.jaccard,
+       CAST(NULL AS BIGINT) AS n_docs
+FROM verify v
+UNION ALL
+SELECT 'member', doc_id, cluster_id, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT)
+FROM {final}
+UNION ALL
+SELECT 'cluster', cluster_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       count(*)
+FROM {final} GROUP BY cluster_id
+"""
+
+
+NGRAM_JACCARD_CLUSTERS_ORACLE = _ngram_jaccard_clusters_sql()
+
+
+QUERIES = [
+    QuerySpec(
+        "ngram_jaccard_dedup",
+        ngram_jaccard_with_clusters,
+        NGRAM_JACCARD_CLUSTERS_ORACLE,
+        "bucketed Jaccard verify + connected-component clustering "
+        "(tagged union)",
+    ),
+]

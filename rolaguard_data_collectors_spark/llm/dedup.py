@@ -241,14 +241,22 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_jaccard_sql() -> str:
-    bands_sql = "\nUNION ALL\n".join(
+def _bands_sql() -> str:
+    """The LSH band-assignment SELECT (assumes CTE ``sig`` in scope)."""
+    return "\nUNION ALL\n".join(
         f"SELECT {band} AS band, md5(concat_ws('_', {band}, mh{2 * band}, mh{2 * band + 1})) AS bucket, doc_id FROM sig"
         for band in range(BANDS)
     )
-    return f"""
-WITH sig AS ({_minhash_sig_sql()}),
-bands AS ({bands_sql}),
+
+
+def _ngram_jaccard_ctes_sql() -> str:
+    """reps/cand/toks/verify CTE bodies (assume ``sig`` and ``bands``
+    CTEs in scope). Factored so llm/components.py can embed the verify
+    leg next to its clustering CTEs at ONE ``WITH`` level: a nested
+    WITH that shadows an outer MATERIALIZED CTE name trips a DuckDB
+    1.0.0 internal error ('Recursive CTE scan found without recursive
+    CTE node')."""
+    return """
 reps AS (
   SELECT band, bucket, min(doc_id) AS rep FROM bands GROUP BY band, bucket
 ),
@@ -260,17 +268,26 @@ cand AS (
 ),
 toks AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
-)
-SELECT c.doc_id, c.rep_id,
-       round(len(list_intersect(ta.toks, tb.toks))
-             / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE),
-             6) AS jaccard
-FROM cand c
-JOIN toks ta ON ta.doc_id = c.doc_id
-JOIN toks tb ON tb.doc_id = c.rep_id
-WHERE round(len(list_intersect(ta.toks, tb.toks))
-            / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE),
-            6) >= 0.8
+),
+verify AS (
+  SELECT c.doc_id, c.rep_id,
+         round(len(list_intersect(ta.toks, tb.toks))
+               / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE),
+               6) AS jaccard
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_id
+  JOIN toks tb ON tb.doc_id = c.rep_id
+  WHERE round(len(list_intersect(ta.toks, tb.toks))
+              / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE),
+              6) >= 0.8
+)"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands AS ({_bands_sql()}),{_ngram_jaccard_ctes_sql()}
+SELECT doc_id, rep_id, jaccard FROM verify
 """
 
 
@@ -734,8 +751,9 @@ QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact-dedup survivors/groups + bloom-prefiltered "
               "incremental dedup of a batch vs history"),
-    QuerySpec("ngram_jaccard_dedup", ngram_jaccard_dedup, NGRAM_JACCARD_ORACLE,
-              "LSH-rep-verified exact Jaccard near-dedup"),
+    # ngram_jaccard_dedup's slot moved to llm/components.py (round 9):
+    # same verify leg, now tagged-unioned with the connected-component
+    # member/cluster legs.
     QuerySpec("minhash_lsh_buckets", minhash_lsh_buckets, MINHASH_LSH_BUCKETS_ORACLE,
               "MinHash signatures + LSH bands + bucket occupancy in one"),
     QuerySpec("simhash_profile", simhash_profile, SIMHASH_PROFILE_ORACLE,

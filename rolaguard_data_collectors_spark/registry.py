@@ -51,7 +51,15 @@ def collect_all() -> dict[str, QuerySpec]:
     """Import every operator module and merge their registries."""
     from .operators import relational, scalar, stateful
     from .functions import lorawan_queries
-    from .llm import curate, dedup, multimodal, pipeline, similarity, text
+    from .llm import (
+        components,
+        curate,
+        dedup,
+        multimodal,
+        pipeline,
+        similarity,
+        text,
+    )
     from .streaming import pipeline_queries
 
     merged: dict[str, QuerySpec] = {}
@@ -60,6 +68,7 @@ def collect_all() -> dict[str, QuerySpec]:
         relational,
         stateful,
         dedup,
+        components,
         similarity,
         text,
         multimodal,

@@ -70,6 +70,44 @@ def test_propagation_handles_chains(spark):
     assert got == {i: 0 for i in range(6)}
 
 
+def test_convergence_depth_within_oracle_rounds(spark, sf_dir):
+    """The driver oracle runs a FIXED ORACLE_ROUNDS of propagation;
+    equality with the converged Spark fixpoint requires convergence in
+    <= ORACLE_ROUNDS. Assert the measured depth stays under HALF of it
+    so data drift has margin before the oracle would silently lag."""
+    from rolaguard_data_collectors_spark.llm.components import ORACLE_ROUNDS
+
+    stats: dict = {}
+    connected_components(candidate_edges(spark, sf_dir), stats=stats).count()
+    assert 1 <= stats["rounds"] <= ORACLE_ROUNDS // 2, stats
+
+
+def test_oracle_rounds_parity_sf001(spark):
+    """Full tagged-union parity (verify + member + cluster legs)
+    against the fixed-K SQL oracle at sf0.001 — the same compare the
+    driver runs at sf0.01."""
+    import duckdb
+
+    from rolaguard_data_collectors_spark.llm.components import (
+        NGRAM_JACCARD_CLUSTERS_ORACLE,
+        ngram_jaccard_with_clusters,
+    )
+    from rolaguard_data_collectors_spark.oracle import compare
+
+    sfd = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sfd}/documents.parquet'"
+    )
+    r = compare(
+        "ngram_jaccard_clusters",
+        ngram_jaccard_with_clusters(spark, sfd),
+        NGRAM_JACCARD_CLUSTERS_ORACLE,
+        con,
+    )
+    assert r.ok and r.exact_match and r.dtypes_match, (r.detail, r.dtype_skews)
+
+
 def test_summary_counts(spark, sf_dir):
     total = near_dup_clusters(spark, sf_dir).count()
     summary = cluster_summary(spark, sf_dir).collect()

@@ -23,6 +23,11 @@ SF01 = "/root/testdata/sf0.1"
 # percentiles), Misra-Gries partition summaries (tfidf), map-side
 # sketch partials (approx aggregates), hash-bucketed dedup families,
 # the salted SemDeDup composition, and the banded multimodal join.
+# Round 9 adds time_windows (the cascade legs re-aggregate decimal
+# partials whose grouping shifts with partitioning; the range-join leg's
+# bucket arithmetic must be width/partition invariant) — and
+# ngram_jaccard_dedup now also covers the iterative min-label fixpoint
+# whose per-round shuffles are exactly this class.
 _SENSITIVE = [
     "curation_sample_pack",
     "pack_sequence_spans",
@@ -37,6 +42,7 @@ _SENSITIVE = [
     "ann_topk_suite",
     "multimodal_decode_features",
     "prev_packet_correlation",
+    "time_windows",
 ]
 
 
