@@ -159,6 +159,20 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     duck_total = round(sum(t for t in duck.values() if t >= 0), 2)
 
+    # Ex-flagship subtotals (round 9): clean_corpus_semantic's oracle
+    # unnests every (vec_id, dim) pair for the pairwise cosine and
+    # costs ~38-41% of the entire oracle board, so the aggregate ratio
+    # can be silently carried by that one query. Publishing both
+    # totals keeps the round-over-round trend readable as the registry
+    # evolves; the flagship itself stays in the headline numbers.
+    _FLAGSHIP = "clean_corpus_semantic"
+    total_ex_flagship = round(
+        sum(t for n, t in timings.items() if t >= 0 and n != _FLAGSHIP), 2
+    )
+    duck_total_ex_flagship = round(
+        sum(t for n, t in duck.items() if t >= 0 and n != _FLAGSHIP), 2
+    )
+
     # Headline throughput vs the reference: BASELINE.md's only number
     # is the callback-per-message ceiling (O(10^3-10^4) msg/s). Round
     # 8: the registered pipeline queries are routed slices of a shared
@@ -212,6 +226,9 @@ def main() -> None:
                 ),
                 "pipeline_msgs_per_sec": pipe_rate,
                 "pipeline_stage_build_sec": stage_build_sec,
+                "flagship": _FLAGSHIP,
+                "value_ex_flagship": total_ex_flagship,
+                "oracle_total_ex_flagship": duck_total_ex_flagship,
                 "oracle_total": duck_total,
                 "value": total,
             },

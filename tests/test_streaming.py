@@ -651,6 +651,47 @@ def test_streaming_interval_join_matches_batch_twin(
     assert got == want and len(want) > 0
 
 
+def test_streaming_interval_join_state_is_bounded(spark, events_stream_feed):
+    """Round 9: the range join's STREAMABILITY claim is load-bearing,
+    not just plan-shaped — the watermarks plus the w_start<=p_ts<w_end
+    range condition must let StreamingSymmetricHashJoin EVICT state
+    once the probe watermark passes a window's end. Feed ~30 days of
+    events in many micro-batches (each advances the watermark hours at
+    a time) and assert the state store actually removed rows and ended
+    below its peak — an unbounded-state regression (e.g. a lost range
+    condition) fails here even though results stay correct."""
+    from rolaguard_data_collectors_spark.operators.rangejoin import (
+        error_window_event_pairs,
+    )
+
+    stream = error_window_event_pairs(
+        _events_stream(spark, events_stream_feed, batch_size=100)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("st_interval_state")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    ops = [p["stateOperators"][0] for p in progress if p["stateOperators"]]
+    assert len(ops) >= 3, "feed did not span multiple micro-batches"
+    totals = [o["numRowsTotal"] for o in ops]
+    removed = sum(o["numRowsRemoved"] for o in ops)
+    assert removed > 0, f"no state eviction across {len(ops)} batches: {totals}"
+    # state peaked mid-stream and was evicted behind the watermark —
+    # strictly below peak at the end, and the peak itself is far below
+    # the total row count (both sides of the self-join ever buffered).
+    assert totals[-1] < max(totals), totals
+    n_rows = sum(p["sources"][0]["numInputRows"] for p in progress)
+    assert max(totals) < 2 * n_rows, (max(totals), n_rows)
+
+
 def test_queue_sink_null_and_adversarial_envelopes(spark, tmp_path):
     """Round-8 fuzz: NULL envelopes (impossible from to_envelope_json,
     possible from a custom caller) must publish as JSON ``null`` lines —
