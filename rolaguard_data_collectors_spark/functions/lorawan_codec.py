@@ -185,7 +185,18 @@ def _enc_ctx(key: bytes) -> tuple:
             _ENC_CTX.clear()
         enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
         k1 = _dbl(enc.update(b"\x00" * 16))
-        ctx = (enc, k1, _dbl(k1))
+        k2 = _dbl(k1)
+        # subkeys cached both as bytes (numpy batch path) and as ints
+        # (the scalar CMAC XORs in int space — a 16-byte genexpr XOR
+        # measured 3x slower than int.from_bytes ^, and the scalar
+        # path runs per ROW in the roundtrip/pipeline kernels)
+        ctx = (
+            enc,
+            k1,
+            k2,
+            int.from_bytes(k1, "big"),
+            int.from_bytes(k2, "big"),
+        )
         _ENC_CTX[key] = ctx
     return ctx
 
@@ -210,19 +221,27 @@ def aes_cmac(key: bytes, data: bytes) -> bytes:
     tests/test_lorawan_codec.py) but without per-message object
     construction — the dominant cost for the short LoRaWAN MIC
     messages (1-3 blocks)."""
-    enc, k1, k2 = _enc_ctx(key)
+    enc, _k1, _k2, k1i, k2i = _enc_ctx(key)
     n = len(data)
+    # XORs in int space (int.from_bytes ^ int.from_bytes): ~3x faster
+    # than a per-byte generator for 16-byte blocks, and this scalar
+    # path runs once per ROW in the roundtrip/pipeline kernels.
     if n and n % 16 == 0:
-        head, last = data[:-16], data[-16:]
-        last = bytes(a ^ b for a, b in zip(last, k1))
+        head = data[:-16]
+        last = int.from_bytes(data[-16:], "big") ^ k1i
     else:
         head, tail = data[: n - n % 16], data[n - n % 16 :]
         padded = tail + b"\x80" + b"\x00" * (15 - len(tail))
-        last = bytes(a ^ b for a, b in zip(padded, k2))
-    x = b"\x00" * 16
+        last = int.from_bytes(padded, "big") ^ k2i
+    x = 0
     for i in range(0, len(head), 16):
-        x = enc.update(bytes(a ^ b for a, b in zip(x, head[i : i + 16])))
-    return enc.update(bytes(a ^ b for a, b in zip(x, last)))
+        x = int.from_bytes(
+            enc.update(
+                (x ^ int.from_bytes(head[i : i + 16], "big")).to_bytes(16, "big")
+            ),
+            "big",
+        )
+    return enc.update((x ^ last).to_bytes(16, "big"))
 
 
 def aes_cmac_batch(key: bytes, msgs: list[bytes]) -> list[bytes]:
@@ -244,7 +263,7 @@ def aes_cmac_batch(key: bytes, msgs: list[bytes]) -> list[bytes]:
     if len(msgs) < 64:
         return [aes_cmac(key, m) for m in msgs]
 
-    enc, k1, k2 = _enc_ctx(key)
+    enc, k1, k2 = _enc_ctx(key)[:3]
     out: list[bytes | None] = [None] * len(msgs)
     k1a = np.frombuffer(k1, dtype=np.uint8)
     k2a = np.frombuffer(k2, dtype=np.uint8)
@@ -341,7 +360,10 @@ def frm_crypt(
         )
         s = aes128_encrypt(key, a)
         chunk = payload[i : i + 16]
-        out.extend(x ^ y for x, y in zip(chunk, s))
+        k = len(chunk)
+        out += (
+            int.from_bytes(chunk, "big") ^ int.from_bytes(s[:k], "big")
+        ).to_bytes(k, "big")
     return bytes(out)
 
 
@@ -413,6 +435,25 @@ def parse_mac_commands(f_opts: bytes, uplink: bool) -> list[dict]:
         i += size
         cmds.append({"cid": name, "payload": payload.hex()})
     return cmds
+
+
+# fOpts wire bytes -> canonical JSON, memoized: real traffic carries a
+# small vocabulary of MAC-command mixes (fOpts is <= 15 bytes), and the
+# parse path otherwise pays a json.dumps per ROW. Capped like the
+# cipher-context caches so adversarial unique-fOpts floods can't grow
+# it without bound.
+_MAC_JSON_MEMO: dict[tuple[bytes, bool], str] = {}
+
+
+def mac_commands_json(f_opts: bytes, uplink: bool) -> str:
+    k = (f_opts, uplink)
+    r = _MAC_JSON_MEMO.get(k)
+    if r is None:
+        if len(_MAC_JSON_MEMO) >= 4096:
+            _MAC_JSON_MEMO.clear()
+        r = json.dumps(parse_mac_commands(f_opts, uplink), separators=(",", ":"))
+        _MAC_JSON_MEMO[k] = r
+    return r
 
 
 # --- parse ---------------------------------------------------------------
@@ -499,9 +540,7 @@ def parse_phypayload(
             f_opts = body[7 : 7 + f_opts_len]
             rest = body[7 + f_opts_len :]
             if f_opts:
-                out.f_opts = json.dumps(
-                    parse_mac_commands(f_opts, uplink), separators=(",", ":")
-                )
+                out.f_opts = mac_commands_json(f_opts, uplink)
             if rest:
                 out.f_port = rest[0]
                 frm = rest[1:]

@@ -240,17 +240,37 @@ def data_frame_roundtrip(
     the roundtrip PROOF path, where only the fused output matters."""
     import json as _json
 
+    # Per-batch memos: device traffic repeats keys and carries a small
+    # MAC-command vocabulary, so hex->bytes key decode, input-JSON
+    # marshal, and the f_opts re-marshal assertion are all
+    # memoizable per distinct value instead of paid per row (round 9:
+    # the no-op-kernel diagnostic put the crossing floor at ~0.6 s and
+    # the kernel interior at ~0.35 s at sf0.1 — these memos plus the
+    # int-XOR scalar CMAC cut the interior, the only lever left).
+    key_memo: dict = {}
+    marshal_memo: dict = {}
+    rt_memo: dict = {}
+
     cols: dict[str, list] = {f: [] for f in _RT_FIELDS}
     for kh, da, fc, pl, fp, fo in zip(
         nwk_s_key, dev_addr, f_cnt, payload, f_port, f_opts_json
     ):
-        key = bytes.fromhex(kh)
-        cmds = _json.loads(fo) if fo else []
+        key = key_memo.get(kh)
+        if key is None:
+            key = key_memo[kh] = bytes.fromhex(kh)
+        fob = marshal_memo.get(fo)
+        if fob is None:
+            fob = marshal_memo[fo] = (
+                lc.marshal_mac_commands(_json.loads(fo), True) if fo else b""
+            )
         raw = lc.encode_data_frame(
-            key, da, int(fc), (pl or "").encode(), f_port=int(fp), f_opts=cmds
+            key, da, int(fc), (pl or "").encode(), f_port=int(fp), f_opts=fob
         )
         p = lc.parse_phypayload(raw, key, key)
-        fopts_hex, fopts_ok = _mac_roundtrip_cell(p.f_opts, True)
+        cell = rt_memo.get(p.f_opts)
+        if cell is None:
+            cell = rt_memo[p.f_opts] = _mac_roundtrip_cell(p.f_opts, True)
+        fopts_hex, fopts_ok = cell
         cols["m_type"].append(p.m_type)
         cols["dev_addr"].append(p.dev_addr)
         cols["f_count"].append(p.f_count)
