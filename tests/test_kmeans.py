@@ -180,3 +180,67 @@ def test_semantic_dedup_from_index_matches_and_prunes(spark, sf_dir, tmp_path):
     persist_ivf_index(spark, sf_dir, qpath, k=K, iters=1, quantize=True)
     with pytest.raises(ValueError, match="float postings"):
         semantic_dedup_from_index(spark, qpath)
+
+
+def test_semantic_dedup_incremental_cell_sweep(spark, sf_dir, tmp_path):
+    """Round 9: the changed-cells-only maintenance flow a 100 TB lake
+    index actually runs. Append new vectors into 2 of the K posting
+    cells (a lake append routes a new vector to its nearest centroid's
+    directory; an exact duplicate routes to its mate's cell), re-dedup
+    ONLY those cells, and assert the union with the untouched cells'
+    PREVIOUS survivors equals a full re-run over the updated index —
+    cluster-local blocking makes the incremental sweep exact, not
+    approximate."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        persist_ivf_index,
+        semantic_dedup_from_index,
+    )
+
+    path = str(tmp_path / "ivf_inc")
+    persist_ivf_index(spark, sf_dir, path, k=K, iters=2)
+    before = {
+        (r.vec_id, r.cluster)
+        for r in semantic_dedup_from_index(spark, path).collect()
+    }
+
+    # two cells receive appends: exact duplicates of one existing
+    # member each, with NEGATIVE vec_ids so the keep-smallest rule must
+    # flip the survivor (the append visibly changes those cells).
+    posts = spark.read.parquet(path + "/postings")
+    seeds = (
+        posts.groupBy("cluster")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .orderBy("cluster")
+        .limit(2)
+        .collect()
+    )
+    changed_cells = [r.cluster for r in seeds]
+    seed_ids = [r.vec_id for r in seeds]
+    assert len(set(changed_cells)) == 2
+    add = posts.where(F.col("vec_id").isin(seed_ids)).select(
+        (-F.col("vec_id") - 1).alias("vec_id"), "v", "cluster"
+    )
+    add.write.mode("append").partitionBy("cluster").parquet(
+        path + "/postings"
+    )
+
+    after_full = {
+        (r.vec_id, r.cluster)
+        for r in semantic_dedup_from_index(spark, path).collect()
+    }
+    changed = {
+        (r.vec_id, r.cluster)
+        for r in semantic_dedup_from_index(
+            spark, path, clusters=changed_cells
+        ).collect()
+    }
+    untouched = {t for t in before if t[1] not in changed_cells}
+    assert changed | untouched == after_full
+    # the appends really flipped the changed cells' survivor sets: the
+    # negative ids survive, their duplicated mates are now dropped
+    assert {t for t in before if t[1] in changed_cells} != changed
+    for sid in seed_ids:
+        assert not any(v == sid for v, _ in changed)
+    assert {v for v, _ in changed if v < 0} == {-i - 1 for i in seed_ids}
