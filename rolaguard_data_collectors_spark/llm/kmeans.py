@@ -168,6 +168,53 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     return centroids
 
 
+def ivf_index_append(spark: SparkSession, path: str,
+                     new_vectors: DataFrame) -> list[int]:
+    """Incremental IVF index maintenance — the lake append that keeps
+    a persisted index current without retraining or rewriting it:
+    route each new (vec_id, v) row to its nearest PERSISTED centroid
+    and append it to that cell's ``postings/cluster=N/`` directory
+    (``partitionBy`` append writes new files only into the touched
+    directories; untouched cells keep their exact files). Returns the
+    touched cluster ids, sorted — the input a changed-cells-only
+    sweep (`semantic_dedup_from_index(clusters=...)`,
+    tests/test_kmeans.py) runs on next.
+
+    The codebook collect is k x dim floats (bounded at any corpus
+    scale); the assignment itself is the same embarrassingly-parallel
+    in-row fold every reader of the index uses. Exact duplicates of an
+    existing member route to the member's own cell by construction
+    (identical vector -> identical nearest centroid), which is what
+    makes append + per-cell re-dedup an EXACT incremental SemDeDup.
+    Float postings only — a quantized index would also need the scales
+    codebook applied here; refused loudly like
+    semantic_dedup_from_index."""
+    posts_path = path + "/postings"
+    if "v" not in spark.read.parquet(posts_path).columns:
+        raise ValueError(
+            "ivf_index_append needs float postings (persist_ivf_index("
+            "quantize=False)); quantized postings carry codes"
+        )
+    cents = (
+        spark.read.parquet(path + "/centroids.parquet")
+        .orderBy("cluster")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    assigned = _assign(
+        new_vectors.select("vec_id", "v").where(F.col("v").isNotNull()),
+        centroids,
+    ).select("vec_id", "v", "cluster")
+    # Touched cells collected from the SAME materialization the write
+    # will use: stage it so routing can't diverge between the two.
+    assigned = assigned.localCheckpoint()
+    touched = sorted(
+        r["cluster"] for r in assigned.select("cluster").distinct().collect()
+    )
+    assigned.write.mode("append").partitionBy("cluster").parquet(posts_path)
+    return touched
+
+
 def ivf_index_topk(spark: SparkSession, path: str, query: list[float],
                    top_k: int = 10, n_probe: int = 2,
                    exclude_vec_id: int | None = None) -> DataFrame:

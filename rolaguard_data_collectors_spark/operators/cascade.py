@@ -101,6 +101,107 @@ def cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- persisted continuous-aggregate maintenance (round 9) ----------------
+#
+# The operational flow behind cascade_rollup: each grain lives as a
+# parquet table partitioned by DAY, and a micro-batch append rewrites
+# ONLY the day partitions it touches — merge the batch's minute
+# partials into the touched minute partitions, then re-derive the same
+# days' hour and day partitions from the UPDATED minute/hour tables.
+# Day-partition locality holds at every grain because UTC date_trunc
+# windows never span a day boundary. Decimal sums make the incremental
+# result BIT-IDENTICAL to a full recompute (no float reassociation
+# drift across merge generations) — proven in tests/test_cascade.py,
+# along with untouched partitions keeping their exact files.
+
+# Partition column: day of window_start; NULL-timestamp buckets get an
+# explicit sentinel so they live in a normal readable partition rather
+# than Hive's default-partition spelling.
+_NULL_DAY = "__null__"
+
+
+def _with_day(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "_d",
+        F.coalesce(
+            F.date_format(F.date_trunc("day", "window_start"), "yyyy-MM-dd"),
+            F.lit(_NULL_DAY),
+        ),
+    )
+
+
+def persist_cascade(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Write the three grain tables as day-partitioned parquet — the
+    lake artifact cascade_append maintains."""
+    for grain, df in cascade_grains(spark, sf_dir).items():
+        _with_day(df).write.mode("overwrite").partitionBy("_d").parquet(
+            f"{path}/{grain}"
+        )
+
+
+def read_grain(spark: SparkSession, path: str, grain: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/{grain}").drop("_d")
+
+
+def cascade_append(spark: SparkSession, path: str,
+                   new_events: DataFrame) -> list[str]:
+    """Merge a micro-batch of events into the persisted cascade:
+    aggregate the batch to minute partials, merge into the touched
+    minute day-partitions (dynamic partition overwrite — untouched
+    directories keep their exact files), then re-derive the touched
+    hour and day partitions from the updated coarser-by-one grain.
+    Returns the touched day keys, sorted.
+
+    Cost shape at 100 TB: O(batch) + O(touched days), never O(table) —
+    the re-derive scans are PartitionFilters reads of the touched
+    directories only, and each localCheckpoint is bounded by the
+    touched days' row counts. The staged (eager) checkpoints are
+    load-bearing twice over: they cut the written plan's lineage out
+    of the path being overwritten (Spark refuses an overwrite whose
+    plan still reads the target), and they pin ONE evaluation of the
+    merge the touched-day collect and the write both use."""
+    ev = new_events.select("ts", "event_type", "value")
+    batch_minute = _with_day(
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("window_start"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(VALUE_DECIMAL)).alias("_sv"),
+        )
+    ).localCheckpoint()
+    touched = sorted(
+        r["_d"] for r in batch_minute.select("_d").distinct().collect()
+    )
+
+    def merge_and_overwrite(updated: DataFrame, grain: str) -> None:
+        updated.localCheckpoint().write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_d").parquet(f"{path}/{grain}")
+
+    minute_old = spark.read.parquet(f"{path}/minute").where(
+        F.col("_d").isin(touched)
+    )
+    merge_and_overwrite(
+        minute_old.unionByName(batch_minute)
+        .groupBy("window_start", "event_type", "_d")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("_sv").alias("_sv")),
+        "minute",
+    )
+    for src, dst, trunc in (("minute", "hour", "hour"), ("hour", "day", "day")):
+        upd = (
+            spark.read.parquet(f"{path}/{src}")
+            .where(F.col("_d").isin(touched))
+            .groupBy(
+                F.date_trunc(trunc, "window_start").alias("window_start"),
+                "event_type",
+                "_d",
+            )
+            .agg(F.sum("n_events").alias("n_events"), F.sum("_sv").alias("_sv"))
+        )
+        merge_and_overwrite(upd, dst)
+    return touched
+
+
 # Direct (non-cascaded) aggregation at every grain — equality proves
 # the re-aggregation is lossless. Same DECIMAL(28,6) quantization as
 # the Spark side; CAST to DOUBLE at emit (DuckDB would otherwise

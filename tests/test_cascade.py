@@ -45,6 +45,74 @@ def test_cascade_single_scan(spark):
     assert plan.count("FileScan parquet") <= 1, plan
 
 
+def test_cascade_append_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Round 9: the persisted continuous-aggregate maintenance flow —
+    build the day-partitioned grain tables from a history slice, merge
+    a micro-batch confined to two days with cascade_append, and assert
+    (a) every grain table now equals a FULL recompute over
+    history+batch, bit-identical (the decimal sums make merge
+    generations exact), and (b) untouched day partitions kept their
+    exact files (the rewrite is O(touched days), never O(table))."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        cascade_append,
+        cascade_grains,
+        persist_cascade,
+        read_grain,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # batch = a subset of events from exactly two calendar days
+    days = [
+        r["d"]
+        for r in ev.select(F.to_date("ts").alias("d"))
+        .where(F.col("d").isNotNull())
+        .distinct()
+        .orderBy("d")
+        .limit(2)
+        .collect()
+    ]
+    is_batch = F.to_date("ts").isin(days) & (F.col("event_id") % 3 == 0)
+    hist_dir = str(tmp_path / "hist")
+    os.makedirs(hist_dir)
+    ev.where(~F.coalesce(is_batch, F.lit(False))).toPandas().to_parquet(
+        os.path.join(hist_dir, "events.parquet"), index=False
+    )
+    batch = ev.where(is_batch)
+    assert batch.count() > 0
+
+    path = str(tmp_path / "casc")
+    persist_cascade(spark, hist_dir, path)
+    untouched_day = (
+        ev.select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .where(F.col("d").isNotNull() & ~F.col("d").isin([str(d) for d in days]))
+        .distinct()
+        .orderBy("d")
+        .limit(1)
+        .collect()[0]["d"]
+    )
+    before_files = sorted(os.listdir(f"{path}/minute/_d={untouched_day}"))
+
+    touched = cascade_append(spark, path, batch)
+    assert touched == [str(d) for d in days]
+    assert sorted(os.listdir(f"{path}/minute/_d={untouched_day}")) == before_files
+
+    full = cascade_grains(spark, sf_dir)
+    for grain in ("minute", "hour", "day"):
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in read_grain(spark, path, grain).collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in full[grain].collect()
+        }
+        assert got == want, grain
+
+
 def test_cascade_null_edges(spark, tmp_path):
     """NULL timestamps form their own bucket at every grain; NULL
     event_type groups; all-NULL value groups stay NULL (not 0.0)

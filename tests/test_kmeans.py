@@ -180,20 +180,30 @@ def test_semantic_dedup_from_index_matches_and_prunes(spark, sf_dir, tmp_path):
     persist_ivf_index(spark, sf_dir, qpath, k=K, iters=1, quantize=True)
     with pytest.raises(ValueError, match="float postings"):
         semantic_dedup_from_index(spark, qpath)
+    from rolaguard_data_collectors_spark.llm.kmeans import ivf_index_append
+
+    with pytest.raises(ValueError, match="float postings"):
+        ivf_index_append(
+            spark, qpath, spark.createDataFrame(
+                [(1, [0.0])], "vec_id long, v array<double>"
+            )
+        )
 
 
 def test_semantic_dedup_incremental_cell_sweep(spark, sf_dir, tmp_path):
     """Round 9: the changed-cells-only maintenance flow a 100 TB lake
-    index actually runs. Append new vectors into 2 of the K posting
-    cells (a lake append routes a new vector to its nearest centroid's
-    directory; an exact duplicate routes to its mate's cell), re-dedup
-    ONLY those cells, and assert the union with the untouched cells'
-    PREVIOUS survivors equals a full re-run over the updated index —
+    index actually runs, end to end through the operators: route new
+    vectors into the persisted index with ivf_index_append (an exact
+    duplicate must land in its mate's cell — nearest-centroid routing,
+    not caller-supplied), re-dedup ONLY the cells the append reports
+    touched, and assert the union with the untouched cells' PREVIOUS
+    survivors equals a full re-run over the updated index —
     cluster-local blocking makes the incremental sweep exact, not
     approximate."""
     from pyspark.sql import functions as F
 
     from rolaguard_data_collectors_spark.llm.kmeans import (
+        ivf_index_append,
         persist_ivf_index,
         semantic_dedup_from_index,
     )
@@ -216,15 +226,15 @@ def test_semantic_dedup_incremental_cell_sweep(spark, sf_dir, tmp_path):
         .limit(2)
         .collect()
     )
-    changed_cells = [r.cluster for r in seeds]
+    expect_cells = sorted(r.cluster for r in seeds)
     seed_ids = [r.vec_id for r in seeds]
-    assert len(set(changed_cells)) == 2
+    assert len(set(expect_cells)) == 2
     add = posts.where(F.col("vec_id").isin(seed_ids)).select(
-        (-F.col("vec_id") - 1).alias("vec_id"), "v", "cluster"
+        (-F.col("vec_id") - 1).alias("vec_id"), "v"
     )
-    add.write.mode("append").partitionBy("cluster").parquet(
-        path + "/postings"
-    )
+    changed_cells = ivf_index_append(spark, path, add)
+    # nearest-centroid routing sent each duplicate to its mate's cell
+    assert changed_cells == expect_cells
 
     after_full = {
         (r.vec_id, r.cluster)
