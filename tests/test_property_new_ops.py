@@ -253,3 +253,88 @@ def test_histogram_percentiles_random_property(spark, rows):
                 assert w is None and h is None, (g, n, w, h)
             else:
                 assert math.isclose(w, h, rel_tol=1e-12, abs_tol=1e-12), (g, n, w, h)
+
+
+# --- round 9: the fixed-K connected-components oracle ---------------------
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=0, max_value=30),
+)
+
+
+def _propagate(edges, rounds):
+    """Reference min-label propagation: EXACTLY the per-round rule the
+    Spark loop and the chained-CTE oracle implement (new label =
+    least(own, min over neighbors' PREVIOUS labels), both directions)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        lab = {
+            v: min(lab[v], min((lab[u] for u in adj[v]), default=lab[v]))
+            for v in adj
+        }
+    return lab
+
+
+def _union_find_min(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=60, deadline=None)
+@given(raw=st.lists(_edge, min_size=1, max_size=40))
+def test_cluster_oracle_rounds_semantics(raw):
+    """The chained-CTE propagation SQL (the ngram_jaccard_dedup
+    cluster-leg oracle) must equal the reference per-round propagation
+    at EVERY depth on arbitrary graphs — including paths deeper than
+    K, where neither side has converged — and equal union-find
+    components exactly when propagation has converged within K. This
+    pins the SQL generator's semantics, not just one corpus."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import assume
+
+    from rolaguard_data_collectors_spark.llm.components import (
+        ORACLE_ROUNDS,
+        _cluster_rounds_sql,
+    )
+
+    edges = sorted({(s, d) for s, d in raw if s != d})
+    assume(edges)
+    K = ORACLE_ROUNDS
+    con = duckdb.connect()
+    con.register("edges_t", pd.DataFrame(edges, columns=["src", "dst"]))
+    sql = f"""
+WITH edges AS MATERIALIZED (SELECT src, dst FROM edges_t),
+half AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+),
+l0 AS MATERIALIZED (
+  SELECT doc_id, doc_id AS cluster_id
+  FROM (SELECT src AS doc_id FROM edges UNION SELECT dst FROM edges)
+),{_cluster_rounds_sql(K)}
+SELECT doc_id, cluster_id FROM l{K}
+"""
+    got = dict(con.execute(sql).fetchall())
+    want = _propagate(edges, K)
+    assert got == want
+    if _propagate(edges, K + 1) == want:  # converged within K
+        assert got == _union_find_min(edges)
