@@ -33,6 +33,9 @@ zero-slot consolidation that registered SemDeDup, BM25, PQ and DSIR.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -200,6 +203,161 @@ def cascade_append(spark: SparkSession, path: str,
         )
         merge_and_overwrite(upd, dst)
     return touched
+
+
+class CascadeMaintenanceSink:
+    """foreachBatch target: EXACTLY-ONCE continuous-aggregate
+    maintenance over the persisted grain tables, on plain parquet.
+
+    cascade_append's merge is not idempotent (replaying a micro-batch
+    double-counts), and Structured Streaming replays the last epoch
+    after any restart — so the sink uses a stage/swap/commit protocol
+    (the merge-sink analogue of QueueFileSink's truncate-to-offset):
+
+    1. STAGE: compute the complete POST-state of every touched day
+       partition at all three grains into ``<path>/_epochs/epoch=N/``
+       — minute merged from the LIVE minute table + the batch, hour
+       re-derived from the STAGED minute, day from the staged hour —
+       then publish a ``_STAGED`` marker (temp+rename). The live
+       tables are never read after the marker exists, and never
+       written before it does.
+    2. SWAP: move each staged ``_d=`` directory over its live
+       counterpart (rmtree+rename per partition). Idempotent: a
+       replay after a crash mid-swap finishes the remaining staged
+       partitions (already-swapped ones are simply gone from scratch).
+    3. COMMIT: append the epoch id to ``<path>/_commits`` (fsync),
+       then clear the scratch. A committed epoch is skipped on
+       replay; a torn commit line parses as absent and the epoch
+       re-swaps idempotently.
+
+    Crash-window audit: before the marker -> live untouched, replay
+    recomputes the stage from live; mid-swap -> marker present, replay
+    redoes the swap from the surviving staged partitions (their
+    content is the correct post-state regardless of which swaps
+    already happened); between commit and scratch-clear -> epoch
+    skipped, stale scratch cleared at the next epoch's entry (the
+    round-8 queue-sink lesson)."""
+
+    GRAINS = ("minute", "hour", "day")
+
+    def __init__(self, path: str):
+        self.path = path
+        self.commit_path = os.path.join(path, "_commits")
+        self.epoch_root = os.path.join(path, "_epochs")
+
+    def _commits(self) -> set[int]:
+        done: set[int] = set()
+        if not os.path.exists(self.commit_path):
+            return done
+        with open(self.commit_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    done.add(int(line))
+                except ValueError:
+                    continue  # torn write: treat as uncommitted
+        return done
+
+    def _stage(self, spark: SparkSession, batch_df: DataFrame,
+               edir: str) -> None:
+        ev = batch_df.select("ts", "event_type", "value")
+        batch_minute = _with_day(
+            ev.groupBy(
+                F.date_trunc("minute", "ts").alias("window_start"),
+                "event_type",
+            ).agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast(VALUE_DECIMAL)).alias("_sv"),
+            )
+        ).localCheckpoint()
+        touched = [
+            r["_d"] for r in batch_minute.select("_d").distinct().collect()
+        ]
+        if not touched:
+            return
+        live_minute = os.path.join(self.path, "minute")
+        merged = batch_minute
+        if os.path.isdir(live_minute):
+            old = spark.read.parquet(live_minute).where(
+                F.col("_d").isin(touched)
+            )
+            merged = old.unionByName(batch_minute)
+        merged = merged.groupBy("window_start", "event_type", "_d").agg(
+            F.sum("n_events").alias("n_events"), F.sum("_sv").alias("_sv")
+        )
+        merged.write.mode("overwrite").partitionBy("_d").parquet(
+            os.path.join(edir, "minute")
+        )
+        for src, dst, trunc in (("minute", "hour", "hour"),
+                                ("hour", "day", "day")):
+            upd = (
+                spark.read.parquet(os.path.join(edir, src))
+                .groupBy(
+                    F.date_trunc(trunc, "window_start").alias("window_start"),
+                    "event_type",
+                    "_d",
+                )
+                .agg(F.sum("n_events").alias("n_events"),
+                     F.sum("_sv").alias("_sv"))
+            )
+            upd.write.mode("overwrite").partitionBy("_d").parquet(
+                os.path.join(edir, dst)
+            )
+
+    def _swap(self, edir: str) -> None:
+        for grain in self.GRAINS:
+            gdir = os.path.join(edir, grain)
+            if not os.path.isdir(gdir):
+                continue
+            live = os.path.join(self.path, grain)
+            os.makedirs(live, exist_ok=True)
+            for part in os.listdir(gdir):
+                if not part.startswith("_d="):
+                    continue
+                target = os.path.join(live, part)
+                shutil.rmtree(target, ignore_errors=True)
+                os.rename(os.path.join(gdir, part), target)
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        if epoch in self._commits():
+            return
+        os.makedirs(self.epoch_root, exist_ok=True)
+        edir = os.path.join(self.epoch_root, f"epoch={epoch}")
+        for d in os.listdir(self.epoch_root):  # stale crashed attempts
+            if d != f"epoch={epoch}":
+                shutil.rmtree(os.path.join(self.epoch_root, d),
+                              ignore_errors=True)
+        marker = os.path.join(edir, "_STAGED")
+        if not os.path.exists(marker):
+            shutil.rmtree(edir, ignore_errors=True)
+            self._stage(batch_df.sparkSession, batch_df, edir)
+            os.makedirs(edir, exist_ok=True)
+            tmp = marker + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write("staged\n")
+            os.replace(tmp, marker)
+        self._swap(edir)
+        with open(self.commit_path, "a", encoding="utf-8") as fh:
+            fh.write(f"{epoch}\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        shutil.rmtree(edir, ignore_errors=True)
+
+
+def start_cascade_maintenance(events: DataFrame, path: str,
+                              checkpoint: str, trigger_seconds: int = 1):
+    """writeStream wiring: a (ts, event_type, value) event stream
+    maintains the persisted grain tables exactly-once per micro-batch."""
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(CascadeMaintenanceSink(path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
 
 
 # Direct (non-cascaded) aggregation at every grain — equality proves

@@ -113,6 +113,73 @@ def test_cascade_append_equals_full_recompute(spark, sf_dir, tmp_path):
         assert got == want, grain
 
 
+def test_cascade_sink_exactly_once_and_crash_replay(spark, sf_dir, tmp_path):
+    """Round 9: the stage/swap/commit protocol that makes the
+    non-idempotent grain merge exactly-once under foreachBatch replay.
+    (a) replaying a COMMITTED epoch is a no-op (no double merge);
+    (b) a crash between stage and swap replays by swapping the staged
+    post-state without recomputing from the (still untouched) live
+    tables; (c) stale scratch from another epoch's crashed attempt is
+    cleared; final tables equal a full recompute over both batches."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        CascadeMaintenanceSink,
+        cascade_grains,
+        read_grain,
+    )
+
+    path = str(tmp_path / "casc_sink")
+    sink = CascadeMaintenanceSink(path)
+    ev = load_table(spark, sf_dir, "events")
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 != 0)
+
+    def snap():
+        return {
+            g: {
+                (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+                for r in read_grain(spark, path, g).collect()
+            }
+            for g in ("minute", "hour", "day")
+        }
+
+    sink(b0, 0)
+    s0 = snap()
+    sink(b0, 0)  # Spark restart replays the last epoch
+    assert snap() == s0
+
+    class CrashMidSwap(Exception):
+        pass
+
+    def dying_swap(self, edir):
+        raise CrashMidSwap()
+
+    orig_swap = CascadeMaintenanceSink._swap
+    CascadeMaintenanceSink._swap = dying_swap
+    try:
+        with pytest.raises(CrashMidSwap):
+            sink(b1, 1)
+    finally:
+        CascadeMaintenanceSink._swap = orig_swap
+    assert snap() == s0  # live tables untouched by the crashed attempt
+    # a crashed attempt of some OTHER epoch left junk scratch behind
+    os.makedirs(os.path.join(path, "_epochs", "epoch=99"), exist_ok=True)
+    sink(b1, 1)  # replay: marker present -> swap staged state, commit
+    assert not os.path.isdir(os.path.join(path, "_epochs", "epoch=99"))
+    assert not os.path.isdir(os.path.join(path, "_epochs", "epoch=1"))
+
+    full = cascade_grains(spark, sf_dir)
+    got = snap()
+    for g in ("minute", "hour", "day"):
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in full[g].collect()
+        }
+        assert got[g] == want, g
+
+
 def test_cascade_null_edges(spark, tmp_path):
     """NULL timestamps form their own bucket at every grain; NULL
     event_type groups; all-NULL value groups stay NULL (not 0.0)

@@ -651,6 +651,38 @@ def test_streaming_interval_join_matches_batch_twin(
     assert got == want and len(want) > 0
 
 
+def test_cascade_maintenance_stream(spark, sf_dir, events_stream_feed, tmp_path):
+    """Round 9: the continuous-aggregate maintenance flow end to end —
+    the events stream maintains the persisted minute/hour/day grain
+    tables through foreachBatch(CascadeMaintenanceSink) across many
+    micro-batches, and the final tables equal a full batch recompute
+    bit-exactly (decimal sums make merge generations exact)."""
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        cascade_grains,
+        read_grain,
+        start_cascade_maintenance,
+    )
+
+    path = str(tmp_path / "casc_tables")
+    q = start_cascade_maintenance(
+        _events_stream(spark, events_stream_feed, batch_size=200),
+        path,
+        str(tmp_path / "casc_ckpt"),
+    )
+    _drain(q)
+    full = cascade_grains(spark, sf_dir)
+    for g in ("minute", "hour", "day"):
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in read_grain(spark, path, g).collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in full[g].collect()
+        }
+        assert got == want and got, g
+
+
 def test_streaming_interval_join_state_is_bounded(spark, events_stream_feed):
     """Round 9: the range join's STREAMABILITY claim is load-bearing,
     not just plan-shaped — the watermarks plus the w_start<=p_ts<w_end
