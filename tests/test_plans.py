@@ -384,3 +384,21 @@ def test_semantic_dedup_join_is_equi(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, "all-pairs join"
     assert "BroadcastNestedLoopJoin" not in plan, "all-pairs join"
+
+
+def test_time_windows_range_leg_is_bucket_equi_join(spark, sf_dir):
+    """Round 9: the error_window leg joins two events-sized relations —
+    if the bucket equi-key is ever lost, Spark's only plan for the
+    pure-inequality condition is BroadcastNestedLoopJoin, the exact
+    O(N x M) shape the operator exists to avoid. time_windows has no
+    sanctioned 1-row guard crossJoins, so the ban can be absolute for
+    this query, plus the positive claim: a hash/sort-merge join keyed
+    on the bucket."""
+    # simple mode keeps the join keys on the node line
+    plan = _plan(spark, sf_dir, "time_windows", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, "range leg lost its bucket"
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if ("HashJoin" in ln or "SortMergeJoin" in ln) and "_bucket" in ln
+    ]
+    assert join_lines, plan
