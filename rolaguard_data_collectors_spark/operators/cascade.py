@@ -146,24 +146,17 @@ def read_grain(spark: SparkSession, path: str, grain: str) -> DataFrame:
     return spark.read.parquet(f"{path}/{grain}").drop("_d")
 
 
-def cascade_append(spark: SparkSession, path: str,
-                   new_events: DataFrame) -> list[str]:
-    """Merge a micro-batch of events into the persisted cascade:
-    aggregate the batch to minute partials, merge into the touched
-    minute day-partitions (dynamic partition overwrite — untouched
-    directories keep their exact files), then re-derive the touched
-    hour and day partitions from the updated coarser-by-one grain.
-    Returns the touched day keys, sorted.
-
-    Cost shape at 100 TB: O(batch) + O(touched days), never O(table) —
-    the re-derive scans are PartitionFilters reads of the touched
-    directories only, and each localCheckpoint is bounded by the
-    touched days' row counts. The staged (eager) checkpoints are
-    load-bearing twice over: they cut the written plan's lineage out
-    of the path being overwritten (Spark refuses an overwrite whose
-    plan still reads the target), and they pin ONE evaluation of the
-    merge the touched-day collect and the write both use."""
-    ev = new_events.select("ts", "event_type", "value")
+def _stage_batch(spark: SparkSession, batch_df: DataFrame, edir: str,
+                 live_root: str) -> list[str]:
+    """Compute the complete POST-state of every day partition the
+    batch touches, at all three grains, into ``edir``: minute merged
+    from the LIVE minute table + the batch partials, hour re-derived
+    from the STAGED minute, day from the staged hour. Returns the
+    touched day keys, sorted. O(batch) + O(touched days), never
+    O(table): the live read is a PartitionFilters scan of the touched
+    directories only (verified against the plan), and the one eager
+    checkpoint is bounded by the batch's minute-group count."""
+    ev = batch_df.select("ts", "event_type", "value")
     batch_minute = _with_day(
         ev.groupBy(
             F.date_trunc("minute", "ts").alias("window_start"), "event_type"
@@ -175,33 +168,72 @@ def cascade_append(spark: SparkSession, path: str,
     touched = sorted(
         r["_d"] for r in batch_minute.select("_d").distinct().collect()
     )
-
-    def merge_and_overwrite(updated: DataFrame, grain: str) -> None:
-        updated.localCheckpoint().write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_d").parquet(f"{path}/{grain}")
-
-    minute_old = spark.read.parquet(f"{path}/minute").where(
-        F.col("_d").isin(touched)
+    if not touched:
+        return touched
+    live_minute = os.path.join(live_root, "minute")
+    merged = batch_minute
+    if os.path.isdir(live_minute):
+        merged = spark.read.parquet(live_minute).where(
+            F.col("_d").isin(touched)
+        ).unionByName(batch_minute)
+    merged = merged.groupBy("window_start", "event_type", "_d").agg(
+        F.sum("n_events").alias("n_events"), F.sum("_sv").alias("_sv")
     )
-    merge_and_overwrite(
-        minute_old.unionByName(batch_minute)
-        .groupBy("window_start", "event_type", "_d")
-        .agg(F.sum("n_events").alias("n_events"), F.sum("_sv").alias("_sv")),
-        "minute",
+    merged.write.mode("overwrite").partitionBy("_d").parquet(
+        os.path.join(edir, "minute")
     )
     for src, dst, trunc in (("minute", "hour", "hour"), ("hour", "day", "day")):
         upd = (
-            spark.read.parquet(f"{path}/{src}")
-            .where(F.col("_d").isin(touched))
+            spark.read.parquet(os.path.join(edir, src))
             .groupBy(
                 F.date_trunc(trunc, "window_start").alias("window_start"),
                 "event_type",
                 "_d",
             )
-            .agg(F.sum("n_events").alias("n_events"), F.sum("_sv").alias("_sv"))
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("_sv").alias("_sv"))
         )
-        merge_and_overwrite(upd, dst)
+        upd.write.mode("overwrite").partitionBy("_d").parquet(
+            os.path.join(edir, dst)
+        )
+    return touched
+
+
+def _swap_staged(edir: str, live_root: str,
+                 grains: tuple[str, ...] = ("minute", "hour", "day")) -> None:
+    """Move each staged ``_d=`` directory over its live counterpart.
+    Idempotent: re-running after a crash mid-swap finishes the
+    partitions still present in the scratch (already-swapped ones are
+    gone from it), and the staged content is the correct post-state
+    regardless of which swaps already happened."""
+    for grain in grains:
+        gdir = os.path.join(edir, grain)
+        if not os.path.isdir(gdir):
+            continue
+        live = os.path.join(live_root, grain)
+        os.makedirs(live, exist_ok=True)
+        for part in os.listdir(gdir):
+            if not part.startswith("_d="):
+                continue
+            target = os.path.join(live, part)
+            shutil.rmtree(target, ignore_errors=True)
+            os.rename(os.path.join(gdir, part), target)
+
+
+def cascade_append(spark: SparkSession, path: str,
+                   new_events: DataFrame) -> list[str]:
+    """Merge a micro-batch of events into the persisted cascade —
+    the one-shot batch-backfill flow (for exactly-once streaming
+    maintenance use CascadeMaintenanceSink, which adds the epoch
+    commit log on the same stage/swap). Stages the touched partitions'
+    post-state into a scratch dir first, then swaps — a crash before
+    the swap leaves the live tables untouched; untouched partitions
+    keep their exact files. Returns the touched day keys, sorted."""
+    edir = os.path.join(path, "_stage_tmp")
+    shutil.rmtree(edir, ignore_errors=True)
+    touched = _stage_batch(spark, new_events, edir, path)
+    _swap_staged(edir, path)
+    shutil.rmtree(edir, ignore_errors=True)
     return touched
 
 
@@ -262,63 +294,10 @@ class CascadeMaintenanceSink:
 
     def _stage(self, spark: SparkSession, batch_df: DataFrame,
                edir: str) -> None:
-        ev = batch_df.select("ts", "event_type", "value")
-        batch_minute = _with_day(
-            ev.groupBy(
-                F.date_trunc("minute", "ts").alias("window_start"),
-                "event_type",
-            ).agg(
-                F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast(VALUE_DECIMAL)).alias("_sv"),
-            )
-        ).localCheckpoint()
-        touched = [
-            r["_d"] for r in batch_minute.select("_d").distinct().collect()
-        ]
-        if not touched:
-            return
-        live_minute = os.path.join(self.path, "minute")
-        merged = batch_minute
-        if os.path.isdir(live_minute):
-            old = spark.read.parquet(live_minute).where(
-                F.col("_d").isin(touched)
-            )
-            merged = old.unionByName(batch_minute)
-        merged = merged.groupBy("window_start", "event_type", "_d").agg(
-            F.sum("n_events").alias("n_events"), F.sum("_sv").alias("_sv")
-        )
-        merged.write.mode("overwrite").partitionBy("_d").parquet(
-            os.path.join(edir, "minute")
-        )
-        for src, dst, trunc in (("minute", "hour", "hour"),
-                                ("hour", "day", "day")):
-            upd = (
-                spark.read.parquet(os.path.join(edir, src))
-                .groupBy(
-                    F.date_trunc(trunc, "window_start").alias("window_start"),
-                    "event_type",
-                    "_d",
-                )
-                .agg(F.sum("n_events").alias("n_events"),
-                     F.sum("_sv").alias("_sv"))
-            )
-            upd.write.mode("overwrite").partitionBy("_d").parquet(
-                os.path.join(edir, dst)
-            )
+        _stage_batch(spark, batch_df, edir, self.path)
 
     def _swap(self, edir: str) -> None:
-        for grain in self.GRAINS:
-            gdir = os.path.join(edir, grain)
-            if not os.path.isdir(gdir):
-                continue
-            live = os.path.join(self.path, grain)
-            os.makedirs(live, exist_ok=True)
-            for part in os.listdir(gdir):
-                if not part.startswith("_d="):
-                    continue
-                target = os.path.join(live, part)
-                shutil.rmtree(target, ignore_errors=True)
-                os.rename(os.path.join(gdir, part), target)
+        _swap_staged(edir, self.path, self.GRAINS)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
