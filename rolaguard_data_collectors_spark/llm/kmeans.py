@@ -186,15 +186,15 @@ def ivf_index_append(spark: SparkSession, path: str,
     existing member route to the member's own cell by construction
     (identical vector -> identical nearest centroid), which is what
     makes append + per-cell re-dedup an EXACT incremental SemDeDup.
-    Float postings only — a quantized index would also need the scales
-    codebook applied here; refused loudly like
-    semantic_dedup_from_index."""
+    A QUANTIZED index appends codes instead: routing still happens on
+    the float vector (the centroids are floats), then the PERSISTED
+    scales codebook quantizes the payload — appending with the
+    build-time scales is the correct incremental behavior (the scales
+    are part of the frozen codebook until a retrain, exactly like the
+    centroids), so appended codes are bit-identical to what the
+    original builder would have produced for the same vectors."""
     posts_path = path + "/postings"
-    if "v" not in spark.read.parquet(posts_path).columns:
-        raise ValueError(
-            "ivf_index_append needs float postings (persist_ivf_index("
-            "quantize=False)); quantized postings carry codes"
-        )
+    quantized = "v" not in spark.read.parquet(posts_path).columns
     cents = (
         spark.read.parquet(path + "/centroids.parquet")
         .orderBy("cluster")
@@ -204,7 +204,20 @@ def ivf_index_append(spark: SparkSession, path: str,
     assigned = _assign(
         new_vectors.select("vec_id", "v").where(F.col("v").isNotNull()),
         centroids,
-    ).select("vec_id", "v", "cluster")
+    )
+    if quantized:
+        from .similarity import _quant_expr
+
+        scales = [
+            float(s)
+            for s in spark.read.parquet(path + "/scales.parquet")
+            .collect()[0]["scales"]
+        ]
+        assigned = assigned.select(
+            "vec_id", _quant_expr("v", scales).alias("codes"), "cluster"
+        )
+    else:
+        assigned = assigned.select("vec_id", "v", "cluster")
     # Touched cells collected from the SAME materialization the write
     # will use: stage it so routing can't diverge between the two.
     assigned = assigned.localCheckpoint()

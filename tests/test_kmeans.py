@@ -180,14 +180,42 @@ def test_semantic_dedup_from_index_matches_and_prunes(spark, sf_dir, tmp_path):
     persist_ivf_index(spark, sf_dir, qpath, k=K, iters=1, quantize=True)
     with pytest.raises(ValueError, match="float postings"):
         semantic_dedup_from_index(spark, qpath)
-    from rolaguard_data_collectors_spark.llm.kmeans import ivf_index_append
 
-    with pytest.raises(ValueError, match="float postings"):
-        ivf_index_append(
-            spark, qpath, spark.createDataFrame(
-                [(1, [0.0])], "vec_id long, v array<double>"
-            )
-        )
+
+def test_ivf_index_append_quantized_codes_match_builder(spark, sf_dir, tmp_path):
+    """Round 9: appending to a QUANTIZED index routes on the float
+    vector but persists codes quantized with the index's frozen scales
+    codebook — bit-identical to what the original builder produced for
+    the same vectors (append a copy of every existing vector under a
+    shifted id and compare code arrays cell by cell)."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        _emb,
+        ivf_index_append,
+        persist_ivf_index,
+    )
+
+    qpath = str(tmp_path / "ivf_qapp")
+    persist_ivf_index(spark, sf_dir, qpath, k=K, iters=1, quantize=True)
+    base = {
+        (r["cluster"], r["vec_id"]): list(r["codes"])
+        for r in spark.read.parquet(qpath + "/postings").collect()
+    }
+    emb = _emb(spark, sf_dir)
+    shift = 1_000_000
+    ivf_index_append(
+        spark, qpath,
+        emb.select((F.col("vec_id") + shift).alias("vec_id"), "v"),
+    )
+    after = {
+        (r["cluster"], r["vec_id"]): list(r["codes"])
+        for r in spark.read.parquet(qpath + "/postings").collect()
+    }
+    appended = {k: v for k, v in after.items() if k[1] >= shift}
+    assert len(appended) == len(base) and len(after) == 2 * len(base)
+    for (cluster, vid), codes in appended.items():
+        assert base[(cluster, vid - shift)] == codes, (cluster, vid)
 
 
 def test_semantic_dedup_incremental_cell_sweep(spark, sf_dir, tmp_path):
