@@ -180,6 +180,33 @@ def test_cascade_sink_exactly_once_and_crash_replay(spark, sf_dir, tmp_path):
         assert got[g] == want, g
 
 
+def test_cascade_sink_null_timestamp_partition(spark, tmp_path):
+    """NULL-timestamp events flow through the maintenance sink into
+    the explicit __null__ day partition and merge across epochs like
+    any other bucket (the sentinel keeps them out of Hive's default-
+    partition spelling)."""
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        _NULL_DAY,
+        CascadeMaintenanceSink,
+        read_grain,
+    )
+
+    path = str(tmp_path / "casc_null")
+    sink = CascadeMaintenanceSink(path)
+    schema = "ts timestamp, event_type string, value double"
+    t = datetime.datetime(2023, 7, 1, 10, 0, 30)
+    sink(spark.createDataFrame([(t, "click", 1.0), (None, "x", 2.0)], schema), 0)
+    sink(spark.createDataFrame([(None, "x", 3.5), (None, None, 1.0)], schema), 1)
+    assert os.path.isdir(os.path.join(path, "day", f"_d={_NULL_DAY}"))
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], float(r["_sv"]))
+        for r in read_grain(spark, path, "day").collect()
+    }
+    assert got[(None, "x")] == (2, 5.5)       # merged across epochs
+    assert got[(None, None)] == (1, 1.0)      # NULL type group intact
+    assert got[(datetime.datetime(2023, 7, 1), "click")] == (1, 1.0)
+
+
 def test_cascade_null_edges(spark, tmp_path):
     """NULL timestamps form their own bucket at every grain; NULL
     event_type groups; all-NULL value groups stay NULL (not 0.0)
