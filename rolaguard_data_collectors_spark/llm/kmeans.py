@@ -28,6 +28,9 @@ exact-search degeneracy).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -193,8 +196,24 @@ def ivf_index_append(spark: SparkSession, path: str,
     are part of the frozen codebook until a retrain, exactly like the
     centroids), so appended codes are bit-identical to what the
     original builder would have produced for the same vectors."""
-    posts_path = path + "/postings"
-    quantized = "v" not in spark.read.parquet(posts_path).columns
+    # Touched cells collected from the SAME materialization the write
+    # will use: stage it so routing can't diverge between the two.
+    assigned = _route_for_index(spark, path, new_vectors).localCheckpoint()
+    touched = sorted(
+        r["cluster"] for r in assigned.select("cluster").distinct().collect()
+    )
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        path + "/postings"
+    )
+    return touched
+
+
+def _route_for_index(spark: SparkSession, path: str,
+                     new_vectors: DataFrame) -> DataFrame:
+    """(vec_id, payload, cluster) rows routed against a persisted
+    index's codebook, payload matching the index's posting schema
+    (float vector or quantized codes)."""
+    quantized = "v" not in spark.read.parquet(path + "/postings").columns
     cents = (
         spark.read.parquet(path + "/centroids.parquet")
         .orderBy("cluster")
@@ -213,19 +232,107 @@ def ivf_index_append(spark: SparkSession, path: str,
             for s in spark.read.parquet(path + "/scales.parquet")
             .collect()[0]["scales"]
         ]
-        assigned = assigned.select(
+        return assigned.select(
             "vec_id", _quant_expr("v", scales).alias("codes"), "cluster"
         )
-    else:
-        assigned = assigned.select("vec_id", "v", "cluster")
-    # Touched cells collected from the SAME materialization the write
-    # will use: stage it so routing can't diverge between the two.
-    assigned = assigned.localCheckpoint()
-    touched = sorted(
-        r["cluster"] for r in assigned.select("cluster").distinct().collect()
-    )
-    assigned.write.mode("append").partitionBy("cluster").parquet(posts_path)
-    return touched
+    return assigned.select("vec_id", "v", "cluster")
+
+
+class IvfAppendSink:
+    """foreachBatch target: EXACTLY-ONCE streaming appends into a
+    persisted IVF index. A bare ``ivf_index_append`` is not idempotent
+    (replaying a micro-batch duplicates postings), so the sink uses
+    the repo's stage/marker/move/commit recipe, in its append-only
+    variant (cf. CascadeMaintenanceSink's swap variant):
+
+    1. STAGE the routed batch as parquet under
+       ``<path>/_epochs/epoch=N/cluster=C/`` and write a ``_STAGED``
+       marker recording the touched cells (temp+rename);
+    2. MOVE each staged part file into its live posting directory
+       under an epoch-prefixed name — idempotent: a replay after a
+       crash mid-move moves only the files still in scratch;
+    3. COMMIT ``epoch,c1|c2|...`` to ``<path>/_commits`` (fsync), then
+       clear the scratch. Committed epochs are skipped on replay; the
+       commit log doubles as the changed-cells feed a downstream
+       incremental dedup sweep consumes (``committed()``)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.commit_path = os.path.join(path, "_commits")
+        self.epoch_root = os.path.join(path, "_epochs")
+
+    def committed(self) -> dict[int, list[int]]:
+        """epoch -> touched cluster ids, from the commit log. Torn
+        final lines parse as absent (the epoch will replay)."""
+        done: dict[int, list[int]] = {}
+        if not os.path.exists(self.commit_path):
+            return done
+        with open(self.commit_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    epoch_s, cells_s = line.split(",", 1)
+                    done[int(epoch_s)] = (
+                        [int(c) for c in cells_s.split("|")] if cells_s else []
+                    )
+                except ValueError:
+                    continue
+        return done
+
+    def _move(self, edir: str, epoch: int) -> None:
+        for d in os.listdir(edir):
+            if not d.startswith("cluster="):
+                continue
+            live = os.path.join(self.path, "postings", d)
+            os.makedirs(live, exist_ok=True)
+            src = os.path.join(edir, d)
+            for fn in os.listdir(src):
+                if not fn.startswith("part-"):
+                    continue
+                os.rename(
+                    os.path.join(src, fn),
+                    os.path.join(live, f"epoch{epoch}-{fn}"),
+                )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        if epoch in self.committed():
+            return
+        os.makedirs(self.epoch_root, exist_ok=True)
+        edir = os.path.join(self.epoch_root, f"epoch={epoch}")
+        for d in os.listdir(self.epoch_root):  # stale crashed attempts
+            if d != f"epoch={epoch}":
+                shutil.rmtree(os.path.join(self.epoch_root, d),
+                              ignore_errors=True)
+        marker = os.path.join(edir, "_STAGED")
+        if not os.path.exists(marker):
+            shutil.rmtree(edir, ignore_errors=True)
+            routed = _route_for_index(
+                batch_df.sparkSession, self.path, batch_df
+            ).localCheckpoint()
+            touched = sorted(
+                r["cluster"]
+                for r in routed.select("cluster").distinct().collect()
+            )
+            if touched:
+                routed.write.mode("overwrite").partitionBy(
+                    "cluster"
+                ).parquet(edir)
+            os.makedirs(edir, exist_ok=True)
+            tmp = marker + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write("|".join(str(c) for c in touched) + "\n")
+            os.replace(tmp, marker)
+        with open(marker, encoding="utf-8") as fh:
+            cells_s = fh.read().strip()
+        self._move(edir, epoch)
+        with open(self.commit_path, "a", encoding="utf-8") as fh:
+            fh.write(f"{epoch},{cells_s}\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        shutil.rmtree(edir, ignore_errors=True)
 
 
 def ivf_index_topk(spark: SparkSession, path: str, query: list[float],

@@ -5,6 +5,8 @@ brute-force query."""
 
 from __future__ import annotations
 
+import os
+
 from rolaguard_data_collectors_spark.llm.kmeans import (
     assign_clusters,
     ivf_topk,
@@ -282,3 +284,75 @@ def test_semantic_dedup_incremental_cell_sweep(spark, sf_dir, tmp_path):
     for sid in seed_ids:
         assert not any(v == sid for v, _ in changed)
     assert {v for v, _ in changed if v < 0} == {-i - 1 for i in seed_ids}
+
+
+def test_ivf_append_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Round 9: streaming appends into the persisted index must be
+    exactly-once under foreachBatch replay — a replayed committed
+    epoch adds nothing, a crash between stage and move leaves the live
+    postings untouched and the replay lands the rows exactly once, and
+    the commit log doubles as the changed-cells feed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        IvfAppendSink,
+        _emb,
+        _route_for_index,
+        persist_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_sink")
+    persist_ivf_index(spark, sf_dir, path, k=K, iters=1)
+    base_n = spark.read.parquet(path + "/postings").count()
+    emb = _emb(spark, sf_dir)
+    SH = 10_000_000
+    b0 = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + SH).alias("vec_id"), "v"
+    )
+    b1 = emb.where(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 2 * SH).alias("vec_id"), "v"
+    )
+    sink = IvfAppendSink(path)
+
+    def n_posts():
+        return spark.read.parquet(path + "/postings").count()
+
+    sink(b0, 0)
+    n1 = n_posts()
+    assert n1 == base_n + b0.count()
+    sink(b0, 0)  # Spark restart replays the committed epoch
+    assert n_posts() == n1
+
+    class CrashMidMove(Exception):
+        pass
+
+    def dying_move(self, edir, epoch):
+        raise CrashMidMove()
+
+    orig_move = IvfAppendSink._move
+    IvfAppendSink._move = dying_move
+    try:
+        with pytest.raises(CrashMidMove):
+            sink(b1, 1)
+    finally:
+        IvfAppendSink._move = orig_move
+    assert n_posts() == n1  # live untouched by the crashed attempt
+    sink(b1, 1)  # replay: marker present -> move staged files, commit
+    assert n_posts() == n1 + b1.count()
+    assert not os.path.isdir(os.path.join(path, "_epochs", "epoch=1"))
+
+    want_cells = sorted(
+        r["cluster"]
+        for r in _route_for_index(spark, path, b1)
+        .select("cluster").distinct().collect()
+    )
+    log = sink.committed()
+    assert sorted(log) == [0, 1] and log[1] == want_cells
+    # the appended rows are readable and correctly celled
+    got = {
+        r["vec_id"] % SH
+        for r in spark.read.parquet(path + "/postings")
+        .where(F.col("vec_id") >= 2 * SH).collect()
+    }
+    assert got == {r["vec_id"] for r in emb.where(F.col("vec_id") % 10 == 1).collect()}
