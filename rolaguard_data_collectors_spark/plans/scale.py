@@ -323,3 +323,51 @@ def skippable_fraction(
                 skipped += 1
                 break
     return skipped / len(stats)
+
+
+def compact_partitions(spark, root: str, max_files: int = 8,
+                       target_files: int = 1) -> list[str]:
+    """Small-files compaction for a hive-partitioned parquet table —
+    the lake maintenance every append sink eventually needs: each
+    micro-batch append (IvfAppendSink, the epoch-file postings;
+    CascadeMaintenanceSink before a partition goes cold) adds part
+    files, and thousands of KB-scale files per partition wreck both
+    scan planning (one task per file floor) and footer-stats skipping.
+
+    Rewrites ONLY partitions whose data-file count exceeds
+    ``max_files``, to ``target_files`` files each, content-identical.
+    Stage-then-swap: every compacted partition is fully written under
+    ``<root>/_compact_tmp`` BEFORE any live directory is touched (a
+    crash during staging leaves the table untouched; the underscore
+    prefix keeps Spark's partition discovery from seeing the scratch),
+    then each is swapped in with the same rmtree+rename the cascade
+    maintenance uses. Returns the compacted partition names.
+
+    At 100 TB this runs per-partition-parallel from an orchestrator;
+    here it is sequential per partition but each rewrite is a
+    distributed read+write. ``target_files`` sizes the rewrite
+    (ceil(partition_bytes / desired_file_size) at scale)."""
+    import os
+    import shutil
+
+    scratch = os.path.join(root, "_compact_tmp")
+    shutil.rmtree(scratch, ignore_errors=True)
+    todo = []
+    for d in sorted(os.listdir(root)):
+        p = os.path.join(root, d)
+        if "=" not in d or not os.path.isdir(p):
+            continue
+        n = sum(1 for f in os.listdir(p) if f.startswith("part-")
+                or f.startswith("epoch"))
+        if n > max_files:
+            todo.append(d)
+    for d in todo:
+        spark.read.parquet(os.path.join(root, d)).coalesce(
+            target_files
+        ).write.mode("overwrite").parquet(os.path.join(scratch, d))
+    for d in todo:
+        live = os.path.join(root, d)
+        shutil.rmtree(live)
+        os.rename(os.path.join(scratch, d), live)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return todo

@@ -107,3 +107,59 @@ def test_scan_prunes_row_groups_on_zordered_layout(spark, sf_dir, tmp_path):
     expect = ev.filter(pred).agg(F.count("*"), F.sum("event_id")).first()
     got = back.filter(pred).agg(F.count("*"), F.sum("event_id")).first()
     assert tuple(got) == tuple(expect)
+
+
+def test_compact_partitions_content_identical(spark, sf_dir, tmp_path):
+    """Round 9: small-files compaction over an append-accumulated IVF
+    posting table — rewritten partitions end at target_files files
+    with content identical row-for-row; partitions under the threshold
+    keep their exact files; scratch is gone afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        _emb,
+        ivf_index_append,
+        persist_ivf_index,
+    )
+    from rolaguard_data_collectors_spark.plans.scale import compact_partitions
+
+    path = str(tmp_path / "ivf_c")
+    persist_ivf_index(spark, sf_dir, path, k=6, iters=1)
+    emb = _emb(spark, sf_dir)
+    for i in range(5):
+        ivf_index_append(
+            spark, path,
+            emb.where(F.col("vec_id") % 5 == i).select(
+                (F.col("vec_id") + (i + 1) * 10_000_000).alias("vec_id"), "v"
+            ),
+        )
+    posts = path + "/postings"
+
+    def snapshot():
+        return sorted(
+            (r["vec_id"], r["cluster"], tuple(r["v"]))
+            for r in spark.read.parquet(posts).collect()
+        )
+
+    def files_of(d):
+        return sorted(
+            f for f in os.listdir(os.path.join(posts, d))
+            if f.startswith(("part-", "epoch"))
+        )
+
+    before = snapshot()
+    parts = [d for d in os.listdir(posts) if d.startswith("cluster=")]
+    before_files = {d: files_of(d) for d in parts}
+    MAXF = 3
+    compacted = compact_partitions(spark, posts, max_files=MAXF, target_files=1)
+    assert compacted, before_files  # the appends created small files
+    assert snapshot() == before
+    assert not os.path.exists(os.path.join(posts, "_compact_tmp"))
+    for d in parts:
+        if d in compacted:
+            assert len(files_of(d)) == 1, d
+            assert len(before_files[d]) > MAXF
+        else:
+            assert files_of(d) == before_files[d], d
