@@ -180,6 +180,59 @@ def test_cascade_sink_exactly_once_and_crash_replay(spark, sf_dir, tmp_path):
         assert got[g] == want, g
 
 
+def test_cascade_sink_remaining_crash_windows(spark, sf_dir, tmp_path):
+    """Round 9: the two crash points the first protocol test doesn't
+    hit — mid-swap (some partitions already live, the rest still in
+    scratch) and after-swap-before-commit (scratch drained, commit
+    line missing). Both must replay to the exact full-recompute state."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        CascadeMaintenanceSink,
+        _swap_staged,
+        cascade_grains,
+        read_grain,
+    )
+
+    class Boom(Exception):
+        pass
+
+    class CrashMidSwap(CascadeMaintenanceSink):
+        def _swap(self, edir):
+            _swap_staged(edir, self.path, ("minute",))  # one grain only
+            raise Boom()
+
+    class CrashAfterSwap(CascadeMaintenanceSink):
+        def _swap(self, edir):
+            super()._swap(edir)
+            raise Boom()
+
+    path = str(tmp_path / "casc_crash")
+    ev = load_table(spark, sf_dir, "events")
+    batches = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    CascadeMaintenanceSink(path)(batches[0], 0)
+    with pytest.raises(Boom):
+        CrashMidSwap(path)(batches[1], 1)
+    CascadeMaintenanceSink(path)(batches[1], 1)  # replay finishes the swap
+    with pytest.raises(Boom):
+        CrashAfterSwap(path)(batches[2], 2)
+    CascadeMaintenanceSink(path)(batches[2], 2)  # replay only commits
+
+    full = cascade_grains(spark, sf_dir)
+    for g in ("minute", "hour", "day"):
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in read_grain(spark, path, g).collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in full[g].collect()
+        }
+        assert got == want, g
+
+
 def test_cascade_sink_null_timestamp_partition(spark, tmp_path):
     """NULL-timestamp events flow through the maintenance sink into
     the explicit __null__ day partition and merge across epochs like
