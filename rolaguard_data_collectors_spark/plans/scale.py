@@ -371,3 +371,39 @@ def compact_partitions(spark, root: str, max_files: int = 8,
         os.rename(os.path.join(scratch, d), live)
     shutil.rmtree(scratch, ignore_errors=True)
     return todo
+
+
+def expire_partitions(root: str, keep: "set[str] | None" = None,
+                      before: str | None = None,
+                      col: str = "_d") -> list[str]:
+    """Retention for a hive-partitioned table: drop whole partition
+    directories by name — the O(1)-per-partition delete that replaces
+    a full-table DELETE at 100 TB (no rewrite, no scan; the reason the
+    cascade/grain tables partition by day in the first place).
+
+    Either pass ``keep`` (explicit allow-list of partition values) or
+    ``before`` (drop every value lexicographically below it — correct
+    for the zero-padded ``yyyy-MM-dd`` day keys). Sentinel/NULL
+    partitions are never dropped by ``before`` (they don't order
+    against dates); list them in neither and they survive. Returns the
+    dropped partition names."""
+    import os
+    import shutil
+
+    dropped = []
+    prefix = f"{col}="
+    for d in sorted(os.listdir(root)):
+        if not d.startswith(prefix) or not os.path.isdir(os.path.join(root, d)):
+            continue
+        val = d[len(prefix):]
+        if keep is not None:
+            doomed = val not in keep
+        elif before is not None:
+            # only date-shaped values order against the cutoff
+            doomed = len(val) == 10 and val[4] == "-" and val < before
+        else:
+            raise ValueError("expire_partitions needs keep= or before=")
+        if doomed:
+            shutil.rmtree(os.path.join(root, d))
+            dropped.append(d)
+    return dropped

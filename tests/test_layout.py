@@ -163,3 +163,39 @@ def test_compact_partitions_content_identical(spark, sf_dir, tmp_path):
             assert len(before_files[d]) > MAXF
         else:
             assert files_of(d) == before_files[d], d
+
+
+def test_expire_partitions_day_retention(spark, sf_dir, tmp_path):
+    """Retention drops whole day directories below the cutoff, keeps
+    the NULL-sentinel partition, and the surviving table equals the
+    same grains filtered to the kept days."""
+    import datetime
+    import os
+
+    import pandas as pd
+
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        _NULL_DAY,
+        CascadeMaintenanceSink,
+        read_grain,
+    )
+    from rolaguard_data_collectors_spark.plans.scale import expire_partitions
+
+    # three days + a NULL-ts bucket through the maintenance sink
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(t0 + datetime.timedelta(days=d), "click", 1.0 + d) for d in range(3)]
+    rows.append((None, "x", 9.0))
+    path = str(tmp_path / "casc_ret")
+    sink = CascadeMaintenanceSink(path)
+    sink(spark.createDataFrame(rows, "ts timestamp, event_type string, value double"), 0)
+
+    droot = os.path.join(path, "day")
+    dropped = expire_partitions(droot, before="2024-03-02")
+    assert dropped == ["_d=2024-03-01"]
+    left = {r["window_start"] for r in read_grain(spark, path, "day").collect()}
+    assert left == {None, datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 3)}
+    # keep= allow-list form, sentinel listed explicitly
+    dropped2 = expire_partitions(droot, keep={"2024-03-03", _NULL_DAY})
+    assert dropped2 == ["_d=2024-03-02"]
+    left2 = {r["window_start"] for r in read_grain(spark, path, "day").collect()}
+    assert left2 == {None, datetime.datetime(2024, 3, 3)}
