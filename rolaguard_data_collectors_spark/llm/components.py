@@ -74,6 +74,20 @@ def candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_iter(df: DataFrame) -> DataFrame:
+    """Lineage cut for the iterative loop. localCheckpoint pins blocks
+    to EXECUTOR storage — fine on local[N] and the fastest option, but
+    on a real cluster a lost executor makes the truncated lineage
+    unrecoverable mid-loop. When the session has a RELIABLE checkpoint
+    directory configured (sc.setCheckpointDir to HDFS/object storage —
+    the standard iterative-job deployment step), use a true checkpoint
+    instead: rounds then survive executor loss."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def connected_components(
     edges: DataFrame, max_iters: int = 20, stats: dict | None = None
 ) -> DataFrame:
@@ -85,14 +99,14 @@ def connected_components(
     vertex, take it if smaller. Stops when no label changed (checked
     with ONE aggregate — the only driver-visible value per round)."""
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").localCheckpoint()
+    edges = _stage_iter(edges.select("src", "dst"))
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .union(edges.select(F.col("dst").alias("doc_id")))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
     )
+    labels = _stage_iter(labels)
     half = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if stats is not None:
         stats["rounds"] = 0
@@ -116,8 +130,8 @@ def connected_components(
                 .cast("int")
                 .alias("_chg"),
             )
-            .localCheckpoint()
         )
+        new_labels = _stage_iter(new_labels)
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = new_labels.drop("_chg")
         if changed == 0:

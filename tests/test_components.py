@@ -108,6 +108,28 @@ def test_oracle_rounds_parity_sf001(spark):
     assert r.ok and r.exact_match and r.dtypes_match, (r.detail, r.dtype_skews)
 
 
+def test_fixpoint_under_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """With a reliable checkpoint directory configured (the standard
+    iterative-job deployment step on a real cluster), the loop stages
+    through true checkpoints instead of executor-pinned
+    localCheckpoint — same labels, and the checkpoint dir actually
+    received data (the mode switch engaged)."""
+    import os
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        got = {
+            r.doc_id: r.cluster_id
+            for r in near_dup_clusters(spark, sf_dir).collect()
+        }
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    edges = [(r.src, r.dst) for r in candidate_edges(spark, sf_dir).collect()]
+    assert got == _union_find(edges)
+    assert any(files for _, _, files in os.walk(ckpt)), "checkpoint unused"
+
+
 def test_summary_counts(spark, sf_dir):
     total = near_dup_clusters(spark, sf_dir).count()
     summary = cluster_summary(spark, sf_dir).collect()
