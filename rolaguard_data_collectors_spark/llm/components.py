@@ -58,11 +58,15 @@ from ..registry import QuerySpec
 from .dedup import _band_assignments, minhash_signatures
 
 
-def candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def candidate_edges(spark: SparkSession, sf_dir: str,
+                    assign: DataFrame | None = None) -> DataFrame:
     """(src, dst) star edges from the LSH band buckets: every bucket
     member -> the bucket's min doc_id. src > dst always; singleton
-    buckets contribute nothing. Deduplicated across bands."""
-    assign = _band_assignments(minhash_signatures(spark, sf_dir))
+    buckets contribute nothing. Deduplicated across bands.
+    ``assign``: optional pre-built band assignments (shared-stage
+    callers; see ngram_jaccard_dedup)."""
+    if assign is None:
+        assign = _band_assignments(minhash_signatures(spark, sf_dir))
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket")
@@ -81,7 +85,12 @@ def _stage_iter(df: DataFrame) -> DataFrame:
     unrecoverable mid-loop. When the session has a RELIABLE checkpoint
     directory configured (sc.setCheckpointDir to HDFS/object storage —
     the standard iterative-job deployment step), use a true checkpoint
-    instead: rounds then survive executor loss."""
+    instead: rounds then survive executor loss. Reliable checkpoints
+    are permanent unless cleaned: session.py enables
+    spark.cleaner.referenceTracking.cleanCheckpoints so intermediate
+    rounds' data is deleted when their RDDs are GC'd (best-effort —
+    a retention policy on the checkpoint location is the deployment
+    backstop for sessions built elsewhere)."""
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
         return df.checkpoint(eager=True)
@@ -184,7 +193,16 @@ def ngram_jaccard_with_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
-    verify = ngram_jaccard_dedup(spark, sf_dir).select(
+    # ONE staged band-assignment subtree feeds BOTH the verify leg and
+    # the clustering's edge generation (round-9 review fix: the
+    # dominant MinHash/banding cost was paid twice; the oracle already
+    # shares it via MATERIALIZED sig/bands CTEs). The fixpoint's edge
+    # collect at build time materializes the checkpoint; the verify
+    # leg then reuses it at query materialization.
+    assign = _band_assignments(
+        minhash_signatures(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    verify = ngram_jaccard_dedup(spark, sf_dir, assign=assign).select(
         F.lit("verify").alias("leg"),
         "doc_id",
         "rep_id",
@@ -194,7 +212,7 @@ def ngram_jaccard_with_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near_dup_clusters' final frame is already localCheckpoint-ed by
     # the fixpoint loop, so the member and cluster legs share one
     # materialization.
-    labels = near_dup_clusters(spark, sf_dir)
+    labels = connected_components(candidate_edges(spark, sf_dir, assign=assign))
     member = labels.select(
         F.lit("member").alias("leg"),
         "doc_id",

@@ -189,7 +189,8 @@ WHERE d.doc_id % 2 = 1
 # --- blocked n-gram Jaccard near-dup ------------------------------------
 
 
-def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str,
+                        assign: DataFrame | None = None) -> DataFrame:
     """Exact token-set Jaccard near-dedup, verified against the LSH
     bucket REPRESENTATIVE — O(N) verifications, never O(pairs).
 
@@ -208,7 +209,14 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its representative: (doc_id, rep_id, jaccard) — the drop
     list of the dedup pass. Recall per band is J^2; across 4 bands
     1-(1-J^2)^4 ≈ 0.996 at the threshold; a doc whose smallest rep
-    fails the verify is kept (conservative, deterministic)."""
+    fails the verify is kept (conservative, deterministic).
+
+    ``assign``: optionally consume a pre-built (band, bucket, doc_id)
+    band-assignment frame — the registered slot shares ONE staged
+    assignment between this verify leg and the clustering legs
+    (llm/components.py), instead of rebuilding the dominant
+    MinHash/banding subtree twice (round-9 review fix; the DuckDB
+    oracle already shared it via MATERIALIZED CTEs)."""
     docs = _docs(spark, sf_dir)
     tok_arrays = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
@@ -217,7 +225,8 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join form rebuilt the signature subplan on both sides
     # (scanned the corpus twice more); the window computes reps in the
     # same shuffle that already partitions assignments by bucket.
-    assign = _band_assignments(minhash_signatures(spark, sf_dir))
+    if assign is None:
+        assign = _band_assignments(minhash_signatures(spark, sf_dir))
     w = Window.partitionBy("band", "bucket")
     cand = (
         assign.withColumn("rep", F.min("doc_id").over(w))

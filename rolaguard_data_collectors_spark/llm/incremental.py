@@ -370,10 +370,14 @@ class IngestDedupSink:
             )
         self._store_bloom(bits_arr.tobytes(), m, k, n_keys + n_new)
 
-        with open(self.commit_path, "a", encoding="utf-8") as fh:
-            fh.write(f"{epoch_id},{n_new}\n")
-            fh.flush()
-            os.fsync(fh.fileno())
+        # torn-previous-line self-healing append (commitlog.py): a bare
+        # append after a torn commit would concatenate the records and
+        # make the NEXT epoch vanish from accepted(). A torn line's own
+        # epoch prefix parsing as committed is safe here — every effect
+        # (keys parquet, bloom store) lands before the commit write.
+        from ..commitlog import append_commit_line
+
+        append_commit_line(self.commit_path, f"{epoch_id},{n_new}")
 
     def accepted(self, spark) -> DataFrame | None:
         """All rows admitted so far (committed epochs only)."""

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..commitlog import append_commit_line
 from ..portable_sql import hex32
 
 
@@ -251,7 +252,8 @@ class IvfAppendSink:
     2. MOVE each staged part file into its live posting directory
        under an epoch-prefixed name — idempotent: a replay after a
        crash mid-move moves only the files still in scratch;
-    3. COMMIT ``epoch,c1|c2|...`` to ``<path>/_commits`` (fsync), then
+    3. COMMIT ``epoch,c1|c2|...,end`` to ``<path>/_commits`` (fsync,
+       terminator-framed — see committed()), then
        clear the scratch. Committed epochs are skipped on replay; the
        commit log doubles as the changed-cells feed a downstream
        incremental dedup sweep consumes (``committed()``)."""
@@ -262,20 +264,28 @@ class IvfAppendSink:
         self.epoch_root = os.path.join(path, "_epochs")
 
     def committed(self) -> dict[int, list[int]]:
-        """epoch -> touched cluster ids, from the commit log. Torn
-        final lines parse as absent (the epoch will replay)."""
+        """epoch -> touched cluster ids, from the commit log. Records
+        carry a trailing ``,end`` terminator: unlike the cascade log's
+        bare monotone epochs, a TORN record here could otherwise parse
+        as a valid entry with a truncated cell list ('7,1|2|3' torn at
+        '7,1|2') and corrupt the changed-cells feed a downstream
+        incremental dedup sweep consumes (round-9 review fix). A line
+        without the terminator is treated as uncommitted — safe: the
+        commit is written only after the move completed, the scratch
+        (with its marker) is cleared only after the commit, so the
+        replay re-moves nothing and re-commits the full record."""
         done: dict[int, list[int]] = {}
         if not os.path.exists(self.commit_path):
             return done
         with open(self.commit_path, encoding="utf-8") as fh:
             for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
+                parts = line.strip().split(",")
+                if len(parts) != 3 or parts[2] != "end":
+                    continue  # torn/garbled: treated as uncommitted
                 try:
-                    epoch_s, cells_s = line.split(",", 1)
-                    done[int(epoch_s)] = (
-                        [int(c) for c in cells_s.split("|")] if cells_s else []
+                    done[int(parts[0])] = (
+                        [int(c) for c in parts[1].split("|")]
+                        if parts[1] else []
                     )
                 except ValueError:
                     continue
@@ -328,10 +338,7 @@ class IvfAppendSink:
         with open(marker, encoding="utf-8") as fh:
             cells_s = fh.read().strip()
         self._move(edir, epoch)
-        with open(self.commit_path, "a", encoding="utf-8") as fh:
-            fh.write(f"{epoch},{cells_s}\n")
-            fh.flush()
-            os.fsync(fh.fileno())
+        append_commit_line(self.commit_path, f"{epoch},{cells_s},end")
         shutil.rmtree(edir, ignore_errors=True)
 
 

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..commitlog import append_commit_line
 from ..registry import QuerySpec
 
 # One quantization of the input, shared by every grain and mirrored in
@@ -172,7 +173,14 @@ def _stage_batch(spark: SparkSession, batch_df: DataFrame, edir: str,
         return touched
     live_minute = os.path.join(live_root, "minute")
     merged = batch_minute
-    if os.path.isdir(live_minute):
+    # content check, not isdir (round-9 review fix): expire_partitions
+    # can legitimately empty the table, leaving a partition-less
+    # directory that spark.read.parquet cannot infer a schema from —
+    # which would wedge every replay of the next epoch.
+    has_live = os.path.isdir(live_minute) and any(
+        x.startswith("_d=") for x in os.listdir(live_minute)
+    )
+    if has_live:
         merged = spark.read.parquet(live_minute).where(
             F.col("_d").isin(touched)
         ).unionByName(batch_minute)
@@ -319,10 +327,14 @@ class CascadeMaintenanceSink:
                 fh.write("staged\n")
             os.replace(tmp, marker)
         self._swap(edir)
-        with open(self.commit_path, "a", encoding="utf-8") as fh:
-            fh.write(f"{epoch}\n")
-            fh.flush()
-            os.fsync(fh.fileno())
+        # torn-previous-line self-healing append (see commitlog.py):
+        # a bare append after a torn commit would concatenate epochs
+        # ('7' + '8\n' -> '78\n') and later silently SKIP real epoch 78.
+        # A torn line that parses as a bare int is safe to accept as
+        # committed: epochs are monotone, the commit is written only
+        # after the swap completed, and any torn prefix of epoch N
+        # parses as some already-committed earlier epoch.
+        append_commit_line(self.commit_path, str(epoch))
         shutil.rmtree(edir, ignore_errors=True)
 
 

@@ -346,12 +346,40 @@ def compact_partitions(spark, root: str, max_files: int = 8,
     At 100 TB this runs per-partition-parallel from an orchestrator;
     here it is sequential per partition but each rewrite is a
     distributed read+write. ``target_files`` sizes the rewrite
-    (ceil(partition_bytes / desired_file_size) at scale)."""
+    (ceil(partition_bytes / desired_file_size) at scale).
+
+    Crash-safe through the swap too (round-9 review fix): a ``_SWAP``
+    marker is published (temp+rename) once EVERY rewrite is fully
+    staged, and only then do live directories get touched. On entry,
+    a surviving marker means a previous run died mid-swap — the swap
+    is FINISHED from the surviving scratch (whose content is the
+    correct compaction of the pre-swap live data; already-swapped
+    partitions are simply gone from scratch) before any new staging
+    deletes it. Without the marker, scratch is an incomplete stage and
+    the live table is untouched, so dropping it is safe."""
     import os
     import shutil
 
     scratch = os.path.join(root, "_compact_tmp")
+    marker = os.path.join(scratch, "_SWAP")
+
+    def _finish_swap() -> list[str]:
+        done = []
+        for d in sorted(os.listdir(scratch)):
+            if "=" not in d or not os.path.isdir(os.path.join(scratch, d)):
+                continue
+            live = os.path.join(root, d)
+            shutil.rmtree(live, ignore_errors=True)
+            os.rename(os.path.join(scratch, d), live)
+            done.append(d)
+        shutil.rmtree(scratch, ignore_errors=True)
+        return done
+
+    recovered: list[str] = []
+    if os.path.exists(marker):
+        recovered = _finish_swap()  # crashed mid-swap: scratch is truth
     shutil.rmtree(scratch, ignore_errors=True)
+
     todo = []
     for d in sorted(os.listdir(root)):
         p = os.path.join(root, d)
@@ -365,12 +393,14 @@ def compact_partitions(spark, root: str, max_files: int = 8,
         spark.read.parquet(os.path.join(root, d)).coalesce(
             target_files
         ).write.mode("overwrite").parquet(os.path.join(scratch, d))
-    for d in todo:
-        live = os.path.join(root, d)
-        shutil.rmtree(live)
-        os.rename(os.path.join(scratch, d), live)
-    shutil.rmtree(scratch, ignore_errors=True)
-    return todo
+    if todo:
+        os.makedirs(scratch, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("staged\n")
+        os.replace(tmp, marker)
+        _finish_swap()
+    return sorted(set(recovered) | set(todo))
 
 
 def expire_partitions(root: str, keep: "set[str] | None" = None,
@@ -390,6 +420,11 @@ def expire_partitions(root: str, keep: "set[str] | None" = None,
     import os
     import shutil
 
+    if keep is None and before is None:
+        # validate up front (round-9 review fix): a root with no
+        # matching partitions must not mask a forgotten keep=/before=
+        # (or a misspelled col=) as 'nothing to expire'
+        raise ValueError("expire_partitions needs keep= or before=")
     dropped = []
     prefix = f"{col}="
     for d in sorted(os.listdir(root)):
@@ -398,11 +433,9 @@ def expire_partitions(root: str, keep: "set[str] | None" = None,
         val = d[len(prefix):]
         if keep is not None:
             doomed = val not in keep
-        elif before is not None:
+        else:
             # only date-shaped values order against the cutoff
             doomed = len(val) == 10 and val[4] == "-" and val < before
-        else:
-            raise ValueError("expire_partitions needs keep= or before=")
         if doomed:
             shutil.rmtree(os.path.join(root, d))
             dropped.append(d)

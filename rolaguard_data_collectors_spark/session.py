@@ -90,6 +90,14 @@ def get_spark(
         # wide binary rows, size this to rows-per-batch x row-width ~
         # tens of MB per in-flight batch per core.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Reliable checkpoints (the iterative fixpoint's cluster mode,
+        # llm/components._stage_iter) are permanent by default — a
+        # scheduled job would accrete one full-frame snapshot per
+        # propagation round per run forever. This makes Spark's
+        # ContextCleaner delete checkpoint data once the owning RDD is
+        # GC'd (best-effort; retention on the checkpoint bucket remains
+        # the deployment backstop).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if profile == "local":
         builder = (

@@ -26,6 +26,7 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..commitlog import append_commit_line
 from ..schemas import PACKET_COLUMNS
 
 RAW_MESSAGE_CAP = 4096  # TTNCollector.py:218, TTNv3Collector.py:246
@@ -110,22 +111,25 @@ class QueueFileSink:
         self.epoch_root = out_path + ".epochs"
 
     def _commits(self) -> dict[int, int]:
-        """epoch -> end offset after that epoch's append. A torn final
-        line (crash mid-commit-write) parses as absent: the epoch will
-        re-publish idempotently."""
+        """epoch -> end offset after that epoch's append. Records carry
+        a trailing ``,end`` terminator (round-9 review fix): a commit
+        torn MID-NUMBER ('7,123' torn at '7,12') would otherwise parse
+        as a committed epoch at a WRONG offset, and the next epoch's
+        truncate(base) would wipe published rows. A line without the
+        terminator is treated as uncommitted: the epoch re-publishes
+        idempotently (truncate back to the last good offset)."""
         commits: dict[int, int] = {}
         if not os.path.exists(self.commit_path):
             return commits
         with open(self.commit_path, encoding="utf-8") as fh:
             for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
+                parts = line.strip().split(",")
+                if len(parts) != 3 or parts[2] != "end":
+                    continue  # torn/garbled write: treat as uncommitted
                 try:
-                    epoch_s, end_s = line.split(",", 1)
-                    commits[int(epoch_s)] = int(end_s)
+                    commits[int(parts[0])] = int(parts[1])
                 except ValueError:
-                    continue  # torn write: treat as uncommitted
+                    continue
         return commits
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -158,10 +162,7 @@ class QueueFileSink:
             fh.flush()
             os.fsync(fh.fileno())
             end = fh.tell()
-        with open(self.commit_path, "a", encoding="utf-8") as fh:
-            fh.write(f"{epoch_id},{end}\n")
-            fh.flush()
-            os.fsync(fh.fileno())
+        append_commit_line(self.commit_path, f"{epoch_id},{end},end")
         shutil.rmtree(epoch_dir, ignore_errors=True)
 
 

@@ -233,6 +233,46 @@ def test_cascade_sink_remaining_crash_windows(spark, sf_dir, tmp_path):
         assert got == want, g
 
 
+def test_cascade_commit_log_torn_tail_heals(spark, sf_dir, tmp_path):
+    """Round-9 review fix: a commit line torn at its newline must stay
+    ISOLATED when the next epoch appends — a bare append would fuse
+    '0' + '1' into a spurious committed epoch 01 and later epoch 1...
+    (worse: real future epochs get skipped unmerged). The torn bare-int
+    line itself parses as committed, which is safe: the cascade commit
+    is written only after the swap completed."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        CascadeMaintenanceSink,
+        cascade_grains,
+        read_grain,
+    )
+
+    path = str(tmp_path / "casc_torn")
+    sink = CascadeMaintenanceSink(path)
+    ev = load_table(spark, sf_dir, "events")
+    sink(ev.where(F.col("event_id") % 2 == 0), 0)
+    with open(sink.commit_path) as fh:
+        content = fh.read()
+    with open(sink.commit_path, "w") as fh:
+        fh.write(content.rstrip("\n"))  # torn tail: no newline
+    sink(ev.where(F.col("event_id") % 2 == 0), 0)  # replay: skipped
+    sink(ev.where(F.col("event_id") % 2 != 0), 1)
+    assert set(sink._commits()) == {0, 1}
+    full = cascade_grains(spark, sf_dir)
+    for g in ("minute", "hour", "day"):
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in read_grain(spark, path, g).collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in full[g].collect()
+        }
+        assert got == want, g
+
+
 def test_cascade_sink_null_timestamp_partition(spark, tmp_path):
     """NULL-timestamp events flow through the maintenance sink into
     the explicit __null__ day partition and merge across epochs like

@@ -356,3 +356,50 @@ def test_ivf_append_sink_exactly_once(spark, sf_dir, tmp_path):
         .where(F.col("vec_id") >= 2 * SH).collect()
     }
     assert got == {r["vec_id"] for r in emb.where(F.col("vec_id") % 10 == 1).collect()}
+
+
+def test_ivf_sink_crash_during_commit(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-9 review fix: a crash DURING the commit write leaves a
+    torn record without the ',end' terminator — which must parse as
+    uncommitted (a prefix-parse would hand the changed-cells feed a
+    truncated cell list). The scratch + marker still exist at that
+    point (cleared only after commit), so the replay re-moves nothing,
+    re-commits the FULL record, and no posting row is duplicated."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm import kmeans as KM
+
+    path = str(tmp_path / "ivf_torn")
+    KM.persist_ivf_index(spark, sf_dir, path, k=K, iters=1)
+    base_n = spark.read.parquet(path + "/postings").count()
+    b0 = KM._emb(spark, sf_dir).where(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "v"
+    )
+    sink = KM.IvfAppendSink(path)
+
+    class TornCommit(Exception):
+        pass
+
+    real_append = KM.append_commit_line
+
+    def torn_append(p, line):
+        with open(p, "a", encoding="utf-8") as fh:
+            fh.write(line[: len(line) // 2])  # torn mid-record, no \n
+        raise TornCommit()
+
+    monkeypatch.setattr(KM, "append_commit_line", torn_append)
+    with pytest.raises(TornCommit):
+        sink(b0, 0)
+    monkeypatch.setattr(KM, "append_commit_line", real_append)
+    assert sink.committed() == {}  # torn record rejected
+    n_after_crash = spark.read.parquet(path + "/postings").count()
+    assert n_after_crash == base_n + b0.count()  # move had completed
+    sink(b0, 0)  # replay: marker present, nothing to move, commit heals
+    assert spark.read.parquet(path + "/postings").count() == n_after_crash
+    want_cells = sorted(
+        r["cluster"]
+        for r in KM._route_for_index(spark, path, b0)
+        .select("cluster").distinct().collect()
+    )
+    assert sink.committed() == {0: want_cells}

@@ -199,3 +199,46 @@ def test_expire_partitions_day_retention(spark, sf_dir, tmp_path):
     assert dropped2 == ["_d=2024-03-02"]
     left2 = {r["window_start"] for r in read_grain(spark, path, "day").collect()}
     assert left2 == {None, datetime.datetime(2024, 3, 3)}
+
+
+def test_compact_partitions_recovers_from_crash_mid_swap(spark, tmp_path):
+    """Round-9 review fix: a compaction killed between rmtree(live) and
+    rename left the partition's ONLY copy in scratch, and a re-run used
+    to delete that scratch on entry — data loss. With the _SWAP marker,
+    a re-run first FINISHES the interrupted swap from the surviving
+    scratch, then proceeds to compact normally."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.plans.scale import compact_partitions
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(600).select(
+        (F.col("id") % 2).cast("string").alias("_d"), F.col("id").alias("x")
+    )
+    # 6 files per partition
+    df.repartition(6).write.partitionBy("_d").parquet(root)
+
+    def rows():
+        return sorted(r["x"] for r in spark.read.parquet(root).collect())
+
+    before = rows()
+    # construct the crashed state for _d=0: staged copy + marker, live gone
+    scratch = os.path.join(root, "_compact_tmp")
+    spark.read.parquet(os.path.join(root, "_d=0")).coalesce(1).write.parquet(
+        os.path.join(scratch, "_d=0")
+    )
+    with open(os.path.join(scratch, "_SWAP"), "w") as fh:
+        fh.write("staged\n")
+    shutil.rmtree(os.path.join(root, "_d=0"))  # crash was here
+
+    compacted = compact_partitions(spark, root, max_files=3, target_files=1)
+    assert rows() == before  # nothing lost
+    assert "_d=0" in compacted and "_d=1" in compacted
+    for d in ("_d=0", "_d=1"):
+        n = sum(1 for f in os.listdir(os.path.join(root, d))
+                if f.startswith("part-"))
+        assert n == 1, d
+    assert not os.path.exists(scratch)

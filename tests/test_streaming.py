@@ -752,6 +752,36 @@ def test_queue_sink_null_and_adversarial_envelopes(spark, tmp_path):
     assert {"u": "héllo 你好 \U0001F600"} in decoded
 
 
+def test_queue_sink_torn_commit_line_isolated_and_replayed(spark, tmp_path):
+    """Round-9 review fix: a commit torn MID-NUMBER ('0,1' of '0,123')
+    must parse as UNCOMMITTED (the ',end' terminator) — a bare int
+    parse would accept a WRONG offset and the next epoch's truncate
+    would wipe published rows — and the next append must start on its
+    own line instead of concatenating into the torn bytes."""
+    import json as _json
+
+    out = str(tmp_path / "queue.jsonl")
+    sink = QueueFileSink(out)
+    b0 = spark.createDataFrame(
+        [(1, _json.dumps({"i": i})) for i in range(10)],
+        "collector_id long, envelope string",
+    )
+    sink(b0, 0)
+    with open(out + ".commits", "w") as fh:
+        fh.write("0,1")  # torn mid-offset, no newline, no terminator
+    assert sink._commits() == {}  # treated as uncommitted
+    sink(b0, 0)  # replay: truncate to last good offset (0) + republish
+    b1 = spark.createDataFrame(
+        [(1, _json.dumps({"i": 100 + i})) for i in range(5)],
+        "collector_id long, envelope string",
+    )
+    sink(b1, 1)
+    with open(out) as fh:
+        got = sorted(_json.loads(line)["i"] for line in fh)
+    assert got == list(range(10)) + list(range(100, 105))
+    assert set(sink._commits()) == {0, 1}
+
+
 def test_queue_sink_stale_parts_from_crashed_attempt(spark, tmp_path):
     """Round-8 fuzz: an epoch attempt that crashed AFTER writing part
     files but BEFORE the commit may replay with a DIFFERENT
