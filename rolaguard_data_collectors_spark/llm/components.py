@@ -106,7 +106,12 @@ def connected_components(
 
     Each round: half-edges in both directions, min neighbor label per
     vertex, take it if smaller. Stops when no label changed (checked
-    with ONE aggregate — the only driver-visible value per round)."""
+    with ONE aggregate — the only driver-visible value per round).
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iters`` with
+    labels still changing (round-10 ADVICE fix): returning unconverged
+    labels silently would let a deeper-than-expected graph masquerade
+    as data drift downstream — the failure must name itself."""
     spark = edges.sparkSession
     edges = _stage_iter(edges.select("src", "dst"))
     labels = (
@@ -145,6 +150,13 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: min-label propagation still changing "
+            f"after max_iters={max_iters} rounds ({changed} labels moved "
+            f"in the last round) — component diameter exceeds the round "
+            f"budget; raise max_iters for this corpus"
+        )
     return labels
 
 
@@ -172,8 +184,28 @@ def cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fixed oracle iteration depth. Valid whenever Spark's fixpoint
 # converges in <= ORACLE_ROUNDS rounds (see module docstring);
 # tests/test_components.py asserts the actual depth stays under half
-# of this at every test SF.
+# of this at every test SF, and _clusters_within_oracle_depth raises a
+# NAMED error at query time if a future corpus outruns it (round-10
+# verdict fix: previously the driver would see only a bare hash
+# mismatch).
 ORACLE_ROUNDS = 10
+
+
+def _clusters_within_oracle_depth(edges: DataFrame) -> DataFrame:
+    """Converged labels, guarded: raise a named error if convergence
+    took more propagation rounds than the fixed-K SQL oracle runs —
+    the oracle's l{K} would otherwise silently lag the Spark fixpoint
+    and the driver compare would report an undiagnosed hash mismatch."""
+    stats: dict = {}
+    labels = connected_components(edges, stats=stats)
+    if stats["rounds"] > ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"ngram_jaccard_dedup clustering converged in "
+            f"{stats['rounds']} rounds but the SQL oracle runs only "
+            f"ORACLE_ROUNDS={ORACLE_ROUNDS} — raise ORACLE_ROUNDS (and "
+            f"regenerate NGRAM_JACCARD_CLUSTERS_ORACLE) for this corpus"
+        )
+    return labels
 
 
 def ngram_jaccard_with_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +244,9 @@ def ngram_jaccard_with_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near_dup_clusters' final frame is already localCheckpoint-ed by
     # the fixpoint loop, so the member and cluster legs share one
     # materialization.
-    labels = connected_components(candidate_edges(spark, sf_dir, assign=assign))
+    labels = _clusters_within_oracle_depth(
+        candidate_edges(spark, sf_dir, assign=assign)
+    )
     member = labels.select(
         F.lit("member").alias("leg"),
         "doc_id",

