@@ -160,6 +160,152 @@ def connected_components(
     return labels
 
 
+# --- incremental maintenance (round-10 verdict item #4) -------------------
+#
+# The changed-cells SemDeDup sweep's clustering twin: when a BATCH of
+# new documents arrives, only components touching new edges need
+# re-propagation. Three primitives make the dedup ledger a maintained
+# artifact instead of a per-batch full recompute:
+#
+#   bucket_mins(assign)            -> the persisted (band, bucket,
+#                                     min_doc) anchor table
+#   incremental_candidate_edges    -> O(batch) star edges linking the
+#                                     new docs into the candidate graph
+#   incremental_components         -> fixpoint over the CONTRACTED
+#                                     graph only
+#   merge_bucket_mins              -> the anchor table's own update
+#
+# Flow per batch: edges = incremental_candidate_edges(new_assign,
+# old_mins); labels = incremental_components(prev_labels, edges);
+# mins = merge_bucket_mins(old_mins, new_assign). Equality with the
+# full fixpoint over the merged corpus is proven in
+# tests/test_components.py (edge SETS differ from a full rebuild —
+# star shapes are anchored differently — but per-bucket connectivity
+# is identical, and labels depend only on connectivity).
+
+
+def bucket_mins(assign: DataFrame) -> DataFrame:
+    """(band, bucket, min_doc): each LSH bucket's smallest member —
+    the anchor table incremental edge generation joins against. One
+    map-side-combined groupBy; at 100 TB this persists next to the
+    corpus like the IVF codebook."""
+    return assign.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("min_doc")
+    )
+
+
+def incremental_candidate_edges(new_assign: DataFrame,
+                                old_mins: DataFrame) -> DataFrame:
+    """Star edges linking a batch of NEW docs' band assignments into
+    the existing candidate graph via the anchor table: each new doc
+    links to its bucket's anchor — the bucket's persisted min when the
+    bucket already exists, else the smallest NEW doc in it. O(batch)
+    edge rows and an equi-join against the anchor table; the OLD
+    corpus' assignments are never rescanned. Connectivity per bucket
+    equals the full rebuild's star (everything in a bucket shares one
+    anchor vertex), which is all the label fixpoint needs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    anchored = new_assign.join(old_mins, ["band", "bucket"], "left") \
+        .withColumn(
+            "_anchor",
+            F.coalesce(F.col("min_doc"), F.min("doc_id").over(w)),
+        )
+    return (
+        anchored.filter(F.col("doc_id") != F.col("_anchor"))
+        .select(
+            F.greatest("doc_id", "_anchor").alias("src"),
+            F.least("doc_id", "_anchor").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def merge_bucket_mins(old_mins: DataFrame,
+                      new_assign: DataFrame) -> DataFrame:
+    """The anchor table after the batch: per-bucket least of the old
+    anchor and the batch's own min. Full-outer on the (band, bucket)
+    key — O(batch + touched buckets) out of the join, the untouched
+    rows pass through."""
+    new_mins = bucket_mins(new_assign).withColumnRenamed(
+        "min_doc", "_new_min"
+    )
+    return old_mins.join(new_mins, ["band", "bucket"], "full").select(
+        "band",
+        "bucket",
+        F.least(
+            F.coalesce("min_doc", F.col("_new_min")),
+            F.coalesce("_new_min", F.col("min_doc")),
+        ).alias("min_doc"),
+    )
+
+
+def incremental_components(prev_labels: DataFrame, new_edges: DataFrame,
+                           stats: dict | None = None) -> DataFrame:
+    """Merge a batch of new edges into a CONVERGED label table without
+    re-propagating untouched components. Each old component contracts
+    to its representative — valid because ``cluster_id`` is the
+    component's min doc_id, so contraction preserves both connectivity
+    and the global min — the fixpoint runs on the contracted graph
+    (O(new edges + affected components) per round, never O(corpus)),
+    and members of re-labelled components map through their old rep in
+    one join. Returns the updated full (doc_id, cluster_id) table;
+    proven equal to the full fixpoint over old+new edges in
+    tests/test_components.py."""
+    lab_src = prev_labels.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("_sl")
+    )
+    lab_dst = prev_labels.select(
+        F.col("doc_id").alias("dst"), F.col("cluster_id").alias("_dl")
+    )
+    e = new_edges.select("src", "dst")
+    contracted = (
+        e.join(lab_src, "src", "left")
+        .join(lab_dst, "dst", "left")
+        .select(
+            F.coalesce("_sl", F.col("src")).alias("a"),
+            F.coalesce("_dl", F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))  # both ends already co-clustered
+        .select(
+            F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
+        )
+        .distinct()
+    )
+    rep_new = connected_components(contracted, stats=stats)
+    # old members ride their rep's new label; untouched reps keep theirs
+    upd = (
+        prev_labels.join(
+            rep_new.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("_new"),
+            ),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("_new", F.col("cluster_id")).alias("cluster_id")
+        )
+    )
+    # endpoints with no previous label (brand-new docs, or old docs that
+    # were singleton-bucketed before this batch linked them)
+    ends = (
+        e.select(F.col("src").alias("doc_id"))
+        .union(e.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    fresh = (
+        ends.join(prev_labels.select("doc_id"), "doc_id", "left_anti")
+        .join(rep_new, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return upd.unionByName(fresh)
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) for every doc in a multi-doc near-dup
     component; cluster_id = the component's min doc_id (its survivor).

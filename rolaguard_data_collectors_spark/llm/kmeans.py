@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..commitlog import append_commit_line
 from ..portable_sql import hex32
+from ..tablelock import TableLock
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,13 +200,16 @@ def ivf_index_append(spark: SparkSession, path: str,
     original builder would have produced for the same vectors."""
     # Touched cells collected from the SAME materialization the write
     # will use: stage it so routing can't diverge between the two.
+    # Routing runs outside the lease (read-only over the frozen
+    # codebook); only the live-postings append holds it.
     assigned = _route_for_index(spark, path, new_vectors).localCheckpoint()
     touched = sorted(
         r["cluster"] for r in assigned.select("cluster").distinct().collect()
     )
-    assigned.write.mode("append").partitionBy("cluster").parquet(
-        path + "/postings"
-    )
+    with TableLock(path, owner="ivf_index_append"):
+        assigned.write.mode("append").partitionBy("cluster").parquet(
+            path + "/postings"
+        )
     return touched
 
 
@@ -307,7 +311,16 @@ class IvfAppendSink:
                 )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        epoch = int(epoch_id)
+        # Per-epoch single-writer lease (round-10 verdict item #1):
+        # serializes this epoch against compact_partitions /
+        # expire_partitions (both lock the index root via lock_root=)
+        # so a maintenance swap cannot delete posting files this epoch
+        # commits, and the stale-scratch sweep below cannot rmtree
+        # another lease-holder's in-flight stage.
+        with TableLock(self.path, owner="IvfAppendSink"):
+            self._epoch_locked(batch_df, int(epoch_id))
+
+    def _epoch_locked(self, batch_df: DataFrame, epoch: int) -> None:
         if epoch in self.committed():
             return
         os.makedirs(self.epoch_root, exist_ok=True)
@@ -342,6 +355,156 @@ class IvfAppendSink:
         shutil.rmtree(edir, ignore_errors=True)
 
 
+def ivf_index_delete(spark: SparkSession, path: str,
+                     doomed: DataFrame) -> list[int]:
+    """Row-level DELETE for a persisted IVF index (round-10 verdict
+    item #2): append (vec_id) tombstones under
+    ``<path>/tombstones/cluster=N/`` — the sidecar every reader
+    anti-joins (``read_ivf_postings``) and compaction physically
+    merges (``apply_ivf_tombstones``). Removing a vector never
+    rewrites a posting file at delete time: O(batch) work, the same
+    lake-delete shape as Delta/Iceberg delete files.
+
+    Cell location: if ``doomed`` carries the embedding column ``v``,
+    each row routes to its nearest FROZEN centroid — by construction
+    the cell ``persist_ivf_index``/``ivf_index_append`` put it in —
+    with no postings scan at all. Without ``v``, the ids are located
+    by a broadcast semi-join against the postings scan (one pass;
+    unavoidable when only ids are known). Ids absent from the index
+    are harmless: the join path drops them; the routed path writes a
+    tombstone that matches nothing and is drained at the next apply.
+    Returns the touched cells, sorted — the changed-cells feed, same
+    contract as ``ivf_index_append``."""
+    if "v" in doomed.columns:
+        cents = (
+            spark.read.parquet(path + "/centroids.parquet")
+            .orderBy("cluster")
+            .collect()
+        )
+        centroids = [[float(x) for x in r["centroid"]] for r in cents]
+        located = _assign(
+            doomed.select("vec_id", "v").where(F.col("v").isNotNull()),
+            centroids,
+        ).select("vec_id", "cluster")
+    else:
+        located = (
+            spark.read.parquet(path + "/postings")
+            .join(F.broadcast(doomed.select("vec_id").distinct()), "vec_id")
+            .select("vec_id", "cluster")
+        )
+    located = located.localCheckpoint()
+    touched = sorted(
+        r["cluster"] for r in located.select("cluster").distinct().collect()
+    )
+    with TableLock(path, owner="ivf_index_delete"):
+        located.write.mode("append").partitionBy("cluster").parquet(
+            path + "/tombstones"
+        )
+    return touched
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The tombstone sidecar as a frame, or None when the index has
+    none. Content check, not isdir (an applied-then-emptied sidecar
+    root must not wedge the reader on schema inference)."""
+    tdir = path + "/tombstones"
+    if not os.path.isdir(tdir) or not any(
+        d.startswith("cluster=") for d in os.listdir(tdir)
+    ):
+        return None
+    return spark.read.parquet(tdir)
+
+
+def read_ivf_postings(spark: SparkSession, path: str,
+                      clusters: "list[int] | None" = None) -> DataFrame:
+    """THE read path for a maintained index: the postings scan minus
+    tombstoned rows. ``clusters`` prunes BOTH scans to the probed
+    cells (PartitionFilters); the anti-join side is the tombstone list
+    — small by the lake contract (compaction drains it) — and
+    broadcast, so reads cost one broadcast-hash anti-join over the
+    pruned postings, never a shuffle."""
+    posts = spark.read.parquet(path + "/postings")
+    tomb = _tombstones(spark, path)
+    if clusters is not None:
+        cl = [int(c) for c in clusters]
+        posts = posts.where(F.col("cluster").isin(cl))
+        if tomb is not None:
+            tomb = tomb.where(F.col("cluster").isin(cl))
+    if tomb is not None:
+        posts = posts.join(
+            F.broadcast(tomb.select("vec_id")), "vec_id", "left_anti"
+        )
+    return posts
+
+
+def apply_ivf_tombstones(spark: SparkSession, path: str,
+                         target_files: int = 1) -> list[int]:
+    """Physically drop tombstoned rows — the compaction half of the
+    delete: rewrite ONLY cells that have tombstones (anti-joined,
+    coalesced to ``target_files``), swap them in, then clear those
+    cells' sidecars. Untouched cells keep their exact files. Returns
+    the rewritten cells, sorted.
+
+    Crash windows, same stage/marker/swap recipe as
+    ``compact_partitions``: before the ``_SWAP`` marker -> live index
+    untouched, tombstones intact, readers still anti-join (a delete is
+    never lost by crashing compaction); mid-swap -> the marker (which
+    records the cell list) lets the next call FINISH the swap from the
+    surviving scratch and clear the recorded sidecars; between swap
+    and sidecar-clear -> re-running anti-joins rows that are already
+    gone (a no-op rewrite) and completes the clear. All under the
+    index's single-writer lease, so a live IvfAppendSink epoch can
+    never land between the stage-read and the swap."""
+    scratch = os.path.join(path, "_tombstone_tmp")
+    marker = os.path.join(scratch, "_SWAP")
+    posts_root = os.path.join(path, "postings")
+    tomb_root = os.path.join(path, "tombstones")
+
+    def _finish_swap(cells: "list[int]") -> None:
+        for d in sorted(os.listdir(scratch)):
+            if not d.startswith("cluster="):
+                continue
+            live = os.path.join(posts_root, d)
+            shutil.rmtree(live, ignore_errors=True)
+            os.rename(os.path.join(scratch, d), live)
+        for c in cells:
+            shutil.rmtree(os.path.join(tomb_root, f"cluster={c}"),
+                          ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    with TableLock(path, owner="apply_ivf_tombstones"):
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as fh:
+                cells = [int(c) for c in fh.read().split() if c]
+            _finish_swap(cells)  # crashed mid-swap: scratch is truth
+        shutil.rmtree(scratch, ignore_errors=True)
+
+        cells = sorted(
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(tomb_root) if os.path.isdir(tomb_root)
+                      else [])
+            if d.startswith("cluster=")
+        )
+        for c in cells:
+            live = os.path.join(posts_root, f"cluster={c}")
+            tomb = spark.read.parquet(
+                os.path.join(tomb_root, f"cluster={c}")
+            ).select("vec_id")
+            spark.read.parquet(live).join(
+                F.broadcast(tomb), "vec_id", "left_anti"
+            ).coalesce(target_files).write.mode("overwrite").parquet(
+                os.path.join(scratch, f"cluster={c}")
+            )
+        if cells:
+            os.makedirs(scratch, exist_ok=True)
+            tmp = marker + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(" ".join(str(c) for c in cells) + "\n")
+            os.replace(tmp, marker)
+            _finish_swap(cells)
+    return cells
+
+
 def ivf_index_topk(spark: SparkSession, path: str, query: list[float],
                    top_k: int = 10, n_probe: int = 2,
                    exclude_vec_id: int | None = None) -> DataFrame:
@@ -364,9 +527,7 @@ def ivf_index_topk(spark: SparkSession, path: str, query: list[float],
         return sum((a - b) * (a - b) for a, b in zip(c, query))
 
     probe = sorted(cent, key=lambda i: (sq(cent[i]), i))[:n_probe]
-    posts = spark.read.parquet(path + "/postings").filter(
-        F.col("cluster").isin(probe)
-    )
+    posts = read_ivf_postings(spark, path, clusters=probe)
     if exclude_vec_id is not None:
         posts = posts.filter(F.col("vec_id") != exclude_vec_id)
     if os.path.exists(path + "/scales.parquet"):
@@ -533,14 +694,12 @@ def semantic_dedup_from_index(spark: SparkSession, path: str,
     cell-at-a-time (or changed-cells-only) dedup sweeps over a lake
     index correct. Quantized postings carry int8 codes, not vectors —
     exact-cosine dedup needs the float layout."""
-    posts = spark.read.parquet(path + "/postings")
+    posts = read_ivf_postings(spark, path, clusters=clusters)
     if "v" not in posts.columns:
         raise ValueError(
             "semantic_dedup_from_index needs float postings (persist_"
             "ivf_index(quantize=False)); quantized postings carry codes"
         )
-    if clusters is not None:
-        posts = posts.where(F.col("cluster").isin([int(c) for c in clusters]))
     assigned = posts.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "v"
     )

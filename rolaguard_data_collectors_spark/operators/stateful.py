@@ -407,14 +407,17 @@ def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       kept. The unkeyed interval join Spark would otherwise plan as
       BroadcastNestedLoopJoin, expressed as a bucket equi-join.
     """
-    from .cascade import cascade_rollup
+    from .cascade import maintained_cascade_rollup
     from .rangejoin import range_join_error_windows
 
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
 
-    casc = cascade_rollup(spark, sf_dir).select(
+    # round 10: the cascade legs scan the PERSISTED grain tables (the
+    # maintained lake artifact), not a recompute — row-identical by
+    # construction, so the oracle below is unchanged.
+    casc = maintained_cascade_rollup(spark, sf_dir).select(
         F.col("grain").alias("kind"),
         "window_start",
         "event_type",

@@ -1,0 +1,176 @@
+"""Single-writer lease for a maintained table root — the concurrency
+contract shared by the exactly-once append sinks (IvfAppendSink,
+CascadeMaintenanceSink, the one-shot ``ivf_index_append`` /
+``cascade_append``) and the lake maintenance ops (``compact_partitions``,
+``expire_partitions``).
+
+Why it exists (round-10 verdict item #1): every one of those writers is
+crash-safe IN ISOLATION, but compaction's stage-read -> rmtree+rename
+swap assumes nothing else touches the live partition in between — a
+sink epoch committed into that window would be silently deleted by the
+swap while the sink's commit log says it is durable. The fix is the
+standard one: all mutating operations on a table root serialize through
+one lease file, ``<root>/_LOCK`` (the underscore prefix keeps Spark's
+partition discovery from reading it as data).
+
+Semantics:
+
+- ``acquire`` creates the file with O_CREAT|O_EXCL (atomic on POSIX and
+  on the object-store gateways that expose if-none-match create; on a
+  multi-node deployment the same protocol runs against the store's
+  conditional-put primitive).
+- The payload records owner, host, pid and an EXPIRY timestamp (the
+  lease). A contender may break the lock only when the lease expired,
+  or when the holder is a dead pid on the SAME host (crash cleanup —
+  cross-host pid checks are meaningless and are not attempted).
+- Long-running holders call ``refresh()`` between phases to extend the
+  lease; a holder that outlives its lease without refreshing has no
+  protection (same contract as every lease system) — size
+  ``lease_seconds`` to the operation, generously.
+- Locks do NOT nest/re-enter: one ``TableLock`` instance, one acquire.
+
+Lock-root discipline: the lock must live at the root BOTH parties
+agree on. The sinks lock the table path they maintain; maintenance ops
+called on a SUBDIRECTORY of a maintained table (e.g. compaction over
+``<index>/postings``) must pass ``lock_root=<index>`` so they contend
+with the sink rather than locking a root nobody else looks at.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+
+
+class LockHeldError(TimeoutError):
+    """Raised when the lease cannot be acquired within ``timeout``."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except OSError:
+        return True
+    return True
+
+
+class TableLock:
+    """``with TableLock(root, owner="compact"):`` — exclusive lease on a
+    table root. See module docstring for the contract."""
+
+    LOCK_NAME = "_LOCK"
+
+    def __init__(
+        self,
+        root: str,
+        owner: str = "",
+        timeout: float = 120.0,
+        lease_seconds: float = 300.0,
+        poll: float = 0.05,
+    ):
+        self.root = root
+        self.path = os.path.join(root, self.LOCK_NAME)
+        self.owner = owner or "anonymous"
+        self.timeout = timeout
+        self.lease_seconds = lease_seconds
+        self.poll = poll
+        self._held = False
+
+    # -- payload ----------------------------------------------------------
+    def _payload(self) -> str:
+        return json.dumps(
+            {
+                "owner": self.owner,
+                "host": socket.gethostname(),
+                "pid": os.getpid(),
+                "expiry": time.time() + self.lease_seconds,
+            }
+        )
+
+    @staticmethod
+    def _read(path: str) -> dict | None:
+        try:
+            with open(path, encoding="utf-8") as fh:
+                return json.loads(fh.read())
+        except (OSError, ValueError):
+            return None  # vanished, or torn write by a crashed acquirer
+
+    def _is_stale(self, info: dict | None) -> bool:
+        if info is None:
+            return True  # unreadable/torn lock file: nobody can hold it
+        if info.get("expiry", 0) < time.time():
+            return True
+        if (
+            info.get("host") == socket.gethostname()
+            and isinstance(info.get("pid"), int)
+            and not _pid_alive(info["pid"])
+        ):
+            return True  # crashed same-host holder
+        return False
+
+    # -- protocol ----------------------------------------------------------
+    def acquire(self) -> "TableLock":
+        os.makedirs(self.root, exist_ok=True)
+        deadline = time.time() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                info = self._read(self.path)
+                if self._is_stale(info):
+                    # Break the stale lease. unlink+retry races another
+                    # breaker benignly: both unlink (one ENOENTs), and
+                    # O_EXCL lets exactly one of them create.
+                    try:
+                        os.unlink(self.path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise LockHeldError(
+                        f"table lock {self.path} held by "
+                        f"{info.get('owner')}@{info.get('host')} "
+                        f"pid {info.get('pid')} (lease until "
+                        f"{info.get('expiry')}); waited {self.timeout}s"
+                    )
+                time.sleep(self.poll)
+                continue
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(self._payload())
+                fh.flush()
+                os.fsync(fh.fileno())
+            self._held = True
+            return self
+
+    def refresh(self) -> None:
+        """Extend the lease (holder only). Phase boundaries of long
+        operations call this so a slow distributed stage can't outlive
+        its lease mid-swap."""
+        if not self._held:
+            raise RuntimeError("refresh() without the lock held")
+        tmp = self.path + f".refresh.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(self._payload())
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.path)
+
+    def release(self) -> None:
+        if self._held:
+            self._held = False
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass  # lease expired and was broken: nothing to release
+
+    def __enter__(self) -> "TableLock":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()

@@ -273,6 +273,230 @@ def test_cascade_commit_log_torn_tail_heals(spark, sf_dir, tmp_path):
         assert got == want, g
 
 
+def _grain_snap(spark, path):
+    from rolaguard_data_collectors_spark.operators.cascade import read_grain
+
+    return {
+        g: {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in read_grain(spark, path, g).collect()
+        }
+        for g in ("minute", "hour", "day")
+    }
+
+
+def test_cascade_retract_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Round-10 verdict item #2: retracting a batch from the
+    maintained cascade equals a FULL recompute over the surviving
+    events, bit-identical (decimal sums), with fully-emptied day
+    partitions physically dropped at every grain and untouched
+    partitions keeping their exact files."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        cascade_grains,
+        cascade_retract,
+        persist_cascade,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    days = [
+        r["d"]
+        for r in ev.select(F.to_date("ts").alias("d"))
+        .where(F.col("d").isNotNull())
+        .distinct()
+        .orderBy("d")
+        .limit(2)
+        .collect()
+    ]
+    # retract ALL of day 0 (partition must drop) + a slice of day 1
+    is_batch = (F.to_date("ts") == days[0]) | (
+        (F.to_date("ts") == days[1]) & (F.col("event_id") % 3 == 0)
+    )
+    batch = ev.where(is_batch)
+    assert batch.count() > 0
+
+    path = str(tmp_path / "casc")
+    persist_cascade(spark, sf_dir, path)
+    untouched_day = (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+        )
+        .where(F.col("d").isNotNull() & ~F.col("d").isin([str(d) for d in days]))
+        .distinct()
+        .orderBy("d")
+        .limit(1)
+        .collect()[0]["d"]
+    )
+    before_files = sorted(os.listdir(f"{path}/minute/_d={untouched_day}"))
+
+    touched = cascade_retract(spark, path, batch)
+    assert touched == [str(d) for d in days]
+    assert sorted(os.listdir(f"{path}/minute/_d={untouched_day}")) == before_files
+    for g in ("minute", "hour", "day"):
+        assert not os.path.isdir(f"{path}/{g}/_d={days[0]}"), g  # emptied
+
+    surv_dir = str(tmp_path / "surv")
+    os.makedirs(surv_dir)
+    ev.where(~F.coalesce(is_batch, F.lit(False))).toPandas().to_parquet(
+        os.path.join(surv_dir, "events.parquet"), index=False
+    )
+    full = cascade_grains(spark, surv_dir)
+    got = _grain_snap(spark, path)
+    for g in ("minute", "hour", "day"):
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in full[g].collect()
+        }
+        assert got[g] == want, g
+
+
+def test_cascade_append_then_retract_roundtrips(spark, sf_dir, tmp_path):
+    """append(B) then retract(B) returns the grain tables to exactly
+    their prior CONTENT (decimal cancellation is exact)."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        cascade_append,
+        cascade_retract,
+        persist_cascade,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "casc_rt")
+    batch = ev.where(F.col("event_id") % 5 == 0)
+    base = ev.where(F.col("event_id") % 5 != 0)
+    base_dir = str(tmp_path / "base")
+    os.makedirs(base_dir)
+    base.toPandas().to_parquet(
+        os.path.join(base_dir, "events.parquet"), index=False
+    )
+    persist_cascade(spark, base_dir, path)
+    before = _grain_snap(spark, path)
+    cascade_append(spark, path, batch)
+    assert _grain_snap(spark, path) != before
+    cascade_retract(spark, path, batch)
+    assert _grain_snap(spark, path) == before
+
+
+def test_cascade_retract_rejects_never_added(spark, sf_dir, tmp_path):
+    """Retracting events that were never appended must raise and stage
+    NOTHING — the live tables stay bit-identical."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        cascade_retract,
+        persist_cascade,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "casc_bad")
+    persist_cascade(spark, sf_dir, path)
+    before = _grain_snap(spark, path)
+    # a real minute group, retracted TWICE over (count would go negative)
+    one = ev.where(F.col("ts").isNotNull()).limit(1)
+    with pytest.raises(ValueError, match="never added"):
+        cascade_retract(spark, path, one.unionByName(one).unionByName(one)
+                        .unionByName(one).crossJoin(spark.range(50))
+                        .select("ts", "event_type", "value"))
+    assert _grain_snap(spark, path) == before
+    assert not os.path.isdir(os.path.join(path, "_stage_tmp"))
+
+
+def test_cascade_retract_sink_exactly_once_and_crash_replay(
+    spark, sf_dir, tmp_path
+):
+    """The retraction STREAM (CascadeMaintenanceSink(negate=True)):
+    separate commit log from the append sink (epoch 0 on both must not
+    collide), committed-epoch replay is a no-op, and a crash mid-swap
+    replays to the exact surviving-events recompute."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        CascadeMaintenanceSink,
+        _swap_staged,
+        cascade_grains,
+    )
+
+    class Boom(Exception):
+        pass
+
+    class CrashMidSwap(CascadeMaintenanceSink):
+        def _swap(self, edir):
+            _swap_staged(edir, self.path, ("minute",))
+            raise Boom()
+
+    path = str(tmp_path / "casc_rsink")
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.where(F.col("event_id") % 4 == 0)
+
+    CascadeMaintenanceSink(path)(ev, 0)  # append stream, epoch 0
+    with pytest.raises(Boom):
+        CrashMidSwap(path, negate=True)(batch, 0)  # retract stream, epoch 0
+    retract = CascadeMaintenanceSink(path, negate=True)
+    retract(batch, 0)  # replay finishes the swap
+    after = _grain_snap(spark, path)
+    retract(batch, 0)  # committed epoch: no double retraction
+    assert _grain_snap(spark, path) == after
+
+    surv_dir = str(tmp_path / "surv")
+    os.makedirs(surv_dir)
+    ev.where(F.col("event_id") % 4 != 0).toPandas().to_parquet(
+        os.path.join(surv_dir, "events.parquet"), index=False
+    )
+    full = cascade_grains(spark, surv_dir)
+    for g in ("minute", "hour", "day"):
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in full[g].collect()
+        }
+        assert after[g] == want, g
+
+
+def test_maintained_rollup_matches_recompute_and_prunes(spark, sf_dir):
+    """Round-10 verdict item #5: the minute/hour/day legs served from
+    the PERSISTED grain tables (the maintained artifact) are
+    row-identical to the in-memory cascade — and a day-filtered read
+    of the artifact prunes to a PartitionFilters scan."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        cascade_rollup,
+        maintained_cascade_path,
+        maintained_cascade_rollup,
+        read_grain,
+    )
+
+    def snap(df):
+        return sorted(
+            (r["grain"], r["window_start"], r["event_type"],
+             r["n_events"], r["total_value"])
+            for r in df.collect()
+        )
+
+    assert snap(maintained_cascade_rollup(spark, sf_dir)) == snap(
+        cascade_rollup(spark, sf_dir)
+    )
+    # memoized: second call reuses the artifact (no rebuild)
+    path = maintained_cascade_path(spark, sf_dir)
+    assert maintained_cascade_path(spark, sf_dir) == path
+
+    day = next(
+        d.split("=", 1)[1]
+        for d in sorted(os.listdir(os.path.join(path, "minute")))
+        if d.startswith("_d=") and "__null__" not in d
+    )
+    pruned = spark.read.parquet(os.path.join(path, "minute")).where(
+        F.col("_d") == day
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and day in plan, plan
+
+
 def test_cascade_sink_null_timestamp_partition(spark, tmp_path):
     """NULL-timestamp events flow through the maintenance sink into
     the explicit __null__ day partition and merge across epochs like

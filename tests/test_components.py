@@ -167,6 +167,92 @@ def test_fixpoint_under_reliable_checkpoint(spark, sf_dir, tmp_path):
     assert any(files for _, _, files in os.walk(ckpt)), "checkpoint unused"
 
 
+def test_incremental_components_equal_full_fixpoint(spark, sf_dir):
+    """Round-10 verdict item #4: appending a batch of docs and merging
+    only the batch's star edges (anchored on the persisted bucket-min
+    table) into the previous converged labels must equal the full
+    fixpoint over the merged corpus — and the anchor table's own
+    incremental update must equal a rebuild."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.components import (
+        bucket_mins,
+        incremental_candidate_edges,
+        incremental_components,
+        merge_bucket_mins,
+    )
+    from rolaguard_data_collectors_spark.llm.dedup import (
+        _band_assignments,
+        minhash_signatures,
+    )
+
+    assign = _band_assignments(
+        minhash_signatures(spark, sf_dir)
+    ).localCheckpoint()
+    old_assign = assign.where(F.col("doc_id") % 4 != 0)
+    new_assign = assign.where(F.col("doc_id") % 4 == 0)
+    assert new_assign.count() > 0
+
+    prev = connected_components(candidate_edges(spark, sf_dir, assign=old_assign))
+    old_mins = bucket_mins(old_assign).localCheckpoint()
+
+    stats: dict = {}
+    inc = incremental_components(
+        prev,
+        incremental_candidate_edges(new_assign, old_mins),
+        stats=stats,
+    )
+    got = {r.doc_id: r.cluster_id for r in inc.collect()}
+    full = connected_components(candidate_edges(spark, sf_dir, assign=assign))
+    want = {r.doc_id: r.cluster_id for r in full.collect()}
+    assert got == want
+    assert stats["rounds"] >= 1
+
+    mins_inc = {
+        (r["band"], r["bucket"]): r["min_doc"]
+        for r in merge_bucket_mins(old_mins, new_assign).collect()
+    }
+    mins_full = {
+        (r["band"], r["bucket"]): r["min_doc"]
+        for r in bucket_mins(assign).collect()
+    }
+    assert mins_inc == mins_full
+
+
+def test_incremental_components_synthetic_cases(spark):
+    """Hand-built merge cases: a new edge BRIDGING two old components,
+    a brand-new doc with a smaller id than the old min (labels must
+    move to it), a fresh-only component, and an edge internal to an
+    old component (no-op)."""
+    from rolaguard_data_collectors_spark.llm.components import (
+        incremental_components,
+    )
+
+    # old graph: {1,5,7} labelled 1; {2,8} labelled 2; {10,11} labelled 10
+    prev = spark.createDataFrame(
+        [(1, 1), (5, 1), (7, 1), (2, 2), (8, 2), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    new_edges = spark.createDataFrame(
+        [
+            (7, 2),    # bridges comps 1 and 2 -> all label 1
+            (5, 0),    # fresh doc 0, smaller than old min -> label 0
+            (21, 20),  # fresh-only component
+            (11, 10),  # internal to comp 10: no-op
+        ],
+        "src long, dst long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in incremental_components(prev, new_edges).collect()
+    }
+    assert got == {
+        0: 0, 1: 0, 5: 0, 7: 0, 2: 0, 8: 0,   # merged through 7-2 and 5-0
+        10: 10, 11: 10,                        # untouched
+        20: 20, 21: 20,                        # fresh component
+    }
+
+
 def test_summary_counts(spark, sf_dir):
     total = near_dup_clusters(spark, sf_dir).count()
     summary = cluster_summary(spark, sf_dir).collect()
