@@ -31,6 +31,13 @@ DEFAULT_SHUFFLE_PARTITIONS = int(
 )
 
 
+def _infer_profile(master: str) -> str:
+    """'local' tuning only for local[*]/local-cluster masters; every
+    real cluster master (yarn, k8s://, spark://) gets the cluster-safe
+    defaults (round-10 ADVICE fix)."""
+    return "local" if master.startswith("local") else "cluster"
+
+
 def get_spark(
     app_name: str = "rolaguard_data_collectors_spark",
     master: str | None = None,
@@ -72,7 +79,7 @@ def get_spark(
         )
         master = submit_master or f"local[{cpus}]"
     if profile is None:
-        profile = "local" if master.startswith("local") else "cluster"
+        profile = _infer_profile(master)
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
     builder = (

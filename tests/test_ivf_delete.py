@@ -217,6 +217,24 @@ def test_apply_crash_windows(spark, sf_dir, tmp_path):
     assert not os.path.exists(scratch)
 
 
+def test_reader_prunes_probed_cells_with_tombstones(spark, sf_dir, tmp_path):
+    """The tombstone anti-join must not cost the reader its partition
+    pruning: a clusters= read scans only the probed cells on BOTH the
+    postings and the tombstone side (PartitionFilters in the plan), and
+    the anti-join side is broadcast."""
+    path = str(tmp_path / "ivf")
+    emb = _build(spark, sf_dir, path)
+    ivf_index_delete(spark, path, emb.limit(5).select("vec_id", "v"))
+    probed = [0, 1]
+    df = read_ivf_postings(spark, path, clusters=probed)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [") >= 2, plan  # both scans pruned
+    assert "cluster" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    got = {r["cluster"] for r in df.select("cluster").distinct().collect()}
+    assert got <= set(probed)
+
+
 def test_delete_sink_interop_with_append_sink(spark, sf_dir, tmp_path):
     """A delete interleaved between exactly-once append epochs: the
     appended rows survive, the deleted rows do not, and the lease

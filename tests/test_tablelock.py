@@ -17,6 +17,20 @@ from pyspark.sql import functions as F
 from rolaguard_data_collectors_spark.tablelock import LockHeldError, TableLock
 
 
+def test_session_profile_inferred_from_master():
+    """Round-10 ADVICE fix: the 2 MB-advisory local tuning must never
+    reach a real cluster by default — profile derives from the
+    resolved master."""
+    from rolaguard_data_collectors_spark.session import _infer_profile
+
+    assert _infer_profile("local[32]") == "local"
+    assert _infer_profile("local[*]") == "local"
+    assert _infer_profile("local-cluster[2,1,1024]") == "local"
+    assert _infer_profile("yarn") == "cluster"
+    assert _infer_profile("spark://host:7077") == "cluster"
+    assert _infer_profile("k8s://https://host:443") == "cluster"
+
+
 def test_lock_mutual_exclusion_and_release(tmp_path):
     root = str(tmp_path / "t")
     a = TableLock(root, owner="a")
