@@ -51,6 +51,9 @@ components), not a ported operator.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -304,6 +307,293 @@ def incremental_components(prev_labels: DataFrame, new_edges: DataFrame,
         )
     )
     return upd.unionByName(fresh)
+
+
+# --- the ledger as a maintained lake artifact (round 10) ------------------
+#
+# persist_near_dup_ledger writes the converged labels and the bucket
+# anchors as HASH-BUCKET-PARTITIONED parquet tables; NearDupLedgerSink
+# (and the one-shot ledger_append) then keep both current per doc
+# batch with exactly-once stage/marker/swap/commit epochs — the
+# clustering twin of IvfAppendSink/CascadeMaintenanceSink. Partition
+# choices are the scale design:
+#
+#   labels/_cb=H(cluster_id)%NB   — members of one component co-locate,
+#       so "rewrite the components an epoch re-labels" is a
+#       PartitionFilters-pruned read + a per-touched-bucket swap,
+#       O(affected), never O(ledger).
+#   bucket_mins/_bb=H(band,bucket)%NB — same for the anchors an epoch's
+#       (band, bucket) keys touch.
+#
+# One deliberate non-pruned step remains: looking up the EDGE
+# ENDPOINTS' current labels probes the label table by doc_id (a
+# broadcast semi-join over the scan — shuffle-free, embarrassingly
+# parallel, but a full read). A 100 TB deployment that can't afford it
+# maintains a doc-keyed projection of the same table (updated by the
+# same epochs) the way every cluster-keyed store pairs with a lookup
+# index; the write path — the expensive half — is already O(affected).
+
+LEDGER_BUCKETS = 16
+
+
+def _cb(col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _bb(n_buckets: int):
+    return F.pmod(F.xxhash64("band", "bucket"), F.lit(n_buckets)).cast("int")
+
+
+def batch_band_assignments(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(band, bucket, doc_id) LSH assignments for an explicit
+    (doc_id, text) batch — same MinHash/banding as the corpus path."""
+    from .dedup import _band_assignments, minhash_signatures
+
+    return _band_assignments(minhash_signatures(spark, "", docs=docs))
+
+
+def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
+                            n_buckets: int = LEDGER_BUCKETS) -> None:
+    """Build the ledger artifact from a corpus: converged labels +
+    bucket anchors, both hash-bucket-partitioned (see module notes)."""
+    import json as _json
+
+    assign = _band_assignments_staged(spark, sf_dir)
+    labels = connected_components(candidate_edges(spark, sf_dir, assign=assign))
+    labels.withColumn("_cb", _cb("cluster_id", n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("_cb").parquet(os.path.join(path, "labels"))
+    bucket_mins(assign).withColumn("_bb", _bb(n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("_bb").parquet(os.path.join(path, "bucket_mins"))
+    with open(os.path.join(path, "_meta.json"), "w", encoding="utf-8") as fh:
+        _json.dump({"n_buckets": n_buckets}, fh)
+
+
+def _band_assignments_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _band_assignments, minhash_signatures
+
+    return _band_assignments(
+        minhash_signatures(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+
+
+def read_ledger_labels(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "labels")).drop("_cb")
+
+
+def read_ledger_mins(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "bucket_mins")).drop("_bb")
+
+
+def _ledger_meta(path: str) -> int:
+    import json as _json
+
+    with open(os.path.join(path, "_meta.json"), encoding="utf-8") as fh:
+        return int(_json.load(fh)["n_buckets"])
+
+
+def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
+                  edir: str) -> None:
+    """Compute the POST-state of every ledger bucket the batch touches,
+    into ``edir/labels/_cb=K`` and ``edir/bucket_mins/_bb=K``. Work is
+    O(batch + affected components + touched buckets) except the one
+    documented endpoint-label probe."""
+    nb = _ledger_meta(path)
+    new_assign = batch_band_assignments(spark, batch_docs).localCheckpoint()
+    if not new_assign.head(1):
+        return  # empty/NULL-text batch: nothing staged, nothing swapped
+
+    # ---- anchors (bucket_mins) ------------------------------------------
+    mins_root = os.path.join(path, "bucket_mins")
+    touched_bb = sorted(
+        r["_b"]
+        for r in new_assign.select(_bb(nb).alias("_b")).distinct().collect()
+    )
+    old_mins_t = (
+        spark.read.parquet(mins_root)
+        .where(F.col("_bb").isin(touched_bb))
+        .drop("_bb")
+        .localCheckpoint()  # the swap must not re-read a swapped dir
+    )
+    merged_mins = merge_bucket_mins(old_mins_t, new_assign).withColumn(
+        "_bb", _bb(nb)
+    )
+    merged_mins.write.mode("overwrite").partitionBy("_bb").parquet(
+        os.path.join(edir, "bucket_mins")
+    )
+
+    # ---- labels -----------------------------------------------------------
+    edges = incremental_candidate_edges(new_assign, old_mins_t).localCheckpoint()
+    labels_root = os.path.join(path, "labels")
+    labels_full = spark.read.parquet(labels_root)
+    ends = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    # the documented non-pruned probe: endpoints' current labels
+    end_labels = labels_full.join(F.broadcast(ends), "doc_id").select(
+        "doc_id", "cluster_id"
+    ).localCheckpoint()
+    lab_src = end_labels.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("_sl")
+    )
+    lab_dst = end_labels.select(
+        F.col("doc_id").alias("dst"), F.col("cluster_id").alias("_dl")
+    )
+    contracted = (
+        edges.join(lab_src, "src", "left")
+        .join(lab_dst, "dst", "left")
+        .select(
+            F.coalesce("_sl", F.col("src")).alias("a"),
+            F.coalesce("_dl", F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
+        )
+        .distinct()
+    )
+    rep_new = connected_components(contracted)  # already checkpointed
+    moved = rep_new.where(F.col("doc_id") != F.col("cluster_id"))
+
+    # members of components whose REP was re-labelled: cluster-pruned read
+    moved_rows = moved.collect()  # bounded: O(affected reps + fresh docs)
+    affected_cb = sorted(
+        {r["c"] for r in spark.createDataFrame(
+            [(x["doc_id"],) for x in moved_rows] or [(0,)], "k long"
+        ).select(_cb("k", nb).alias("c")).distinct().collect()}
+    ) if moved_rows else []
+    relabel = spark.createDataFrame(
+        [(x["doc_id"], x["cluster_id"]) for x in moved_rows] or
+        [(None, None)], "old_rep long, new_label long"
+    ).where(F.col("old_rep").isNotNull())
+    changed_members = (
+        spark.read.parquet(labels_root)
+        .where(F.col("_cb").isin(affected_cb) if affected_cb else F.lit(False))
+        .join(F.broadcast(relabel),
+              F.col("cluster_id") == F.col("old_rep"))
+        .select("doc_id", F.col("new_label").alias("cluster_id"))
+    )
+    # endpoints with no prior label: inserts (brand-new docs, or old
+    # singleton-bucket docs this batch linked for the first time)
+    fresh = (
+        ends.join(end_labels.select("doc_id"), "doc_id", "left_anti")
+        .join(rep_new, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    changed = changed_members.unionByName(fresh).localCheckpoint()
+    if not changed.head(1):
+        return  # batch linked nothing new: mins staged above still swap
+    touched_cb = sorted(
+        {r["c"] for r in changed.select(_cb("cluster_id", nb).alias("c"))
+         .distinct().collect()} | set(affected_cb)
+    )
+    post = (
+        spark.read.parquet(labels_root)
+        .where(F.col("_cb").isin(touched_cb))
+        .drop("_cb")
+        .join(F.broadcast(changed.select("doc_id")), "doc_id", "left_anti")
+        .unionByName(changed)
+        .withColumn("_cb", _cb("cluster_id", nb))
+    )
+    post.write.mode("overwrite").partitionBy("_cb").parquet(
+        os.path.join(edir, "labels")
+    )
+
+
+def _ledger_swap(edir: str, path: str) -> None:
+    """Move each staged bucket dir over its live counterpart —
+    idempotent across replays, same contract as the cascade swap."""
+    for table, prefix in (("labels", "_cb="), ("bucket_mins", "_bb=")):
+        gdir = os.path.join(edir, table)
+        if not os.path.isdir(gdir):
+            continue
+        live = os.path.join(path, table)
+        os.makedirs(live, exist_ok=True)
+        for part in os.listdir(gdir):
+            if not part.startswith(prefix):
+                continue
+            target = os.path.join(live, part)
+            shutil.rmtree(target, ignore_errors=True)
+            os.rename(os.path.join(gdir, part), target)
+
+
+def ledger_append(spark: SparkSession, path: str,
+                  batch_docs: DataFrame) -> None:
+    """One-shot batch merge of new docs into the persisted ledger —
+    stage-then-swap under the table lease; incremental labels proven
+    equal to the full fixpoint over the merged corpus
+    (tests/test_components.py)."""
+    from ..tablelock import TableLock
+
+    with TableLock(path, owner="ledger_append"):
+        edir = os.path.join(path, "_stage_tmp")
+        shutil.rmtree(edir, ignore_errors=True)
+        _ledger_stage(spark, path, batch_docs, edir)
+        _ledger_swap(edir, path)
+        shutil.rmtree(edir, ignore_errors=True)
+
+
+class NearDupLedgerSink:
+    """foreachBatch target: EXACTLY-ONCE maintenance of the near-dup
+    ledger from a stream of (doc_id, text) batches — the clustering
+    twin of CascadeMaintenanceSink, same stage/marker/swap/commit
+    protocol, same crash-window contract, same single-writer lease."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.commit_path = os.path.join(path, "_commits")
+        self.epoch_root = os.path.join(path, "_epochs")
+
+    def _commits(self) -> "set[int]":
+        done: set[int] = set()
+        if not os.path.exists(self.commit_path):
+            return done
+        with open(self.commit_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    done.add(int(line))
+                except ValueError:
+                    continue  # torn write: uncommitted (monotone epochs)
+        return done
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..commitlog import append_commit_line
+        from ..tablelock import TableLock
+
+        epoch = int(epoch_id)
+        with TableLock(self.path, owner="NearDupLedgerSink"):
+            if epoch in self._commits():
+                return
+            os.makedirs(self.epoch_root, exist_ok=True)
+            edir = os.path.join(self.epoch_root, f"epoch={epoch}")
+            for d in os.listdir(self.epoch_root):  # stale crashed attempts
+                if d != f"epoch={epoch}":
+                    shutil.rmtree(os.path.join(self.epoch_root, d),
+                                  ignore_errors=True)
+            marker = os.path.join(edir, "_STAGED")
+            if not os.path.exists(marker):
+                shutil.rmtree(edir, ignore_errors=True)
+                _ledger_stage(batch_df.sparkSession, self.path, batch_df, edir)
+                os.makedirs(edir, exist_ok=True)
+                tmp = marker + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    fh.write("staged\n")
+                os.replace(tmp, marker)
+            self._swap(edir)
+            append_commit_line(self.commit_path, str(epoch))
+            shutil.rmtree(edir, ignore_errors=True)
+
+    def _swap(self, edir: str) -> None:
+        _ledger_swap(edir, self.path)
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

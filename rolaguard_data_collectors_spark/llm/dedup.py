@@ -313,18 +313,23 @@ def _minhash_aggs():
     ]
 
 
-def _staged_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_token_hashes(spark: SparkSession, sf_dir: str,
+                         docs: DataFrame | None = None) -> DataFrame:
     """(doc_id, _th) — the barrier-staged hashed distinct-token array
     BOTH signature families (minhash, simhash) build from; one owner
     so the token hashing and the NULL policy cannot drift between
     them. NULL-text docs carry no signature (nothing to near-dup-
     compare) and are EXCLUDED, matching the oracles' unnest semantics
     — an unfiltered build emitted NULL-signature rows the oracles
-    dropped (caught by tests/test_parity_fuzz.py)."""
+    dropped (caught by tests/test_parity_fuzz.py). ``docs`` overrides
+    the table scan with an explicit (doc_id, text) frame — the
+    incremental-ledger batch path (llm/components.py)."""
     from ..catalog import arrays_barrier
     from ..portable_sql import hex32_array
 
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    docs = (
+        docs if docs is not None else _docs(spark, sf_dir)
+    ).where(F.col("text").isNotNull())
     return arrays_barrier(
         docs,
         ["doc_id"],
@@ -332,7 +337,8 @@ def _staged_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str,
+                       docs: DataFrame | None = None) -> DataFrame:
     """8-permutation MinHash signature per document over distinct
     whitespace tokens, as PURE ROW EXPRESSIONS: hash the in-row
     distinct-token array once (one md5 per token — hex32_array), stage
@@ -347,7 +353,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature stage is now embarrassingly parallel; only the (doc,
     band) bucket rows downstream — 8 small rows per doc, no token
     data — ever shuffle."""
-    staged = _staged_token_hashes(spark, sf_dir)
+    staged = _staged_token_hashes(spark, sf_dir, docs=docs)
     # selectExpr with generated SQL strings: the Column-object form of
     # these 8 folds cost ~100 py4j round trips per plan build.
     return staged.selectExpr(

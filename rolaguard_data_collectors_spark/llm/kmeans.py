@@ -260,12 +260,25 @@ class IvfAppendSink:
        terminator-framed — see committed()), then
        clear the scratch. Committed epochs are skipped on replay; the
        commit log doubles as the changed-cells feed a downstream
-       incremental dedup sweep consumes (``committed()``)."""
+       incremental dedup sweep consumes (``committed()``).
+
+    ``IvfDeleteSink`` runs the SAME protocol with the tombstone
+    sidecar as the target — the streaming half of the row-level
+    delete (class attrs pick the target/logs; ``_route`` picks the
+    cell-location step)."""
+
+    TARGET = "postings"
+    COMMIT_FILE = "_commits"
+    EPOCH_DIR = "_epochs"
+    OWNER = "IvfAppendSink"
 
     def __init__(self, path: str):
         self.path = path
-        self.commit_path = os.path.join(path, "_commits")
-        self.epoch_root = os.path.join(path, "_epochs")
+        self.commit_path = os.path.join(path, self.COMMIT_FILE)
+        self.epoch_root = os.path.join(path, self.EPOCH_DIR)
+
+    def _route(self, batch_df: DataFrame) -> DataFrame:
+        return _route_for_index(batch_df.sparkSession, self.path, batch_df)
 
     def committed(self) -> dict[int, list[int]]:
         """epoch -> touched cluster ids, from the commit log. Records
@@ -299,7 +312,7 @@ class IvfAppendSink:
         for d in os.listdir(edir):
             if not d.startswith("cluster="):
                 continue
-            live = os.path.join(self.path, "postings", d)
+            live = os.path.join(self.path, self.TARGET, d)
             os.makedirs(live, exist_ok=True)
             src = os.path.join(edir, d)
             for fn in os.listdir(src):
@@ -317,7 +330,7 @@ class IvfAppendSink:
         # so a maintenance swap cannot delete posting files this epoch
         # commits, and the stale-scratch sweep below cannot rmtree
         # another lease-holder's in-flight stage.
-        with TableLock(self.path, owner="IvfAppendSink"):
+        with TableLock(self.path, owner=self.OWNER):
             self._epoch_locked(batch_df, int(epoch_id))
 
     def _epoch_locked(self, batch_df: DataFrame, epoch: int) -> None:
@@ -332,9 +345,7 @@ class IvfAppendSink:
         marker = os.path.join(edir, "_STAGED")
         if not os.path.exists(marker):
             shutil.rmtree(edir, ignore_errors=True)
-            routed = _route_for_index(
-                batch_df.sparkSession, self.path, batch_df
-            ).localCheckpoint()
+            routed = self._route(batch_df).localCheckpoint()
             touched = sorted(
                 r["cluster"]
                 for r in routed.select("cluster").distinct().collect()
@@ -374,25 +385,9 @@ def ivf_index_delete(spark: SparkSession, path: str,
     are harmless: the join path drops them; the routed path writes a
     tombstone that matches nothing and is drained at the next apply.
     Returns the touched cells, sorted — the changed-cells feed, same
-    contract as ``ivf_index_append``."""
-    if "v" in doomed.columns:
-        cents = (
-            spark.read.parquet(path + "/centroids.parquet")
-            .orderBy("cluster")
-            .collect()
-        )
-        centroids = [[float(x) for x in r["centroid"]] for r in cents]
-        located = _assign(
-            doomed.select("vec_id", "v").where(F.col("v").isNotNull()),
-            centroids,
-        ).select("vec_id", "cluster")
-    else:
-        located = (
-            spark.read.parquet(path + "/postings")
-            .join(F.broadcast(doomed.select("vec_id").distinct()), "vec_id")
-            .select("vec_id", "cluster")
-        )
-    located = located.localCheckpoint()
+    contract as ``ivf_index_append``. Streaming twin with exactly-once
+    epochs: ``IvfDeleteSink``."""
+    located = _locate_cells(spark, path, doomed).localCheckpoint()
     touched = sorted(
         r["cluster"] for r in located.select("cluster").distinct().collect()
     )
@@ -401,6 +396,52 @@ def ivf_index_delete(spark: SparkSession, path: str,
             path + "/tombstones"
         )
     return touched
+
+
+def _locate_cells(spark: SparkSession, path: str,
+                  doomed: DataFrame) -> DataFrame:
+    """(vec_id, cluster) for each row of a delete batch: nearest
+    frozen centroid when the embedding is supplied, else a broadcast
+    semi-join against the postings scan (see ivf_index_delete)."""
+    if "v" in doomed.columns:
+        cents = (
+            spark.read.parquet(path + "/centroids.parquet")
+            .orderBy("cluster")
+            .collect()
+        )
+        centroids = [[float(x) for x in r["centroid"]] for r in cents]
+        return _assign(
+            doomed.select("vec_id", "v").where(F.col("v").isNotNull()),
+            centroids,
+        ).select("vec_id", "cluster")
+    return (
+        spark.read.parquet(path + "/postings")
+        .join(F.broadcast(doomed.select("vec_id").distinct()), "vec_id")
+        .select("vec_id", "cluster")
+    )
+
+
+class IvfDeleteSink(IvfAppendSink):
+    """foreachBatch target: EXACTLY-ONCE streaming row-level deletes —
+    the tombstone-writing twin of ``IvfAppendSink`` on the identical
+    stage/marker/move/commit protocol, targeting the tombstone sidecar
+    instead of the postings (duplicate tombstones would even be
+    HARMLESS to readers — the anti-join is idempotent — but the commit
+    log keeps replayed epochs from accreting duplicate sidecar files
+    and keeps the changed-cells feed exact). Shares the table lease
+    with the append sink and the maintenance ops, so a delete epoch
+    can never interleave a compaction's stage/swap window. Its
+    ``committed()`` log is separate (``_commits_delete``): a delete
+    stream and an append stream are independent queries with
+    independent epoch counters."""
+
+    TARGET = "tombstones"
+    COMMIT_FILE = "_commits_delete"
+    EPOCH_DIR = "_epochs_delete"
+    OWNER = "IvfDeleteSink"
+
+    def _route(self, batch_df: DataFrame) -> DataFrame:
+        return _locate_cells(batch_df.sparkSession, self.path, batch_df)
 
 
 def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:

@@ -253,6 +253,170 @@ def test_incremental_components_synthetic_cases(spark):
     }
 
 
+def _split_docs(spark, sf_dir, tmp_path):
+    """documents split: old slice written as its own corpus dir (the
+    ledger build input), new slice returned as the append batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    old_dir = str(tmp_path / "old_corpus")
+    os.makedirs(old_dir)
+    old.toPandas().to_parquet(
+        os.path.join(old_dir, "documents.parquet"), index=False
+    )
+    return old_dir, new
+
+
+def _full_ledger_truth(spark, sf_dir):
+    from rolaguard_data_collectors_spark.llm.components import bucket_mins
+    from rolaguard_data_collectors_spark.llm.dedup import (
+        _band_assignments,
+        minhash_signatures,
+    )
+
+    assign = _band_assignments(
+        minhash_signatures(spark, sf_dir)
+    ).localCheckpoint()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            candidate_edges(spark, sf_dir, assign=assign)
+        ).collect()
+    }
+    mins = {
+        (r["band"], r["bucket"]): r["min_doc"]
+        for r in bucket_mins(assign).collect()
+    }
+    return labels, mins
+
+
+def test_ledger_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Round 10: the persisted near-dup ledger (bucket-partitioned
+    labels + anchors) merged with a doc batch via ledger_append equals
+    a full rebuild over the merged corpus — labels AND anchors."""
+    from rolaguard_data_collectors_spark.llm.components import (
+        ledger_append,
+        persist_near_dup_ledger,
+        read_ledger_labels,
+        read_ledger_mins,
+    )
+
+    old_dir, new = _split_docs(spark, sf_dir, tmp_path)
+    path = str(tmp_path / "ledger")
+    persist_near_dup_ledger(spark, old_dir, path, n_buckets=8)
+    ledger_append(spark, path, new)
+
+    want_labels, want_mins = _full_ledger_truth(spark, sf_dir)
+    got_labels = {
+        r.doc_id: r.cluster_id
+        for r in read_ledger_labels(spark, path).collect()
+    }
+    got_mins = {
+        (r["band"], r["bucket"]): r["min_doc"]
+        for r in read_ledger_mins(spark, path).collect()
+    }
+    assert got_labels == want_labels
+    assert got_mins == want_mins
+
+
+def test_ledger_sink_exactly_once_and_crash_replay(spark, sf_dir, tmp_path):
+    """NearDupLedgerSink: committed-epoch replay is a no-op; a crash
+    MID-SWAP (one staged bucket moved, the rest still in scratch)
+    replays to the exact full-rebuild state; two epochs of batches end
+    at the merged-corpus fixpoint."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.llm.components import (
+        NearDupLedgerSink,
+        persist_near_dup_ledger,
+        read_ledger_labels,
+    )
+
+    old_dir, new = _split_docs(spark, sf_dir, tmp_path)
+    path = str(tmp_path / "ledger_sink")
+    persist_near_dup_ledger(spark, old_dir, path, n_buckets=8)
+    b0 = new.where(F.col("doc_id") % 8 == 0)
+    b1 = new.where(F.col("doc_id") % 8 != 0)
+
+    sink = NearDupLedgerSink(path)
+    sink(b0, 0)
+    snap0 = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in read_ledger_labels(spark, path).collect()
+    )
+    sink(b0, 0)  # restart replay of a committed epoch
+    assert sorted(
+        (r.doc_id, r.cluster_id)
+        for r in read_ledger_labels(spark, path).collect()
+    ) == snap0
+
+    class Boom(Exception):
+        pass
+
+    class CrashMidSwap(NearDupLedgerSink):
+        def _swap(self, edir):
+            gdir = os.path.join(edir, "labels")
+            staged = sorted(
+                d for d in os.listdir(gdir) if d.startswith("_cb=")
+            )
+            if staged:  # move ONE bucket, then die
+                live = os.path.join(self.path, "labels", staged[0])
+                import shutil as _sh
+
+                _sh.rmtree(live, ignore_errors=True)
+                os.rename(os.path.join(gdir, staged[0]), live)
+            raise Boom()
+
+    with pytest.raises(Boom):
+        CrashMidSwap(path)(b1, 1)
+    sink(b1, 1)  # replay finishes the swap from the surviving scratch
+    assert sink._commits() == {0, 1}
+
+    want_labels, _ = _full_ledger_truth(spark, sf_dir)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in read_ledger_labels(spark, path).collect()
+    }
+    assert got == want_labels
+
+
+def test_ledger_append_empty_and_null_batch(spark, sf_dir, tmp_path):
+    """A batch with no rows (or only NULL texts) must stage nothing and
+    leave the ledger bit-identical."""
+    from rolaguard_data_collectors_spark.llm.components import (
+        ledger_append,
+        persist_near_dup_ledger,
+        read_ledger_labels,
+    )
+
+    old_dir, _ = _split_docs(spark, sf_dir, tmp_path)
+    path = str(tmp_path / "ledger_empty")
+    persist_near_dup_ledger(spark, old_dir, path, n_buckets=8)
+    before = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in read_ledger_labels(spark, path).collect()
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ledger_append(spark, path, empty)
+    nulls = spark.createDataFrame(
+        [(10**9, None), (10**9 + 1, None)], "doc_id long, text string"
+    )
+    ledger_append(spark, path, nulls)
+    assert sorted(
+        (r.doc_id, r.cluster_id)
+        for r in read_ledger_labels(spark, path).collect()
+    ) == before
+
+
 def test_summary_counts(spark, sf_dir):
     total = near_dup_clusters(spark, sf_dir).count()
     summary = cluster_summary(spark, sf_dir).collect()

@@ -235,6 +235,73 @@ def test_reader_prunes_probed_cells_with_tombstones(spark, sf_dir, tmp_path):
     assert got <= set(probed)
 
 
+def test_streaming_delete_sink_exactly_once_and_crash_replay(
+    spark, sf_dir, tmp_path
+):
+    """IvfDeleteSink: a replayed committed epoch adds no duplicate
+    sidecar files; a crash mid-move replays to the same tombstone set;
+    the commit log is separate from the append sink's; readers and
+    apply see exactly the streamed deletes."""
+    from rolaguard_data_collectors_spark.llm.kmeans import IvfDeleteSink
+
+    path = str(tmp_path / "ivf")
+    emb = _build(spark, sf_dir, path)
+    before = _rows(spark, path)
+    doomed = emb.where(F.col("vec_id") % 9 == 1).select("vec_id", "v")
+    doomed_ids = {r["vec_id"] for r in doomed.collect()}
+    want = [r for r in before if r[0] not in doomed_ids]
+
+    sink = IvfDeleteSink(path)
+    sink(doomed, 0)
+    assert 0 in sink.committed() and sink.committed()[0]
+
+    def sidecar_files():
+        troot = os.path.join(path, "tombstones")
+        return sorted(
+            os.path.join(d, f)
+            for d in os.listdir(troot) if d.startswith("cluster=")
+            for f in os.listdir(os.path.join(troot, d))
+            if f.startswith("epoch")
+        )
+
+    files0 = sidecar_files()
+    sink(doomed, 0)  # restart replay: committed -> no new files
+    assert sidecar_files() == files0
+    assert _rows(spark, path) == want
+
+    # crash mid-move on the NEXT epoch: first cell moved, rest staged
+    class Boom(Exception):
+        pass
+
+    orig_move = IvfDeleteSink._move
+    calls = {"n": 0}
+
+    def dying_move(self, edir, epoch):
+        orig_move(self, edir, epoch)
+        raise Boom()
+
+    IvfDeleteSink._move = dying_move
+    doomed2 = emb.where(F.col("vec_id") % 9 == 4).select("vec_id", "v")
+    try:
+        with pytest.raises(Boom):
+            sink(doomed2, 1)
+    finally:
+        IvfDeleteSink._move = orig_move
+    assert 1 not in sink.committed()
+    sink(doomed2, 1)  # replay finishes from the surviving scratch
+    assert 1 in sink.committed()
+    doomed2_ids = {r["vec_id"] for r in doomed2.collect()}
+    want2 = [r for r in before if r[0] not in doomed_ids | doomed2_ids]
+    assert _rows(spark, path) == want2
+    # the append sink's log is untouched by delete epochs
+    from rolaguard_data_collectors_spark.llm.kmeans import IvfAppendSink
+
+    assert 1 not in IvfAppendSink(path).committed()
+    applied = apply_ivf_tombstones(spark, path)
+    assert applied
+    assert _rows(spark, path, reader=False) == want2
+
+
 def test_delete_sink_interop_with_append_sink(spark, sf_dir, tmp_path):
     """A delete interleaved between exactly-once append epochs: the
     appended rows survive, the deleted rows do not, and the lease
