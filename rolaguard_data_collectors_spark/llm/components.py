@@ -504,11 +504,43 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
     post.write.mode("overwrite").partitionBy("_cb").parquet(
         os.path.join(edir, "labels")
     )
+    # A touched bucket whose rows ALL moved to other buckets gets no
+    # staged directory — without a manifest the swap would leave its
+    # stale live rows in place NEXT TO their re-labelled copies
+    # (round-10 find: duplicate doc_ids; same emptied-partition gap the
+    # cascade retraction closes with _DROPPED). Record exactly the
+    # emptied buckets; the swap deletes them, idempotently.
+    staged_cb = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(edir, "labels"))
+        if d.startswith("_cb=")
+    }
+    emptied = sorted(set(touched_cb) - staged_cb)
+    if emptied:
+        import json as _json
+
+        with open(os.path.join(edir, "_DROPPED_CB"), "w",
+                  encoding="utf-8") as fh:
+            _json.dump(emptied, fh)
 
 
 def _ledger_swap(edir: str, path: str) -> None:
     """Move each staged bucket dir over its live counterpart —
-    idempotent across replays, same contract as the cascade swap."""
+    idempotent across replays, same contract as the cascade swap. A
+    ``_DROPPED_CB`` manifest (label buckets the epoch emptied — every
+    row re-labelled into other buckets) deletes those live dirs;
+    rmtree is idempotent, and the manifest lives in the scratch so it
+    vanishes with it only after the swap completed."""
+    dropped = os.path.join(edir, "_DROPPED_CB")
+    if os.path.exists(dropped):
+        import json as _json
+
+        with open(dropped, encoding="utf-8") as fh:
+            for k in _json.load(fh):
+                shutil.rmtree(
+                    os.path.join(path, "labels", f"_cb={k}"),
+                    ignore_errors=True,
+                )
     for table, prefix in (("labels", "_cb="), ("bucket_mins", "_bb=")):
         gdir = os.path.join(edir, table)
         if not os.path.isdir(gdir):

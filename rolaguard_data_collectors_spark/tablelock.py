@@ -34,6 +34,16 @@ agree on. The sinks lock the table path they maintain; maintenance ops
 called on a SUBDIRECTORY of a maintained table (e.g. compaction over
 ``<index>/postings``) must pass ``lock_root=<index>`` so they contend
 with the sink rather than locking a root nobody else looks at.
+
+Scope note — WRITERS only. A concurrent READER whose scan started
+before a swap can still hit a vanished file mid-scan (rmtree+rename is
+atomic per partition, not per table-snapshot); it fails cleanly and
+retries — it can never read a half-written partition, because staged
+content is complete before any live directory is touched. Reader
+snapshot isolation proper needs a manifest/version-pointer layout
+(Iceberg/Delta's core trick) where swaps write new files and flip a
+pointer; the lease keeps that evolution open (a manifest writer would
+take the same lock).
 """
 
 from __future__ import annotations

@@ -313,14 +313,14 @@ def test_ledger_append_matches_full_rebuild(spark, sf_dir, tmp_path):
     ledger_append(spark, path, new)
 
     want_labels, want_mins = _full_ledger_truth(spark, sf_dir)
-    got_labels = {
-        r.doc_id: r.cluster_id
-        for r in read_ledger_labels(spark, path).collect()
-    }
-    got_mins = {
-        (r["band"], r["bucket"]): r["min_doc"]
-        for r in read_ledger_mins(spark, path).collect()
-    }
+    rows = read_ledger_labels(spark, path).collect()
+    got_labels = {r.doc_id: r.cluster_id for r in rows}
+    # duplicate doc_ids (a stale bucket surviving next to the
+    # re-labelled copy) must fail loudly, not hide in dict overwrite
+    assert len(rows) == len(got_labels)
+    mrows = read_ledger_mins(spark, path).collect()
+    got_mins = {(r["band"], r["bucket"]): r["min_doc"] for r in mrows}
+    assert len(mrows) == len(got_mins)
     assert got_labels == want_labels
     assert got_mins == want_mins
 
@@ -382,10 +382,9 @@ def test_ledger_sink_exactly_once_and_crash_replay(spark, sf_dir, tmp_path):
     assert sink._commits() == {0, 1}
 
     want_labels, _ = _full_ledger_truth(spark, sf_dir)
-    got = {
-        r.doc_id: r.cluster_id
-        for r in read_ledger_labels(spark, path).collect()
-    }
+    rows = read_ledger_labels(spark, path).collect()
+    got = {r.doc_id: r.cluster_id for r in rows}
+    assert len(rows) == len(got)  # no duplicate doc_ids across buckets
     assert got == want_labels
 
 
