@@ -332,6 +332,14 @@ def incremental_components(prev_labels: DataFrame, new_edges: DataFrame,
 # maintains a doc-keyed projection of the same table (updated by the
 # same epochs) the way every cluster-keyed store pairs with a lookup
 # index; the write path — the expensive half — is already O(affected).
+#
+# Contract: the ledger is APPEND-only — batches are NEW doc_ids.
+# Re-ingesting an existing doc_id with different text would add its
+# new bucket links but leave the old component's merges in place
+# (min-label merges are monotone; there is no un-merge), so doc
+# mutation/erasure needs a retraction path (re-derive the affected
+# components' labels from their surviving edges — the cascade_retract
+# analogue) before it can be exposed; until then, mutate = rebuild.
 
 LEDGER_BUCKETS = 16
 

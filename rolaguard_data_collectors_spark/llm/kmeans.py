@@ -206,11 +206,39 @@ def ivf_index_append(spark: SparkSession, path: str,
     touched = sorted(
         r["cluster"] for r in assigned.select("cluster").distinct().collect()
     )
+    _guard_tombstoned_ids(spark, path, assigned)
     with TableLock(path, owner="ivf_index_append"):
         assigned.write.mode("append").partitionBy("cluster").parquet(
             path + "/postings"
         )
     return touched
+
+
+def _guard_tombstoned_ids(spark: SparkSession, path: str,
+                          assigned: DataFrame) -> None:
+    """Appending a vec_id that is CURRENTLY tombstoned would be
+    silently wrong twice over: the reader's anti-join hides the new
+    row immediately, and the next ``apply_ivf_tombstones`` physically
+    deletes it. The index contract is therefore id-reuse-after-apply:
+    re-adding a deleted id is fine once its tombstone has been drained,
+    and raising here (one broadcast probe of the small sidecar) turns
+    the silent suppression into a named, actionable error."""
+    tomb = _tombstones(spark, path)
+    if tomb is None:
+        return
+    hits = (
+        assigned.select("vec_id")
+        .join(F.broadcast(tomb.select("vec_id").distinct()), "vec_id")
+        .count()
+    )
+    if hits:
+        raise ValueError(
+            f"ivf_index_append: {hits} appended vec_id(s) are currently "
+            "tombstoned — the reader would hide them and the next "
+            "apply_ivf_tombstones would delete them. Run "
+            "apply_ivf_tombstones first (drains the tombstones), then "
+            "re-append, or use fresh vec_ids."
+        )
 
 
 def _route_for_index(spark: SparkSession, path: str,
@@ -361,6 +389,16 @@ class IvfAppendSink:
             os.replace(tmp, marker)
         with open(marker, encoding="utf-8") as fh:
             cells_s = fh.read().strip()
+        if self.TARGET == "postings" and cells_s:
+            # id-reuse guard on the STAGED rows (works on replays too,
+            # where the routed frame is not recomputed): a tombstoned
+            # vec_id must not enter the live postings — raising leaves
+            # the epoch staged; after apply_ivf_tombstones drains the
+            # sidecar, the stream restart replays this epoch cleanly.
+            _guard_tombstoned_ids(
+                batch_df.sparkSession, self.path,
+                batch_df.sparkSession.read.parquet(edir),
+            )
         self._move(edir, epoch)
         append_commit_line(self.commit_path, f"{epoch},{cells_s},end")
         shutil.rmtree(edir, ignore_errors=True)

@@ -158,12 +158,32 @@ class TableLock:
             self._held = True
             return self
 
+    def _is_mine(self) -> bool:
+        info = self._read(self.path)
+        return (
+            info is not None
+            and info.get("owner") == self.owner
+            and info.get("host") == socket.gethostname()
+            and info.get("pid") == os.getpid()
+        )
+
     def refresh(self) -> None:
         """Extend the lease (holder only). Phase boundaries of long
         operations call this so a slow distributed stage can't outlive
-        its lease mid-swap."""
+        its lease mid-swap. If the lease already expired and another
+        writer took over, refresh RAISES instead of clobbering the new
+        holder's lock — the operation lost its exclusivity and must
+        not proceed to a mutating phase (TOCTOU window between the
+        check and the replace is the lease contract's usual residue:
+        size lease_seconds so expiry-while-alive never happens)."""
         if not self._held:
             raise RuntimeError("refresh() without the lock held")
+        if not self._is_mine():
+            self._held = False
+            raise LockHeldError(
+                f"lease on {self.path} was lost (expired and taken "
+                f"over) — aborting before any further mutation"
+            )
         tmp = self.path + f".refresh.{os.getpid()}"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(self._payload())
@@ -174,10 +194,13 @@ class TableLock:
     def release(self) -> None:
         if self._held:
             self._held = False
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass  # lease expired and was broken: nothing to release
+            # unlink only OUR lock: after an expiry+takeover the file
+            # belongs to the new holder and must survive our release
+            if self._is_mine():
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass  # broken concurrently: nothing to release
 
     def __enter__(self) -> "TableLock":
         return self.acquire()

@@ -235,6 +235,35 @@ def test_reader_prunes_probed_cells_with_tombstones(spark, sf_dir, tmp_path):
     assert got <= set(probed)
 
 
+def test_reappending_tombstoned_id_raises_until_applied(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 review find: appending a vec_id that is currently
+    tombstoned would be silently hidden by the reader AND physically
+    deleted by the next apply. Both append paths (one-shot + sink)
+    must raise a named error; after apply drains the tombstone, the
+    same append succeeds and the row is live again."""
+    from rolaguard_data_collectors_spark.llm.kmeans import IvfAppendSink
+
+    path = str(tmp_path / "ivf")
+    emb = _build(spark, sf_dir, path)
+    victim = emb.limit(1).select("vec_id", "v")
+    vid = victim.collect()[0]["vec_id"]
+    ivf_index_delete(spark, path, victim)
+
+    with pytest.raises(ValueError, match="tombstoned"):
+        ivf_index_append(spark, path, victim)
+    sink = IvfAppendSink(path)
+    with pytest.raises(ValueError, match="tombstoned"):
+        sink(victim, 7)
+    assert 7 not in sink.committed()  # epoch stays uncommitted (staged)
+
+    apply_ivf_tombstones(spark, path)
+    sink(victim, 7)  # stream restart replays the STAGED epoch cleanly
+    assert 7 in sink.committed()
+    assert vid in {v for v, _, _ in _rows(spark, path)}
+
+
 def test_streaming_delete_sink_exactly_once_and_crash_replay(
     spark, sf_dir, tmp_path
 ):

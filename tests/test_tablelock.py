@@ -82,6 +82,24 @@ def test_lock_torn_payload_is_breakable(tmp_path):
         pass
 
 
+def test_lost_lease_refuses_refresh_and_release(tmp_path):
+    """After an expiry+takeover, the old holder must neither refresh
+    over nor unlink the NEW holder's lock: refresh raises, release is
+    a no-op on the foreign lock file."""
+    root = str(tmp_path / "t")
+    old = TableLock(root, owner="old", lease_seconds=-1.0)  # born expired
+    old.acquire()
+    new = TableLock(root, owner="new", timeout=0.5)
+    new.acquire()  # breaks the expired lease
+    with pytest.raises(LockHeldError, match="lost"):
+        old.refresh()
+    old._held = True  # simulate the old holder still believing it holds
+    old.release()
+    info = json.loads(open(new.path).read())
+    assert info["owner"] == "new"  # survived the stale release
+    new.release()
+
+
 def test_refresh_extends_lease(tmp_path):
     root = str(tmp_path / "t")
     lk = TableLock(root, owner="a", lease_seconds=3600)
