@@ -58,3 +58,53 @@ def test_sf01_parity(spark, sf01_con, name):
     assert r.ok, f"{name}@sf0.1: {r.detail}"
     assert r.exact_match, f"{name}@sf0.1: {r.detail}"
     assert r.dtypes_match, f"{name}@sf0.1: {r.dtype_skews}"
+
+
+def test_sf01_ledger_append_matches_full_rebuild(spark, tmp_path):
+    """Round 10: the incremental near-dup ledger at the largest SF —
+    the hash-bucketed rewrite, the contracted fixpoint, and the anchor
+    merge are all partitioning-sensitive machinery (this sweep's
+    class), and the emptied-bucket manifest only triggers when a
+    bucket's whole population re-labels, which needs a dup-heavy
+    corpus slice."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.llm.components import (
+        bucket_mins,
+        candidate_edges,
+        connected_components,
+        ledger_append,
+        persist_near_dup_ledger,
+        read_ledger_labels,
+    )
+    from rolaguard_data_collectors_spark.llm.dedup import (
+        _band_assignments,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF01, "documents").select("doc_id", "text")
+    old_dir = str(tmp_path / "old_corpus")
+    os.makedirs(old_dir)
+    docs.where(F.col("doc_id") % 5 != 0).toPandas().to_parquet(
+        os.path.join(old_dir, "documents.parquet"), index=False
+    )
+    path = str(tmp_path / "ledger")
+    persist_near_dup_ledger(spark, old_dir, path)
+    ledger_append(spark, path, docs.where(F.col("doc_id") % 5 == 0))
+
+    assign = _band_assignments(
+        minhash_signatures(spark, SF01)
+    ).localCheckpoint()
+    want = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            candidate_edges(spark, SF01, assign=assign)
+        ).collect()
+    }
+    rows = read_ledger_labels(spark, path).collect()
+    got = {r.doc_id: r.cluster_id for r in rows}
+    assert len(rows) == len(got)  # no duplicate doc_ids across buckets
+    assert got == want
