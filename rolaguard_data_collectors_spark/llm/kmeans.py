@@ -389,12 +389,23 @@ class IvfAppendSink:
             os.replace(tmp, marker)
         with open(marker, encoding="utf-8") as fh:
             cells_s = fh.read().strip()
-        if self.TARGET == "postings" and cells_s:
+        staged_rows = any(
+            d.startswith("cluster=")
+            and any(
+                f.startswith("part-")
+                for f in os.listdir(os.path.join(edir, d))
+            )
+            for d in os.listdir(edir)
+        )
+        if self.TARGET == "postings" and cells_s and staged_rows:
             # id-reuse guard on the STAGED rows (works on replays too,
             # where the routed frame is not recomputed): a tombstoned
             # vec_id must not enter the live postings — raising leaves
             # the epoch staged; after apply_ivf_tombstones drains the
             # sidecar, the stream restart replays this epoch cleanly.
+            # A replay whose MOVE already completed has an empty
+            # scratch (marker only) — nothing left to guard: the rows
+            # are live and only the commit record is missing.
             _guard_tombstoned_ids(
                 batch_df.sparkSession, self.path,
                 batch_df.sparkSession.read.parquet(edir),
