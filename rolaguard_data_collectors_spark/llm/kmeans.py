@@ -577,6 +577,11 @@ def apply_ivf_tombstones(spark: SparkSession, path: str,
         )
         for c in cells:
             live = os.path.join(posts_root, f"cluster={c}")
+            if not os.path.isdir(live):
+                # tombstones for ids routed to a never-populated cell
+                # (delete-by-vector of absent ids): nothing to rewrite,
+                # the sidecar alone is drained by _finish_swap
+                continue
             tomb = spark.read.parquet(
                 os.path.join(tomb_root, f"cluster={c}")
             ).select("vec_id")

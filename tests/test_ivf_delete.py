@@ -131,6 +131,36 @@ def test_delete_quantized_index(spark, sf_dir, tmp_path):
     assert _rows(spark, path, reader=False) == want
 
 
+def test_delete_absent_ids_by_vector_then_apply(spark, sf_dir, tmp_path):
+    """Routed deletes of ids that were never appended write ghost
+    tombstones; readers ignore them and apply drains them — including
+    when a touched cell has no live posting directory at all (the
+    codebook owns the cell but no vector ever routed there)."""
+    import shutil
+
+    path = str(tmp_path / "ivf")
+    emb = _build(spark, sf_dir, path)
+    ghost = emb.limit(3).select(
+        (F.col("vec_id") + 777_000_000).alias("vec_id"), "v"
+    )
+    touched = ivf_index_delete(spark, path, ghost)
+    assert touched
+    # empty one touched cell's live dir entirely
+    shutil.rmtree(
+        os.path.join(path, "postings", f"cluster={touched[0]}"),
+        ignore_errors=True,
+    )
+    expect = [r for r in _rows(spark, path)]  # ghosts match nothing
+    applied = apply_ivf_tombstones(spark, path)
+    assert set(applied) == set(touched)
+    assert _rows(spark, path, reader=False) == expect  # content unchanged
+    assert not any(
+        d.startswith("cluster=")
+        for d in (os.listdir(path + "/tombstones")
+                  if os.path.isdir(path + "/tombstones") else [])
+    )  # ghost sidecars drained
+
+
 def test_append_delete_equals_frozen_codebook_rebuild(spark, sf_dir, tmp_path):
     """The done-criterion: after appends + deletes + apply, the posting
     rows equal routing exactly the SURVIVING vectors against the frozen
