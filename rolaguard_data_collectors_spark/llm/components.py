@@ -333,13 +333,23 @@ def incremental_components(prev_labels: DataFrame, new_edges: DataFrame,
 # same epochs) the way every cluster-keyed store pairs with a lookup
 # index; the write path — the expensive half — is already O(affected).
 #
-# Contract: the ledger is APPEND-only — batches are NEW doc_ids.
-# Re-ingesting an existing doc_id with different text would add its
-# new bucket links but leave the old component's merges in place
-# (min-label merges are monotone; there is no un-merge), so doc
-# mutation/erasure needs a retraction path (re-derive the affected
-# components' labels from their surviving edges — the cascade_retract
-# analogue) before it can be exposed; until then, mutate = rebuild.
+# Deletions: min-label merges are monotone (no algebraic un-merge), so
+# retraction re-SOLVES exactly the affected components from the
+# persisted per-doc ASSIGNMENTS table (``assign/_ab=H(doc_id)%NB`` —
+# the ledger's source of truth, doc-keyed so a retraction reads only
+# its docs' buckets). Two structural facts keep that O(affected):
+# bucket co-membership implies same component, so every bucket a
+# doomed doc shares is fully contained in its component's member set —
+# the rebuild subgraph is the affected components' OWN assignment rows
+# and nothing else — and members co-locate in the labels table's
+# cluster-hash buckets, so reading them is a PartitionFilters scan.
+# ``ledger_retract`` / ``NearDupLedgerSink(mode='retract')`` stage the
+# post-state of every touched bucket of all three tables (labels,
+# anchors, assignments — anchors recomputed as the min over the
+# surviving members of each touched (band, bucket)) and swap under the
+# lease; re-appending a fully-retracted doc_id is then legal (the
+# append/retract round-trip is tested bit-exact). Mutation = retract
+# then append.
 
 LEDGER_BUCKETS = 16
 
@@ -363,7 +373,9 @@ def batch_band_assignments(spark: SparkSession, docs: DataFrame) -> DataFrame:
 def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
                             n_buckets: int = LEDGER_BUCKETS) -> None:
     """Build the ledger artifact from a corpus: converged labels +
-    bucket anchors, both hash-bucket-partitioned (see module notes)."""
+    bucket anchors + the per-doc assignments (the source of truth a
+    retraction re-solves from), all hash-bucket-partitioned (see
+    module notes)."""
     import json as _json
 
     assign = _band_assignments_staged(spark, sf_dir)
@@ -374,6 +386,9 @@ def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
     bucket_mins(assign).withColumn("_bb", _bb(n_buckets)).write.mode(
         "overwrite"
     ).partitionBy("_bb").parquet(os.path.join(path, "bucket_mins"))
+    assign.withColumn("_ab", _cb("doc_id", n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("_ab").parquet(os.path.join(path, "assign"))
     with open(os.path.join(path, "_meta.json"), "w", encoding="utf-8") as fh:
         _json.dump({"n_buckets": n_buckets}, fh)
 
@@ -386,12 +401,37 @@ def _band_assignments_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
+_LEDGER_SCHEMAS = {
+    "labels": ("_cb=", "doc_id long, cluster_id long, _cb int"),
+    "bucket_mins": ("_bb=", "band int, bucket string, min_doc long, _bb int"),
+    "assign": ("_ab=", "band int, bucket string, doc_id long, _ab int"),
+}
+
+
+def _read_bucketed(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Read a ledger table, tolerating a table a retraction has fully
+    emptied (partition-less directory: schema inference would fail —
+    the cascade layer's round-9 lesson). Returns a typed empty frame
+    so downstream joins/appends keep working on a drained ledger."""
+    prefix, schema = _LEDGER_SCHEMAS[table]
+    root = os.path.join(path, table)
+    if not os.path.isdir(root) or not any(
+        d.startswith(prefix) for d in os.listdir(root)
+    ):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(root)
+
+
 def read_ledger_labels(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "labels")).drop("_cb")
+    return _read_bucketed(spark, path, "labels").drop("_cb")
 
 
 def read_ledger_mins(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "bucket_mins")).drop("_bb")
+    return _read_bucketed(spark, path, "bucket_mins").drop("_bb")
+
+
+def read_ledger_assign(spark: SparkSession, path: str) -> DataFrame:
+    return _read_bucketed(spark, path, "assign").drop("_ab")
 
 
 def _ledger_meta(path: str) -> int:
@@ -419,7 +459,7 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
         for r in new_assign.select(_bb(nb).alias("_b")).distinct().collect()
     )
     old_mins_t = (
-        spark.read.parquet(mins_root)
+        _read_bucketed(spark, path, "bucket_mins")
         .where(F.col("_bb").isin(touched_bb))
         .drop("_bb")
         .localCheckpoint()  # the swap must not re-read a swapped dir
@@ -431,10 +471,28 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
         os.path.join(edir, "bucket_mins")
     )
 
+    # ---- assignments (the retraction path's source of truth) -------------
+    assign_root = os.path.join(path, "assign")
+    touched_ab = sorted(
+        r["_a"]
+        for r in new_assign.select(_cb("doc_id", nb).alias("_a"))
+        .distinct().collect()
+    )
+    old_assign_t = (
+        _read_bucketed(spark, path, "assign")
+        .where(F.col("_ab").isin(touched_ab))
+        .drop("_ab")
+    )
+    old_assign_t.unionByName(new_assign.select("band", "bucket", "doc_id")) \
+        .withColumn("_ab", _cb("doc_id", nb)) \
+        .write.mode("overwrite").partitionBy("_ab").parquet(
+            os.path.join(edir, "assign")
+        )
+
     # ---- labels -----------------------------------------------------------
     edges = incremental_candidate_edges(new_assign, old_mins_t).localCheckpoint()
     labels_root = os.path.join(path, "labels")
-    labels_full = spark.read.parquet(labels_root)
+    labels_full = _read_bucketed(spark, path, "labels")
     ends = (
         edges.select(F.col("src").alias("doc_id"))
         .union(edges.select(F.col("dst").alias("doc_id")))
@@ -478,7 +536,7 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
         [(None, None)], "old_rep long, new_label long"
     ).where(F.col("old_rep").isNotNull())
     changed_members = (
-        spark.read.parquet(labels_root)
+        _read_bucketed(spark, path, "labels")
         .where(F.col("_cb").isin(affected_cb) if affected_cb else F.lit(False))
         .join(F.broadcast(relabel),
               F.col("cluster_id") == F.col("old_rep"))
@@ -502,7 +560,7 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
          .distinct().collect()} | set(affected_cb)
     )
     post = (
-        spark.read.parquet(labels_root)
+        _read_bucketed(spark, path, "labels")
         .where(F.col("_cb").isin(touched_cb))
         .drop("_cb")
         .join(F.broadcast(changed.select("doc_id")), "doc_id", "left_anti")
@@ -518,38 +576,53 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
     # (round-10 find: duplicate doc_ids; same emptied-partition gap the
     # cascade retraction closes with _DROPPED). Record exactly the
     # emptied buckets; the swap deletes them, idempotently.
-    staged_cb = {
+    _write_dropped_manifest(edir, "labels", "_cb=", touched_cb)
+
+
+def _write_dropped_manifest(edir: str, table: str, prefix: str,
+                            touched: "list[int]") -> None:
+    """Record the touched buckets of ``table`` that ended with NO
+    staged directory (every row left them): ``_ledger_swap`` deletes
+    those live dirs. Lives in the scratch, so it survives replays and
+    vanishes with the scratch only after the swap completed."""
+    tdir = os.path.join(edir, table)
+    staged = {
         int(d.split("=", 1)[1])
-        for d in os.listdir(os.path.join(edir, "labels"))
-        if d.startswith("_cb=")
+        for d in (os.listdir(tdir) if os.path.isdir(tdir) else [])
+        if d.startswith(prefix)
     }
-    emptied = sorted(set(touched_cb) - staged_cb)
+    emptied = sorted(set(touched) - staged)
     if emptied:
         import json as _json
 
-        with open(os.path.join(edir, "_DROPPED_CB"), "w",
+        os.makedirs(edir, exist_ok=True)
+        with open(os.path.join(edir, f"_DROPPED_{table}"), "w",
                   encoding="utf-8") as fh:
             _json.dump(emptied, fh)
+
+
+_LEDGER_TABLES = (("labels", "_cb="), ("bucket_mins", "_bb="),
+                  ("assign", "_ab="))
 
 
 def _ledger_swap(edir: str, path: str) -> None:
     """Move each staged bucket dir over its live counterpart —
     idempotent across replays, same contract as the cascade swap. A
-    ``_DROPPED_CB`` manifest (label buckets the epoch emptied — every
-    row re-labelled into other buckets) deletes those live dirs;
-    rmtree is idempotent, and the manifest lives in the scratch so it
-    vanishes with it only after the swap completed."""
-    dropped = os.path.join(edir, "_DROPPED_CB")
-    if os.path.exists(dropped):
-        import json as _json
+    ``_DROPPED_<table>`` manifest (touched buckets the epoch emptied —
+    every row re-labelled away, or deleted by a retraction) deletes
+    those live dirs; rmtree is idempotent, and the manifests live in
+    the scratch so they vanish with it only after the swap completed."""
+    import json as _json
 
-        with open(dropped, encoding="utf-8") as fh:
-            for k in _json.load(fh):
-                shutil.rmtree(
-                    os.path.join(path, "labels", f"_cb={k}"),
-                    ignore_errors=True,
-                )
-    for table, prefix in (("labels", "_cb="), ("bucket_mins", "_bb=")):
+    for table, prefix in _LEDGER_TABLES:
+        dropped = os.path.join(edir, f"_DROPPED_{table}")
+        if os.path.exists(dropped):
+            with open(dropped, encoding="utf-8") as fh:
+                for k in _json.load(fh):
+                    shutil.rmtree(
+                        os.path.join(path, table, f"{prefix}{k}"),
+                        ignore_errors=True,
+                    )
         gdir = os.path.join(edir, table)
         if not os.path.isdir(gdir):
             continue
@@ -561,6 +634,172 @@ def _ledger_swap(edir: str, path: str) -> None:
             target = os.path.join(live, part)
             shutil.rmtree(target, ignore_errors=True)
             os.rename(os.path.join(gdir, part), target)
+
+
+def _ledger_retract_stage(spark: SparkSession, path: str,
+                          doomed: DataFrame, edir: str) -> None:
+    """Compute the POST-state of every bucket a retraction touches:
+    re-solve the affected components from the surviving assignment
+    rows, recompute the touched buckets' anchors, drop the doomed
+    docs' assignment rows. See the module notes for why each read is
+    a PartitionFilters scan (except the one documented label probe)."""
+    from pyspark.sql import Window
+
+    nb = _ledger_meta(path)
+    doomed_ids = doomed.select("doc_id").distinct().localCheckpoint()
+    if not doomed_ids.head(1):
+        return
+
+    assign_root = os.path.join(path, "assign")
+    labels_root = os.path.join(path, "labels")
+    touched_ab = sorted(
+        r["_a"]
+        for r in doomed_ids.select(_cb("doc_id", nb).alias("_a"))
+        .distinct().collect()
+    )
+    doomed_assign = (
+        _read_bucketed(spark, path, "assign")
+        .where(F.col("_ab").isin(touched_ab))
+        .drop("_ab")
+        .join(F.broadcast(doomed_ids), "doc_id")
+        .localCheckpoint()
+    )
+    # affected components: the documented doc-keyed probe
+    doomed_labels = (
+        _read_bucketed(spark, path, "labels")
+        .join(F.broadcast(doomed_ids), "doc_id")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    has_assign = bool(doomed_assign.head(1))
+    has_labels = bool(doomed_labels.head(1))
+    if not has_assign and not has_labels:
+        return  # ids unknown to the ledger: nothing changes
+
+    # ---- labels: re-solve the affected components ------------------------
+    if has_labels:
+        affected_cb = sorted(
+            r["c"]
+            for r in doomed_labels.select(_cb("cluster_id", nb).alias("c"))
+            .distinct().collect()
+        )
+        members = (
+            _read_bucketed(spark, path, "labels")
+            .where(F.col("_cb").isin(affected_cb))
+            .join(F.broadcast(doomed_labels), "cluster_id")
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        m_ab = sorted(
+            r["a"]
+            for r in members.select(_cb("doc_id", nb).alias("a"))
+            .distinct().collect()
+        )
+        # every bucket a member occupies is fully inside its component
+        # (co-membership => same component), so this IS the affected
+        # components' complete subgraph
+        member_assign = (
+            _read_bucketed(spark, path, "assign")
+            .where(F.col("_ab").isin(m_ab))
+            .drop("_ab")
+            .join(F.broadcast(members), "doc_id")
+        )
+        surviving = member_assign.join(
+            F.broadcast(doomed_ids), "doc_id", "left_anti"
+        ).localCheckpoint()
+        w = Window.partitionBy("band", "bucket")
+        edges = (
+            surviving.withColumn("dst", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("dst"))
+            .select(F.col("doc_id").alias("src"), "dst")
+            .distinct()
+        )
+        new_labels = connected_components(edges).localCheckpoint()
+        new_cb = sorted(
+            r["c"]
+            for r in new_labels.select(_cb("cluster_id", nb).alias("c"))
+            .distinct().collect()
+        )
+        touched_cb = sorted(set(affected_cb) | set(new_cb))
+        post = (
+            _read_bucketed(spark, path, "labels")
+            .where(F.col("_cb").isin(touched_cb))
+            .drop("_cb")
+            .join(F.broadcast(members), "doc_id", "left_anti")
+            .unionByName(new_labels)
+            .withColumn("_cb", _cb("cluster_id", nb))
+        )
+        post.write.mode("overwrite").partitionBy("_cb").parquet(
+            os.path.join(edir, "labels")
+        )
+        _write_dropped_manifest(edir, "labels", "_cb=", touched_cb)
+    else:
+        surviving = None  # only singleton-bucket docs retracted
+
+    # ---- anchors: recompute the buckets the doomed docs occupied ---------
+    if has_assign:
+        changed_keys = doomed_assign.select("band", "bucket").distinct()
+        touched_bb = sorted(
+            r["b"]
+            for r in changed_keys.select(_bb(nb).alias("b"))
+            .distinct().collect()
+        )
+        if surviving is not None:
+            new_mins = (
+                surviving.join(F.broadcast(changed_keys), ["band", "bucket"])
+                .groupBy("band", "bucket")
+                .agg(F.min("doc_id").alias("min_doc"))
+            )
+        else:
+            # doomed docs had no labels => every occupied bucket was a
+            # singleton bucket => no survivors in any changed bucket
+            new_mins = spark.createDataFrame(
+                [], "band int, bucket string, min_doc long"
+            )
+        mins_post = (
+            _read_bucketed(spark, path, "bucket_mins")
+            .where(F.col("_bb").isin(touched_bb))
+            .drop("_bb")
+            .join(changed_keys, ["band", "bucket"], "left_anti")
+            .unionByName(new_mins)
+            .withColumn("_bb", _bb(nb))
+        )
+        mins_post.write.mode("overwrite").partitionBy("_bb").parquet(
+            os.path.join(edir, "bucket_mins")
+        )
+        _write_dropped_manifest(edir, "bucket_mins", "_bb=", touched_bb)
+
+        # ---- assignments: drop the doomed rows ---------------------------
+        assign_post = (
+            _read_bucketed(spark, path, "assign")
+            .where(F.col("_ab").isin(touched_ab))
+            .drop("_ab")
+            .join(F.broadcast(doomed_ids), "doc_id", "left_anti")
+            .withColumn("_ab", _cb("doc_id", nb))
+        )
+        assign_post.write.mode("overwrite").partitionBy("_ab").parquet(
+            os.path.join(edir, "assign")
+        )
+        _write_dropped_manifest(edir, "assign", "_ab=", touched_ab)
+
+
+def ledger_retract(spark: SparkSession, path: str,
+                   doomed: DataFrame) -> None:
+    """Row-level DELETE for the near-dup ledger: remove docs (GDPR
+    erasure, corpus pruning) by re-solving exactly their components
+    from the surviving assignment rows — stage-then-swap under the
+    table lease, O(affected components + touched buckets). Retract of
+    ids the ledger never saw is a no-op; append(B) after retract(B)
+    restores the exact pre-retract state (tests/test_components.py)."""
+    from ..tablelock import TableLock
+
+    with TableLock(path, owner="ledger_retract"):
+        edir = os.path.join(path, "_stage_tmp")
+        shutil.rmtree(edir, ignore_errors=True)
+        _ledger_retract_stage(spark, path, doomed, edir)
+        _ledger_swap(edir, path)
+        shutil.rmtree(edir, ignore_errors=True)
 
 
 def ledger_append(spark: SparkSession, path: str,
@@ -583,12 +822,19 @@ class NearDupLedgerSink:
     """foreachBatch target: EXACTLY-ONCE maintenance of the near-dup
     ledger from a stream of (doc_id, text) batches — the clustering
     twin of CascadeMaintenanceSink, same stage/marker/swap/commit
-    protocol, same crash-window contract, same single-writer lease."""
+    protocol, same crash-window contract, same single-writer lease.
+    ``mode='retract'`` runs the stream as row-level deletes (batches
+    of doc_id rows), with its own commit log/scratch so the two
+    directions' epoch counters never mask each other."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mode: str = "append"):
+        if mode not in ("append", "retract"):
+            raise ValueError(f"NearDupLedgerSink mode: {mode!r}")
         self.path = path
-        self.commit_path = os.path.join(path, "_commits")
-        self.epoch_root = os.path.join(path, "_epochs")
+        self.mode = mode
+        suffix = "_retract" if mode == "retract" else ""
+        self.commit_path = os.path.join(path, "_commits" + suffix)
+        self.epoch_root = os.path.join(path, "_epochs" + suffix)
 
     def _commits(self) -> "set[int]":
         done: set[int] = set()
@@ -622,7 +868,9 @@ class NearDupLedgerSink:
             marker = os.path.join(edir, "_STAGED")
             if not os.path.exists(marker):
                 shutil.rmtree(edir, ignore_errors=True)
-                _ledger_stage(batch_df.sparkSession, self.path, batch_df, edir)
+                stage = (_ledger_retract_stage if self.mode == "retract"
+                         else _ledger_stage)
+                stage(batch_df.sparkSession, self.path, batch_df, edir)
                 os.makedirs(edir, exist_ok=True)
                 tmp = marker + ".tmp"
                 with open(tmp, "w", encoding="utf-8") as fh:

@@ -388,6 +388,198 @@ def test_ledger_sink_exactly_once_and_crash_replay(spark, sf_dir, tmp_path):
     assert got == want_labels
 
 
+def _ledger_snapshot(spark, path):
+    from rolaguard_data_collectors_spark.llm.components import (
+        read_ledger_assign,
+        read_ledger_labels,
+        read_ledger_mins,
+    )
+
+    labels = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in read_ledger_labels(spark, path).collect()
+    )
+    mins = sorted(
+        (r["band"], r["bucket"], r["min_doc"])
+        for r in read_ledger_mins(spark, path).collect()
+    )
+    assign = sorted(
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in read_ledger_assign(spark, path).collect()
+    )
+    return labels, mins, assign
+
+
+def test_ledger_retract_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Round 10: retracting a doc slice from the maintained ledger
+    equals a full rebuild over the surviving corpus — labels, anchors
+    AND the assignments table (the retraction's own source of truth)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.llm.components import (
+        ledger_retract,
+        persist_near_dup_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doomed = docs.where(F.col("doc_id") % 7 == 2).select("doc_id")
+    assert doomed.count() > 0
+    path = str(tmp_path / "ledger")
+    persist_near_dup_ledger(spark, sf_dir, path, n_buckets=8)
+    ledger_retract(spark, path, doomed)
+
+    surv_dir = str(tmp_path / "surv")
+    os.makedirs(surv_dir)
+    docs.where(F.col("doc_id") % 7 != 2).toPandas().to_parquet(
+        os.path.join(surv_dir, "documents.parquet"), index=False
+    )
+    truth = str(tmp_path / "truth")
+    persist_near_dup_ledger(spark, surv_dir, truth, n_buckets=8)
+    got = _ledger_snapshot(spark, path)
+    want = _ledger_snapshot(spark, truth)
+    assert got[0] == want[0], "labels diverge"
+    assert got[1] == want[1], "anchors diverge"
+    assert got[2] == want[2], "assignments diverge"
+    assert not os.path.exists(os.path.join(path, "_stage_tmp"))
+
+
+def test_ledger_retract_roundtrip_component_and_unknown(
+    spark, sf_dir, tmp_path
+):
+    """(a) retract(B) then append(B) restores the exact pre-state of
+    all three tables (mutation = retract+append is legal); (b)
+    retracting an ENTIRE component removes all its label rows; (c)
+    retracting unknown ids is a bit-exact no-op."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.llm.components import (
+        ledger_append,
+        ledger_retract,
+        persist_near_dup_ledger,
+        read_ledger_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "ledger_rt")
+    persist_near_dup_ledger(spark, sf_dir, path, n_buckets=8)
+    before = _ledger_snapshot(spark, path)
+
+    # (c) unknown ids: no-op
+    ledger_retract(
+        spark, path,
+        spark.createDataFrame([(10**12,), (10**12 + 1,)], "doc_id long"),
+    )
+    assert _ledger_snapshot(spark, path) == before
+
+    # (a) roundtrip a slice
+    doomed_ids = [r.doc_id for r in read_ledger_labels(spark, path)
+                  .where(F.col("doc_id") % 11 == 3).collect()][:20]
+    assert doomed_ids
+    ledger_retract(
+        spark, path,
+        spark.createDataFrame([(i,) for i in doomed_ids], "doc_id long"),
+    )
+    mid = _ledger_snapshot(spark, path)
+    assert mid != before
+    assert not any(d in {x for x, _ in mid[0]} for d in doomed_ids)
+    ledger_append(spark, path, docs.where(F.col("doc_id").isin(doomed_ids)))
+    assert _ledger_snapshot(spark, path) == before
+
+    # (b) an entire component vanishes from the label table
+    labels = read_ledger_labels(spark, path).collect()
+    by_comp: dict = {}
+    for r in labels:
+        by_comp.setdefault(r.cluster_id, []).append(r.doc_id)
+    comp = min(by_comp, key=lambda c: len(by_comp[c]))
+    ledger_retract(
+        spark, path,
+        spark.createDataFrame([(i,) for i in by_comp[comp]], "doc_id long"),
+    )
+    left = {r.doc_id for r in read_ledger_labels(spark, path).collect()}
+    assert not (left & set(by_comp[comp]))
+    # at small SFs the whole corpus can be ONE component — the readers
+    # and the append path must survive a fully-drained ledger, and
+    # re-appending the retracted docs rebuilds the exact prior state
+    ledger_retract(
+        spark, path,
+        spark.createDataFrame(
+            [(i,) for i in sorted(set(by_comp[comp]))], "doc_id long"
+        ),
+    )  # re-retract of already-gone ids: bit-exact no-op
+    ledger_append(
+        spark, path, docs.where(F.col("doc_id").isin(by_comp[comp]))
+    )
+    assert _ledger_snapshot(spark, path) == before
+
+
+def test_ledger_retract_sink_exactly_once_and_crash_replay(
+    spark, sf_dir, tmp_path
+):
+    """The retraction STREAM: separate commit log from the append
+    sink, committed-epoch replay no-op, crash mid-swap replays to the
+    full-rebuild state."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.llm.components import (
+        NearDupLedgerSink,
+        persist_near_dup_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "ledger_rsink")
+    persist_near_dup_ledger(spark, sf_dir, path, n_buckets=8)
+    doomed = docs.where(F.col("doc_id") % 9 == 4).select("doc_id")
+
+    class Boom(Exception):
+        pass
+
+    class CrashMidSwap(NearDupLedgerSink):
+        def _swap(self, edir):
+            gdir = os.path.join(edir, "labels")
+            staged = sorted(
+                d for d in (os.listdir(gdir) if os.path.isdir(gdir) else [])
+                if d.startswith("_cb=")
+            )
+            if staged:
+                import shutil as _sh
+
+                live = os.path.join(self.path, "labels", staged[0])
+                _sh.rmtree(live, ignore_errors=True)
+                os.rename(os.path.join(gdir, staged[0]), live)
+            raise Boom()
+
+    with pytest.raises(Boom):
+        CrashMidSwap(path, mode="retract")(doomed, 0)
+    sink = NearDupLedgerSink(path, mode="retract")
+    sink(doomed, 0)  # replay finishes the swap
+    after = _ledger_snapshot(spark, path)
+    sink(doomed, 0)  # committed: no double retraction
+    assert _ledger_snapshot(spark, path) == after
+    # append-direction log untouched by retract epochs
+    assert NearDupLedgerSink(path)._commits() == set()
+
+    surv_dir = str(tmp_path / "surv")
+    os.makedirs(surv_dir)
+    docs.where(F.col("doc_id") % 9 != 4).toPandas().to_parquet(
+        os.path.join(surv_dir, "documents.parquet"), index=False
+    )
+    truth = str(tmp_path / "truth")
+    from rolaguard_data_collectors_spark.llm.components import (
+        persist_near_dup_ledger as persist2,
+    )
+
+    persist2(spark, surv_dir, truth, n_buckets=8)
+    assert after == _ledger_snapshot(spark, truth)
+
+
 def test_ledger_append_empty_and_null_batch(spark, sf_dir, tmp_path):
     """A batch with no rows (or only NULL texts) must stage nothing and
     leave the ledger bit-identical."""
