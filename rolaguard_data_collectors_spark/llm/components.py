@@ -453,7 +453,6 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
         return  # empty/NULL-text batch: nothing staged, nothing swapped
 
     # ---- anchors (bucket_mins) ------------------------------------------
-    mins_root = os.path.join(path, "bucket_mins")
     touched_bb = sorted(
         r["_b"]
         for r in new_assign.select(_bb(nb).alias("_b")).distinct().collect()
@@ -472,7 +471,6 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
     )
 
     # ---- assignments (the retraction path's source of truth) -------------
-    assign_root = os.path.join(path, "assign")
     touched_ab = sorted(
         r["_a"]
         for r in new_assign.select(_cb("doc_id", nb).alias("_a"))
@@ -491,7 +489,6 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
 
     # ---- labels -----------------------------------------------------------
     edges = incremental_candidate_edges(new_assign, old_mins_t).localCheckpoint()
-    labels_root = os.path.join(path, "labels")
     labels_full = _read_bucketed(spark, path, "labels")
     ends = (
         edges.select(F.col("src").alias("doc_id"))
@@ -650,8 +647,6 @@ def _ledger_retract_stage(spark: SparkSession, path: str,
     if not doomed_ids.head(1):
         return
 
-    assign_root = os.path.join(path, "assign")
-    labels_root = os.path.join(path, "labels")
     touched_ab = sorted(
         r["_a"]
         for r in doomed_ids.select(_cb("doc_id", nb).alias("_a"))
