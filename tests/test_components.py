@@ -580,6 +580,70 @@ def test_ledger_retract_sink_exactly_once_and_crash_replay(
     assert after == _ledger_snapshot(spark, truth)
 
 
+def test_ledger_random_op_sequence_matches_rebuild(spark, sf_dir, tmp_path):
+    """Seeded random interleaving of appends and retractions (with
+    re-appends of previously retracted docs and a sprinkling of
+    unknown ids): after every sequence the ledger must equal a fresh
+    build over exactly the currently-present docs — the maintained
+    artifact can never drift from its declarative definition."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.llm.components import (
+        ledger_append,
+        ledger_retract,
+        persist_near_dup_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    all_ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    rng = random.Random(7)
+    present = set(rng.sample(all_ids, len(all_ids) // 2))
+    absent = set(all_ids) - present
+
+    start_dir = str(tmp_path / "start")
+    os.makedirs(start_dir)
+    docs.where(F.col("doc_id").isin(sorted(present))).toPandas().to_parquet(
+        os.path.join(start_dir, "documents.parquet"), index=False
+    )
+    path = str(tmp_path / "ledger")
+    persist_near_dup_ledger(spark, start_dir, path, n_buckets=8)
+
+    for step in range(6):
+        if (rng.random() < 0.5 and absent) or not present:
+            batch = set(rng.sample(sorted(absent), min(40, len(absent))))
+            ledger_append(
+                spark, path, docs.where(F.col("doc_id").isin(sorted(batch)))
+            )
+            present |= batch
+            absent -= batch
+        else:
+            batch = set(rng.sample(sorted(present), min(40, len(present))))
+            ids = sorted(batch) + [10**12 + step]  # plus an unknown id
+            ledger_retract(
+                spark, path,
+                spark.createDataFrame([(i,) for i in ids], "doc_id long"),
+            )
+            present -= batch
+            absent |= batch
+
+    truth_dir = str(tmp_path / "truth_corpus")
+    os.makedirs(truth_dir)
+    docs.where(F.col("doc_id").isin(sorted(present))).toPandas().to_parquet(
+        os.path.join(truth_dir, "documents.parquet"), index=False
+    )
+    truth = str(tmp_path / "truth")
+    persist_near_dup_ledger(spark, truth_dir, truth, n_buckets=8)
+    got = _ledger_snapshot(spark, path)
+    want = _ledger_snapshot(spark, truth)
+    assert got[0] == want[0], "labels drifted from the declarative build"
+    assert got[1] == want[1], "anchors drifted"
+    assert got[2] == want[2], "assignments drifted"
+
+
 def test_ledger_append_empty_and_null_batch(spark, sf_dir, tmp_path):
     """A batch with no rows (or only NULL texts) must stage nothing and
     leave the ledger bit-identical."""

@@ -250,6 +250,90 @@ def test_compaction_fence_catches_lock_bypassing_writer(
     assert not os.path.exists(os.path.join(posts, "_compact_tmp"))
 
 
+def test_ivf_concurrent_append_delete_apply_stress(spark, sf_dir, tmp_path):
+    """Three writers hammer one index concurrently — append epochs,
+    routed deletes of base vectors, tombstone applies and a compaction
+    — every operation serialized only by the table lease. The final
+    index must equal exactly (base + all appends) minus the deletes,
+    with drained sidecars and no scratch left: order-independence is
+    what the single-writer contract buys."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        _emb,
+        apply_ivf_tombstones,
+        ivf_index_append,
+        ivf_index_delete,
+        persist_ivf_index,
+        read_ivf_postings,
+    )
+    from rolaguard_data_collectors_spark.plans.scale import compact_partitions
+
+    path = str(tmp_path / "ivf")
+    persist_ivf_index(spark, sf_dir, path, k=4, iters=1)
+    emb = _emb(spark, sf_dir)
+    base_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+    append_batches = [
+        emb.where(F.col("vec_id") % 5 == i).select(
+            (F.col("vec_id") + (i + 1) * 10_000_000).alias("vec_id"), "v"
+        )
+        for i in range(3)
+    ]
+    delete_batches = [
+        emb.where(F.col("vec_id") % 7 == i).select("vec_id", "v")
+        for i in range(2)
+    ]
+    errors: list = []
+
+    def appender():
+        try:
+            for b in append_batches:
+                ivf_index_append(spark, path, b)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    def deleter():
+        try:
+            for b in delete_batches:
+                ivf_index_delete(spark, path, b)
+                apply_ivf_tombstones(spark, path)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def maintainer():
+        try:
+            apply_ivf_tombstones(spark, path)
+            compact_partitions(spark, path + "/postings", max_files=2,
+                               target_files=1, lock_root=path)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=f)
+          for f in (appender, deleter, maintainer)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(300)
+    assert not errors, errors
+
+    apply_ivf_tombstones(spark, path)  # drain any tombstones that lost
+    deleted = {
+        r["vec_id"]
+        for b in delete_batches for r in b.select("vec_id").collect()
+    }
+    appended = {
+        r["vec_id"]
+        for b in append_batches for r in b.select("vec_id").collect()
+    }
+    want = (base_ids | appended) - deleted
+    got = {r["vec_id"] for r in read_ivf_postings(spark, path).collect()}
+    assert got == want
+    raw = {r["vec_id"] for r in spark.read.parquet(path + "/postings").collect()}
+    assert raw == want  # physically merged too
+    assert not os.path.exists(os.path.join(path, "_compact_tmp"))
+    assert not os.path.exists(os.path.join(path, "postings", "_compact_tmp"))
+    assert not os.path.exists(os.path.join(path, "_tombstone_tmp"))
+
+
 def test_expire_holds_lease_against_sink(spark, tmp_path):
     """expire_partitions must contend on the cascade table's lock, not
     its grain subdirectory: while a CascadeMaintenanceSink epoch holds
