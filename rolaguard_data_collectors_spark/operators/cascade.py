@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..commitlog import append_commit_line
 from ..registry import QuerySpec
+from ..snapshots import STAGE_PART_PREFIX, SnapshotStore
 from ..tablelock import TableLock
 
 # One quantization of the input, shared by every grain and mirrored in
@@ -174,16 +175,63 @@ def _with_day(df: DataFrame) -> DataFrame:
     )
 
 
-def persist_cascade(spark: SparkSession, sf_dir: str, path: str) -> None:
+def persist_cascade(spark: SparkSession, sf_dir: str, path: str,
+                    layout: str = "hive") -> None:
     """Write the three grain tables as day-partitioned parquet — the
-    lake artifact cascade_append maintains."""
+    lake artifact cascade_append maintains.
+
+    ``layout="hive"`` is the classic ``<path>/<grain>/_d=<day>/``
+    table the partition-swap maintenance mutates in place.
+    ``layout="snapshot"`` initializes a ``SnapshotStore`` root instead
+    (manifest + version pointer): the SAME maintenance entry points
+    (``cascade_append``/``cascade_retract``/``CascadeMaintenanceSink``)
+    detect the layout and publish versions rather than swapping, which
+    buys reader snapshot isolation, atomic cross-grain commits and
+    time travel (see snapshots.py). One build, one choice, zero
+    divergent writer code paths."""
+    if layout == "snapshot":
+        store = SnapshotStore.create(path)
+        edir = os.path.join(path, "_stage_tmp")
+        shutil.rmtree(edir, ignore_errors=True)
+        schemas: dict[str, str] = {}
+        for grain, df in cascade_grains(spark, sf_dir).items():
+            staged = _with_day(df)
+            schemas[grain] = staged.schema.json()
+            _write_staged_partitions(staged, os.path.join(edir, grain), True)
+        with open(os.path.join(edir, "_SCHEMAS.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(schemas, fh)
+        with TableLock(path, owner="persist_cascade"):
+            store.commit_staged(edir, op="init")
+        return
+    if layout != "hive":
+        raise ValueError(f"unknown cascade layout {layout!r}")
     for grain, df in cascade_grains(spark, sf_dir).items():
         _with_day(df).write.mode("overwrite").partitionBy("_d").parquet(
             f"{path}/{grain}"
         )
 
 
+def _write_staged_partitions(df: DataFrame, dest: str,
+                             snapshot: bool) -> None:
+    """One distributed write of a day-keyed frame. Hive layout
+    partitions by ``_d`` itself (dirnames carry the day; files drop the
+    column — the live-table shape). Snapshot layout partitions by a
+    DUPLICATE ``_dp`` so the files KEEP ``_d`` as a normal string
+    column: manifest reads then need no partition-dir inference (the
+    round-10 `_d`-typed-as-DATE trap can't re-enter) and per-day dirs
+    stay self-describing wherever the manifest points at them."""
+    if snapshot:
+        df.withColumn("_dp", F.col("_d")).write.mode("overwrite").partitionBy(
+            "_dp"
+        ).parquet(dest)
+    else:
+        df.write.mode("overwrite").partitionBy("_d").parquet(dest)
+
+
 def read_grain(spark: SparkSession, path: str, grain: str) -> DataFrame:
+    if SnapshotStore.is_snapshot(path):
+        return SnapshotStore(path).read(spark, grain).drop("_d")
     return spark.read.parquet(f"{path}/{grain}").drop("_d")
 
 
@@ -209,6 +257,14 @@ def _stage_batch(spark: SparkSession, batch_df: DataFrame, edir: str,
     never written. Days whose minute partition empties entirely are
     recorded in ``<edir>/_DROPPED`` for ``_swap_staged`` to delete at
     every grain."""
+    snapshot = SnapshotStore.is_snapshot(live_root)
+    store = SnapshotStore(live_root) if snapshot else None
+    if snapshot:
+        # Finish any crashed commit BEFORE the live read (all callers
+        # hold the table lease here): staging against the pre-pending
+        # state and then committing on top would silently drop the
+        # pending version's rows for every day both commits touch.
+        store.recover()
     ev = batch_df.select("ts", "event_type", "value")
     sign = -1 if negate else 1
     batch_minute = _with_day(
@@ -227,14 +283,27 @@ def _stage_batch(spark: SparkSession, batch_df: DataFrame, edir: str,
         return touched
     live_minute = os.path.join(live_root, "minute")
     merged = batch_minute
-    # content check, not isdir (round-9 review fix): expire_partitions
-    # can legitimately empty the table, leaving a partition-less
-    # directory that spark.read.parquet cannot infer a schema from —
-    # which would wedge every replay of the next epoch.
-    has_live = os.path.isdir(live_minute) and any(
-        x.startswith("_d=") for x in os.listdir(live_minute)
-    )
-    if has_live:
+    if snapshot:
+        # Manifest-pruned live read: only the touched days' pinned
+        # dirs are even listed, `_d` arrives as a real string column
+        # from the files (no partition-dir inference at all); the
+        # existence check is pure manifest metadata — zero jobs.
+        live_days = set(store.table_days("minute")) & set(touched)
+        if live_days:
+            merged = store.read(
+                spark, "minute", days=sorted(live_days)
+            ).unionByName(batch_minute)
+        has_live = True  # handled above; skip the hive branch
+    else:
+        # content check, not isdir (round-9 review fix):
+        # expire_partitions can legitimately empty the table, leaving
+        # a partition-less directory that spark.read.parquet cannot
+        # infer a schema from — which would wedge every replay of the
+        # next epoch.
+        has_live = os.path.isdir(live_minute) and any(
+            x.startswith("_d=") for x in os.listdir(live_minute)
+        )
+    if has_live and not snapshot:
         # Pin the partition column back to STRING: partition-type
         # inference reads `_d` as DATE whenever no sentinel partition
         # exists, which silently types the merged `_d` as DATE — the
@@ -274,23 +343,32 @@ def _stage_batch(spark: SparkSession, batch_df: DataFrame, edir: str,
             with open(os.path.join(edir, "_DROPPED"), "w",
                       encoding="utf-8") as fh:
                 json.dump(dropped, fh)
-    merged.write.mode("overwrite").partitionBy("_d").parquet(
-        os.path.join(edir, "minute")
-    )
+        if not survivors:
+            # the batch emptied EVERY touched day: nothing to write at
+            # any grain — the stage is just the drop list (a minute
+            # write here would be an empty parquet dir the hour/day
+            # derivation cannot even infer a schema from)
+            return touched
+    schemas = {"minute": merged.schema.json()}
+    _write_staged_partitions(merged, os.path.join(edir, "minute"), snapshot)
     for src, dst, trunc in (("minute", "hour", "hour"), ("hour", "day", "day")):
         upd = (
             spark.read.parquet(os.path.join(edir, src))
             .groupBy(
                 F.date_trunc(trunc, "window_start").alias("window_start"),
                 "event_type",
-                "_d",
+                F.col("_d").cast("string").alias("_d"),
             )
             .agg(F.sum("n_events").alias("n_events"),
                  F.sum("_sv").alias("_sv"))
         )
-        upd.write.mode("overwrite").partitionBy("_d").parquet(
-            os.path.join(edir, dst)
-        )
+        schemas[dst] = upd.schema.json()
+        _write_staged_partitions(upd, os.path.join(edir, dst), snapshot)
+    if snapshot:
+        # typed-empty reads of a drained table come from these
+        with open(os.path.join(edir, "_SCHEMAS.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(schemas, fh)
     return touched
 
 
@@ -330,6 +408,27 @@ def _swap_staged(edir: str, live_root: str,
             os.rename(os.path.join(gdir, part), target)
 
 
+def _publish_staged(edir: str, live_root: str, op: str,
+                    touched: list[str],
+                    epoch: int | None = None,
+                    direction: str | None = None) -> None:
+    """Make a staged scratch live, by whichever protocol the table
+    uses: hive layout swaps partition dirs in place (rmtree+rename,
+    idempotent replay); snapshot layout publishes a new VERSION —
+    atomic across all three grains, invisible to pinned readers, and
+    (for sink epochs) carrying the epoch record in the same atomic
+    manifest flip. An empty batch on a snapshot table with an epoch
+    still commits a metadata-only version so the epoch is recorded."""
+    if SnapshotStore.is_snapshot(live_root):
+        if touched or epoch is not None:
+            SnapshotStore(live_root).commit_staged(
+                edir if touched else None, op=op,
+                epoch=epoch, direction=direction,
+            )
+        return
+    _swap_staged(edir, live_root)
+
+
 def cascade_append(spark: SparkSession, path: str,
                    new_events: DataFrame) -> list[str]:
     """Merge a micro-batch of events into the persisted cascade —
@@ -347,7 +446,7 @@ def cascade_append(spark: SparkSession, path: str,
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         touched = _stage_batch(spark, new_events, edir, path)
-        _swap_staged(edir, path)
+        _publish_staged(edir, path, op="append", touched=touched)
         shutil.rmtree(edir, ignore_errors=True)
     return touched
 
@@ -373,7 +472,7 @@ def cascade_retract(spark: SparkSession, path: str,
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         touched = _stage_batch(spark, events, edir, path, negate=True)
-        _swap_staged(edir, path)
+        _publish_staged(edir, path, op="retract", touched=touched)
         shutil.rmtree(edir, ignore_errors=True)
     return touched
 
@@ -461,7 +560,22 @@ class CascadeMaintenanceSink:
             self._epoch_locked(batch_df, int(epoch_id))
 
     def _epoch_locked(self, batch_df: DataFrame, epoch: int) -> None:
-        if epoch in self._commits():
+        direction = "retract" if self.negate else "append"
+        store = (
+            SnapshotStore(self.path)
+            if SnapshotStore.is_snapshot(self.path)
+            else None
+        )
+        if store is not None:
+            # The pending commit (if any) may BE this epoch: finish it
+            # first so the committed check below can catch it. Epoch
+            # records ride the manifest (epoch_high per direction) —
+            # committed exactly when the data became visible, in one
+            # atomic pointer flip; no separate commit-log ordering.
+            store.recover()
+            if store.epoch_committed(direction, epoch):
+                return
+        elif epoch in self._commits():
             return
         os.makedirs(self.epoch_root, exist_ok=True)
         edir = os.path.join(self.epoch_root, f"epoch={epoch}")
@@ -478,6 +592,13 @@ class CascadeMaintenanceSink:
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("staged\n")
             os.replace(tmp, marker)
+        if store is not None:
+            staged = [g for g in self.GRAINS
+                      if os.path.isdir(os.path.join(edir, g))]
+            store.commit_staged(edir if staged else None, op=direction,
+                                epoch=epoch, direction=direction)
+            shutil.rmtree(edir, ignore_errors=True)  # metadata-only case
+            return
         self._swap(edir)
         # torn-previous-line self-healing append (see commitlog.py):
         # a bare append after a torn commit would concatenate epochs

@@ -1,0 +1,442 @@
+"""Versioned snapshot layout for maintained parquet tables — the
+manifest/version-pointer trick (the published core of Iceberg/Delta:
+commits write NEW immutable files and atomically flip a pointer; see
+the Iceberg spec's snapshot/manifest model and the Delta Lake VLDB'20
+paper) that closes the one contract the single-writer lease
+(``tablelock.py``) deliberately left open: READER snapshot isolation.
+
+Why the hive layout can't give it: the rmtree+rename partition swap
+used by the cascade/IVF/ledger maintenance is atomic per PARTITION,
+not per table — a reader whose scan started before a swap can hit a
+vanished file mid-scan, and there is no moment at which a multi-grain
+table (minute/hour/day) is consistent ACROSS grains during a swap.
+Here, a commit never deletes anything a reader can see:
+
+    <root>/_VERSION                   current version {"version": N}
+                                      (os.replace flip = the commit point)
+    <root>/_manifests/v000007.json    immutable manifest per version
+    <root>/data/v000007/<table>/_dp=<day>/part-*.parquet
+                                      immutable data dirs, written once
+
+A manifest maps every (table, day) to the data directory that holds
+that partition's current content; untouched partitions keep pointing
+at directories published by earlier versions, so a commit costs
+O(touched partitions) metadata on top of the staged data it renames
+in. Readers resolve the pointer ONCE, then scan a pinned list of
+immutable directories: no swap can yank files out from under them,
+any historical version is readable until vacuumed (time travel), and
+a multi-table commit (all three cascade grains, or a retraction that
+drops a day at every grain) is ATOMIC — properties the hive layout
+cannot express. Partition pruning moves where Iceberg put it: the
+manifest (``read(days=...)`` lists only the requested days'
+directories — zero directory listing, zero footer reads for skipped
+partitions).
+
+Write protocol (caller holds the table's single-writer lease, the
+same ``TableLock`` every hive-layout writer takes):
+
+    1. stage the touched partitions' complete post-state under a
+       scratch dir: ``<edir>/<table>/_dp=<day>/*.parquet`` (files keep
+       all data columns; the ``_dp=`` dirname is only a carrier), plus
+       ``_SCHEMAS.json`` (Spark schema per staged table — typed empty
+       reads), optional ``_DROPPED`` (days to remove from EVERY table).
+    2. ``commit_staged``: write ``_COMMIT_META`` into the scratch,
+       ``os.rename(edir, data/vN)`` — one atomic publish of all data —
+       then build manifest vN from manifest v(N-1) + the renamed dir,
+       write it (temp+rename), and flip ``_VERSION`` (os.replace).
+
+Every crash window re-enters through ``recover()``: a data dir
+without its manifest rebuilds it (the build is a pure function of the
+parent manifest and the dir's contents — ``_COMMIT_META``/``_DROPPED``
+travel inside it), a manifest without the pointer flip gets flipped.
+Exactly-once streaming epochs ride the manifest itself: ``epoch_high``
+(per direction) is carried forward and bumped by each commit, so "is
+this epoch committed" is answered by the SAME atomic write that
+published the epoch's data — no ordering hazard between a data swap
+and a separate commit-log append (epoch ids are monotone per
+direction under Structured Streaming's replay contract, which replays
+only the last epoch).
+
+``vacuum(keep_last=K)`` deletes data dirs no retained manifest
+references. The reader contract is the standard one: a reader may pin
+a snapshot for as long as K-1 subsequent commits can occur; size K to
+the longest scan (Iceberg's snapshot-expiry contract). ``expire``
+(partition retention) is METADATA-ONLY — a new manifest without the
+dropped days; the bytes go at the next vacuum — so retention on a
+100 TB table is O(partitions) pointer work, not an O(data) delete.
+
+Reference parity note: the reference keeps no historical state at all
+(mutable dicts, `auditing/datacollectors/BaseCollector.py:20-25`);
+this layer exists for the engine's own maintained lake artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from .tablelock import TableLock
+
+STAGE_PART_PREFIX = "_dp="
+_META = "_COMMIT_META"
+_DROPPED = "_DROPPED"
+_SCHEMAS = "_SCHEMAS.json"
+
+
+class SnapshotError(RuntimeError):
+    pass
+
+
+class SnapshotVacuumedError(SnapshotError):
+    """The requested historical version's manifest was vacuumed."""
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+class SnapshotStore:
+    """One snapshot-versioned table root holding named sub-tables
+    (the cascade's minute/hour/day grains) partitioned by a day key.
+    All mutators require the caller to hold the root's ``TableLock``
+    unless noted; readers never lock."""
+
+    VERSION_FILE = "_VERSION"
+    MANIFEST_DIR = "_manifests"
+    DATA_DIR = "data"
+
+    def __init__(self, root: str):
+        self.root = root
+        self._manifest_cache: dict[int, dict] = {}
+
+    # -- identity ----------------------------------------------------------
+    @staticmethod
+    def is_snapshot(root: str) -> bool:
+        return os.path.exists(os.path.join(root, SnapshotStore.VERSION_FILE))
+
+    @classmethod
+    def create(cls, root: str) -> "SnapshotStore":
+        """Initialize an empty snapshot table (version 0). Called at
+        table birth, before any concurrent writer exists; raises if the
+        root already holds a snapshot table."""
+        store = cls(root)
+        if cls.is_snapshot(root):
+            raise SnapshotError(f"{root} is already a snapshot table")
+        os.makedirs(os.path.join(root, cls.MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, cls.DATA_DIR), exist_ok=True)
+        _atomic_write(
+            store._manifest_path(0),
+            json.dumps(
+                {
+                    "version": 0,
+                    "parent": None,
+                    "op": "create",
+                    "epoch_high": {},
+                    "tables": {},
+                    "schemas": {},
+                }
+            ),
+        )
+        _atomic_write(
+            os.path.join(root, cls.VERSION_FILE), json.dumps({"version": 0})
+        )
+        return store
+
+    # -- metadata ----------------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, self.MANIFEST_DIR, f"v{version:06d}.json")
+
+    def _data_path(self, version: int) -> str:
+        return os.path.join(self.root, self.DATA_DIR, f"v{version:06d}")
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, self.VERSION_FILE),
+                  encoding="utf-8") as fh:
+            return int(json.load(fh)["version"])
+
+    def manifest(self, version: int | None = None) -> dict:
+        cur = self.current_version()
+        v = cur if version is None else int(version)
+        if v > cur:
+            raise SnapshotError(f"version {v} does not exist (current {cur})")
+        if v in self._manifest_cache:
+            return self._manifest_cache[v]
+        try:
+            with open(self._manifest_path(v), encoding="utf-8") as fh:
+                m = json.load(fh)
+        except FileNotFoundError:
+            raise SnapshotVacuumedError(
+                f"manifest v{v} of {self.root} was vacuumed "
+                f"(current version {cur})"
+            ) from None
+        self._manifest_cache[v] = m  # manifests are immutable
+        return m
+
+    def table_days(self, table: str, version: int | None = None) -> list[str]:
+        return sorted(self.manifest(version)["tables"].get(table, {}))
+
+    def epoch_committed(self, direction: str, epoch: int) -> bool:
+        high = self.manifest()["epoch_high"].get(direction, -1)
+        return epoch <= high
+
+    # -- recovery ----------------------------------------------------------
+    def recover(self) -> None:
+        """Finish a crashed commit (caller holds the lease). Two
+        windows exist: data/v(N) renamed in but manifest missing
+        (rebuild it — pure function of parent manifest + dir), and
+        manifest present but pointer not flipped (flip)."""
+        cur = self.current_version()
+        n = cur + 1
+        if os.path.isdir(self._data_path(n)) or os.path.exists(
+            self._manifest_path(n)
+        ):
+            self._finish(n)
+
+    def _finish(self, n: int) -> None:
+        mpath = self._manifest_path(n)
+        if not os.path.exists(mpath):
+            _atomic_write(mpath, json.dumps(self._build_manifest(n)))
+        _atomic_write(
+            os.path.join(self.root, self.VERSION_FILE),
+            json.dumps({"version": n}),
+        )
+
+    def _build_manifest(self, n: int) -> dict:
+        parent = self.manifest(n - 1)
+        dest = self._data_path(n)
+        meta: dict = {"op": "unknown", "epoch": None, "direction": None}
+        mfile = os.path.join(dest, _META)
+        if os.path.exists(mfile):
+            with open(mfile, encoding="utf-8") as fh:
+                meta = json.load(fh)
+        tables = {t: dict(parts) for t, parts in parent["tables"].items()}
+        schemas = dict(parent["schemas"])
+        sfile = os.path.join(dest, _SCHEMAS)
+        if os.path.exists(sfile):
+            with open(sfile, encoding="utf-8") as fh:
+                schemas.update(json.load(fh))
+        if os.path.isdir(dest):
+            for table in sorted(os.listdir(dest)):
+                tdir = os.path.join(dest, table)
+                if table.startswith("_") or not os.path.isdir(tdir):
+                    continue
+                for part in sorted(os.listdir(tdir)):
+                    if not part.startswith(STAGE_PART_PREFIX):
+                        continue
+                    day = part[len(STAGE_PART_PREFIX):]
+                    rel = os.path.join(
+                        self.DATA_DIR, f"v{n:06d}", table, part
+                    )
+                    tables.setdefault(table, {})[day] = rel
+        dfile = os.path.join(dest, _DROPPED)
+        if os.path.exists(dfile):
+            with open(dfile, encoding="utf-8") as fh:
+                for day in json.load(fh):
+                    for parts in tables.values():
+                        parts.pop(day, None)
+        # metadata-only ops carry their day-drop list in _COMMIT_META
+        for day in meta.get("drop_days") or []:
+            for t in meta.get("drop_tables") or list(tables):
+                tables.get(t, {}).pop(day, None)
+        epoch_high = dict(parent.get("epoch_high", {}))
+        if meta.get("epoch") is not None and meta.get("direction"):
+            d = meta["direction"]
+            epoch_high[d] = max(epoch_high.get(d, -1), int(meta["epoch"]))
+        return {
+            "version": n,
+            "parent": n - 1,
+            "op": meta.get("op", "unknown"),
+            "epoch_high": epoch_high,
+            "tables": tables,
+            "schemas": schemas,
+        }
+
+    # -- commit ------------------------------------------------------------
+    def commit_staged(
+        self,
+        edir: str | None,
+        op: str,
+        epoch: int | None = None,
+        direction: str | None = None,
+        drop_days: list[str] | None = None,
+        drop_tables: list[str] | None = None,
+    ) -> int:
+        """Publish a staged scratch dir (layout in the module
+        docstring) as the next version; ``edir=None`` commits a
+        metadata-only version (empty-batch epoch bump, expire). The
+        scratch is CONSUMED (renamed into ``data/``). Caller holds the
+        lease. Returns the committed version."""
+        self.recover()
+        n = self.current_version() + 1
+        meta = {
+            "op": op,
+            "epoch": epoch,
+            "direction": direction,
+            "drop_days": drop_days,
+            "drop_tables": drop_tables,
+        }
+        if edir is not None and os.path.isdir(edir):
+            _atomic_write(os.path.join(edir, _META), json.dumps(meta))
+            os.rename(edir, self._data_path(n))
+        else:
+            os.makedirs(self._data_path(n))
+            _atomic_write(
+                os.path.join(self._data_path(n), _META), json.dumps(meta)
+            )
+        self._finish(n)
+        return n
+
+    # -- read --------------------------------------------------------------
+    def read(self, spark, table: str, version: int | None = None,
+             days: "list[str] | None" = None):
+        """Snapshot-isolated read: resolve the manifest once, scan a
+        pinned list of immutable dirs. ``days`` prunes at the manifest
+        (no listing, no footers for skipped partitions); ``version``
+        time-travels. Empty selections return a TYPED empty frame from
+        the manifest's recorded schema."""
+        m = self.manifest(version)
+        entries = m["tables"].get(table)
+        if entries is None and table not in m["schemas"]:
+            raise KeyError(f"unknown table {table!r} in {self.root}")
+        entries = entries or {}
+        if days is not None:
+            want = {str(d) for d in days}
+            entries = {d: p for d, p in entries.items() if d in want}
+        if not entries:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schemas"][table]))
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, p) for _, p in sorted(entries.items())]
+        return spark.read.parquet(*paths)
+
+    # -- maintenance (standalone ops: these take the lease themselves) ------
+    def compact(self, spark, max_files: int = 8, target_files: int = 1,
+                lock_timeout: float = 120.0) -> list[tuple[str, str]]:
+        """Rewrite every (table, day) partition whose current data dir
+        holds more than ``max_files`` parquet files into
+        ``target_files`` files, as ONE new version. Readers of any
+        pinned version are untouched (old dirs live until vacuum) —
+        the hive-layout epoch-fence dance is unnecessary here because
+        compaction never deletes what it read."""
+        with TableLock(self.root, owner="snapshot_compact",
+                       timeout=lock_timeout) as lk:
+            self.recover()
+            m = self.manifest()
+            todo: list[tuple[str, str, str]] = []
+            for table, parts in m["tables"].items():
+                for day, rel in parts.items():
+                    full = os.path.join(self.root, rel)
+                    n_files = sum(
+                        1 for f in os.listdir(full) if f.endswith(".parquet")
+                    )
+                    if n_files > max_files:
+                        todo.append((table, day, full))
+            if not todo:
+                return []
+            edir = os.path.join(self.root, "_stage_compact")
+            shutil.rmtree(edir, ignore_errors=True)
+            for table, day, full in todo:
+                spark.read.parquet(full).coalesce(target_files).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(edir, table, STAGE_PART_PREFIX + day)
+                )
+            lk.refresh()  # distributed rewrite may have consumed the lease
+            self.commit_staged(edir, op="compact")
+            return [(t, d) for t, d, _ in todo]
+
+    def expire(self, keep: "set[str] | None" = None,
+               before: str | None = None,
+               tables: "list[str] | None" = None,
+               lock_timeout: float = 120.0) -> list[str]:
+        """Partition retention as PURE METADATA: commit a version whose
+        manifest simply omits the expired days (from ``tables``, or all
+        sub-tables). Day keys compare lexicographically (ISO dates);
+        ``keep`` pins an explicit allowlist instead. Bytes are
+        reclaimed by the next ``vacuum``; any pinned historical version
+        still reads the expired days until then."""
+        if (keep is None) == (before is None):
+            raise ValueError("expire needs exactly one of keep= or before=")
+        with TableLock(self.root, owner="snapshot_expire",
+                       timeout=lock_timeout):
+            self.recover()
+            m = self.manifest()
+            sel = tables or list(m["tables"])
+            days: set[str] = set()
+            for t in sel:
+                days.update(m["tables"].get(t, {}))
+            if keep is not None:
+                drop = sorted(days - set(keep))
+            else:
+                drop = sorted(d for d in days if d < before)
+            if drop:
+                self.commit_staged(None, op="expire", drop_days=drop,
+                                   drop_tables=sel)
+            return drop
+
+    def vacuum(self, keep_last: int = 2,
+               lock_timeout: float = 120.0) -> list[str]:
+        """Delete data dirs referenced by NO retained manifest and the
+        manifests older than the newest ``keep_last`` (current always
+        retained). Defines the reader contract: a pinned snapshot stays
+        readable for at least ``keep_last - 1`` subsequent commits —
+        size it to the longest-running scan."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        with TableLock(self.root, owner="snapshot_vacuum",
+                       timeout=lock_timeout):
+            self.recover()
+            cur = self.current_version()
+            lo = max(0, cur - keep_last + 1)
+            referenced: set[str] = set()
+            for v in range(lo, cur + 1):
+                try:
+                    m = self.manifest(v)
+                except SnapshotVacuumedError:
+                    continue
+                for parts in m["tables"].values():
+                    referenced.update(parts.values())
+            removed: list[str] = []
+            droot = os.path.join(self.root, self.DATA_DIR)
+            for vdir in sorted(os.listdir(droot)):
+                vfull = os.path.join(droot, vdir)
+                if not os.path.isdir(vfull):
+                    continue
+                for table in sorted(os.listdir(vfull)):
+                    tfull = os.path.join(vfull, table)
+                    if table.startswith("_"):
+                        continue
+                    if not os.path.isdir(tfull):
+                        continue
+                    for part in sorted(os.listdir(tfull)):
+                        rel = os.path.join(self.DATA_DIR, vdir, table, part)
+                        if rel not in referenced:
+                            shutil.rmtree(os.path.join(tfull, part),
+                                          ignore_errors=True)
+                            removed.append(rel)
+                    if not os.listdir(tfull):
+                        os.rmdir(tfull)
+                # drop now-empty version dirs (markers only)
+                if not any(
+                    not x.startswith("_") for x in os.listdir(vfull)
+                ):
+                    shutil.rmtree(vfull, ignore_errors=True)
+            mroot = os.path.join(self.root, self.MANIFEST_DIR)
+            for mf in sorted(os.listdir(mroot)):
+                if not (mf.startswith("v") and mf.endswith(".json")):
+                    continue
+                v = int(mf[1:-5])
+                if v < lo:
+                    os.unlink(os.path.join(mroot, mf))
+            # retired manifests must not be served from this instance's
+            # cache either — their data dirs may be gone
+            for v in [v for v in self._manifest_cache if v < lo]:
+                del self._manifest_cache[v]
+            return removed
