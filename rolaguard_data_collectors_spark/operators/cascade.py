@@ -122,7 +122,11 @@ def maintained_cascade_path(spark: SparkSession, sf_dir: str) -> str:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="cascade_grains_")
-        persist_cascade(spark, sf_dir, path)
+        # The driver-visible artifact uses the SNAPSHOT layout (round
+        # 10, snapshots.py): the time_windows legs then read pinned
+        # manifest-resolved files — the layout a concurrent-maintenance
+        # deployment would actually serve queries from.
+        persist_cascade(spark, sf_dir, path, layout="snapshot")
         _CASCADE_ARTIFACT_CACHE[sf_dir] = path
     return path
 

@@ -461,15 +461,15 @@ def test_maintained_rollup_matches_recompute_and_prunes(spark, sf_dir):
     """Round-10 verdict item #5: the minute/hour/day legs served from
     the PERSISTED grain tables (the maintained artifact) are
     row-identical to the in-memory cascade — and a day-filtered read
-    of the artifact prunes to a PartitionFilters scan."""
-    from pyspark.sql import functions as F
-
+    of the artifact prunes at the MANIFEST (the artifact uses the
+    snapshot layout since round 10: pruning selects pinned dirs before
+    Spark ever lists a file)."""
     from rolaguard_data_collectors_spark.operators.cascade import (
         cascade_rollup,
         maintained_cascade_path,
         maintained_cascade_rollup,
-        read_grain,
     )
+    from rolaguard_data_collectors_spark.snapshots import SnapshotStore
 
     def snap(df):
         return sorted(
@@ -485,16 +485,12 @@ def test_maintained_rollup_matches_recompute_and_prunes(spark, sf_dir):
     path = maintained_cascade_path(spark, sf_dir)
     assert maintained_cascade_path(spark, sf_dir) == path
 
-    day = next(
-        d.split("=", 1)[1]
-        for d in sorted(os.listdir(os.path.join(path, "minute")))
-        if d.startswith("_d=") and "__null__" not in d
-    )
-    pruned = spark.read.parquet(os.path.join(path, "minute")).where(
-        F.col("_d") == day
-    )
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and day in plan, plan
+    store = SnapshotStore(path)
+    day = next(d for d in store.table_days("minute") if d != "__null__")
+    pruned = store.read(spark, "minute", days=[day])
+    files = pruned.inputFiles()
+    assert files and all(f"_dp={day}" in f for f in files), files
+    assert {r["_d"] for r in pruned.select("_d").distinct().collect()} == {day}
 
 
 def test_cascade_sink_null_timestamp_partition(spark, tmp_path):
