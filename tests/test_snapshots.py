@@ -433,3 +433,77 @@ def test_snapshot_create_refuses_double_init(tmp_path):
     SnapshotStore.create(path)
     with pytest.raises(Exception, match="already a snapshot table"):
         SnapshotStore.create(path)
+
+
+def test_snapshot_live_reader_survives_concurrent_churn(
+    spark, sf_dir, tmp_path
+):
+    """The claim the layer exists for, exercised live: a reader
+    pinning snapshots WHILE a writer thread appends, retracts,
+    compacts and vacuums must (a) never hit a vanished file, (b)
+    re-collect each pinned snapshot IDENTICALLY even after the table
+    moved on, and (c) see the exact final state once the churn ends.
+    Under the hive layout the same interleaving dies mid-scan when a
+    swap rmtree's a partition between a reader's listing and its read
+    (the tablelock.py scope note); here vacuum(keep_last=3) guarantees
+    any snapshot the reader pinned within the last two commits is
+    still fully on disk."""
+    import threading
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "snap_churn")
+    base = ev.where(F.col("event_id") % 4 == 0)
+    base_dir = str(tmp_path / "base")
+    os.makedirs(base_dir)
+    base.toPandas().to_parquet(
+        os.path.join(base_dir, "events.parquet"), index=False
+    )
+    persist_cascade(spark, base_dir, path, layout="snapshot")
+    store = SnapshotStore(path)
+
+    batches = [ev.where(F.col("event_id") % 4 == i) for i in (1, 2, 3)]
+    errors: list[BaseException] = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for b in batches:
+                cascade_append(spark, path, b)
+                store.compact(spark, max_files=0, target_files=1)
+                store.vacuum(keep_last=3)
+            cascade_retract(spark, path, batches[0])
+            store.vacuum(keep_last=3)
+        except BaseException as exc:  # surface into the main thread
+            errors.append(exc)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    reader = SnapshotStore(path)
+    checks = 0
+    while not done.is_set():
+        v = reader.current_version()
+        df = reader.read(spark, "minute", version=v)
+        first = df.count()
+        again = df.count()  # re-scan the SAME pinned file list
+        assert first == again, (v, first, again)
+        checks += 1
+    t.join(120)
+    assert not errors, errors
+    assert checks > 0
+
+    # final state == full recompute over base - batches[0] + all batches
+    surv_dir = str(tmp_path / "surv")
+    os.makedirs(surv_dir)
+    ev.where(F.col("event_id") % 4 != 1).toPandas().to_parquet(
+        os.path.join(surv_dir, "events.parquet"), index=False
+    )
+    full = cascade_grains(spark, surv_dir)
+    got = _snap(spark, path)
+    for g in ("minute", "hour", "day"):
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in full[g].collect()
+        }
+        assert got[g] == want, g
