@@ -371,24 +371,51 @@ def batch_band_assignments(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
-                            n_buckets: int = LEDGER_BUCKETS) -> None:
+                            n_buckets: int = LEDGER_BUCKETS,
+                            layout: str = "hive") -> None:
     """Build the ledger artifact from a corpus: converged labels +
     bucket anchors + the per-doc assignments (the source of truth a
     retraction re-solves from), all hash-bucket-partitioned (see
-    module notes)."""
+    module notes).
+
+    ``layout="snapshot"`` initializes the root as a ``SnapshotStore``
+    (snapshots.py) instead of a hive table family: the SAME append /
+    retract / sink entry points then publish manifest VERSIONS rather
+    than swapping bucket dirs in place — reader snapshot isolation and
+    one ATOMIC commit across all three tables (a hive epoch briefly
+    exposes labels updated but anchors not)."""
     import json as _json
+
+    from ..snapshots import SnapshotStore
+    from ..tablelock import TableLock
 
     assign = _band_assignments_staged(spark, sf_dir)
     labels = connected_components(candidate_edges(spark, sf_dir, assign=assign))
-    labels.withColumn("_cb", _cb("cluster_id", n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("_cb").parquet(os.path.join(path, "labels"))
-    bucket_mins(assign).withColumn("_bb", _bb(n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("_bb").parquet(os.path.join(path, "bucket_mins"))
-    assign.withColumn("_ab", _cb("doc_id", n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("_ab").parquet(os.path.join(path, "assign"))
+    staged = {
+        "labels": (labels.withColumn("_cb", _cb("cluster_id", n_buckets)),
+                   "_cb"),
+        "bucket_mins": (bucket_mins(assign).withColumn("_bb", _bb(n_buckets)),
+                        "_bb"),
+        "assign": (assign.withColumn("_ab", _cb("doc_id", n_buckets)), "_ab"),
+    }
+    if layout == "snapshot":
+        store = SnapshotStore.create(path)
+        edir = os.path.join(path, "_stage_tmp")
+        shutil.rmtree(edir, ignore_errors=True)
+        for table, (df, col) in staged.items():
+            _write_staged_bucketed(df, edir, table, col, snapshot=True)
+        with open(os.path.join(path, "_meta.json"), "w",
+                  encoding="utf-8") as fh:
+            _json.dump({"n_buckets": n_buckets}, fh)
+        with TableLock(path, owner="persist_near_dup_ledger"):
+            store.commit_staged(edir, op="init")
+        return
+    if layout != "hive":
+        raise ValueError(f"unknown ledger layout {layout!r}")
+    for table, (df, col) in staged.items():
+        df.write.mode("overwrite").partitionBy(col).parquet(
+            os.path.join(path, table)
+        )
     with open(os.path.join(path, "_meta.json"), "w", encoding="utf-8") as fh:
         _json.dump({"n_buckets": n_buckets}, fh)
 
@@ -408,11 +435,25 @@ _LEDGER_SCHEMAS = {
 }
 
 
-def _read_bucketed(spark: SparkSession, path: str, table: str) -> DataFrame:
+def _read_bucketed(spark: SparkSession, path: str, table: str,
+                   buckets: "list[int] | None" = None) -> DataFrame:
     """Read a ledger table, tolerating a table a retraction has fully
     emptied (partition-less directory: schema inference would fail —
     the cascade layer's round-9 lesson). Returns a typed empty frame
-    so downstream joins/appends keep working on a drained ledger."""
+    so downstream joins/appends keep working on a drained ledger.
+
+    On a SNAPSHOT-layout ledger the read resolves the current manifest
+    (pinned immutable dirs; drained tables come back typed from the
+    recorded schema) and ``buckets`` prunes AT THE MANIFEST — callers
+    keep their ``_cb/_bb/_ab`` isin filters, which the hive layout
+    needs for PartitionFilters pruning and which cost nothing on the
+    already-pruned snapshot read (the bucket columns live in-file
+    there)."""
+    from ..snapshots import SnapshotStore
+
+    if SnapshotStore.is_snapshot(path):
+        days = None if buckets is None else [str(b) for b in buckets]
+        return SnapshotStore(path).read(spark, table, days=days)
     prefix, schema = _LEDGER_SCHEMAS[table]
     root = os.path.join(path, table)
     if not os.path.isdir(root) or not any(
@@ -420,6 +461,33 @@ def _read_bucketed(spark: SparkSession, path: str, table: str) -> DataFrame:
     ):
         return spark.createDataFrame([], schema)
     return spark.read.parquet(root)
+
+
+def _write_staged_bucketed(df: DataFrame, edir: str, table: str,
+                           part_col: str, snapshot: bool) -> None:
+    """One distributed write of a bucket-keyed staged table. Hive
+    layout partitions by the bucket column itself (live-table shape,
+    column stripped into dirnames). Snapshot layout partitions by a
+    STRING duplicate ``_dp`` so the files keep the int bucket column —
+    manifest reads then need no partition-dir type inference — and
+    records the file schema for typed drained-table reads."""
+    import json as _json
+
+    dest = os.path.join(edir, table)
+    if not snapshot:
+        df.write.mode("overwrite").partitionBy(part_col).parquet(dest)
+        return
+    df.withColumn("_dp", F.col(part_col).cast("string")).write.mode(
+        "overwrite"
+    ).partitionBy("_dp").parquet(dest)
+    spath = os.path.join(edir, "_SCHEMAS.json")
+    cur: dict = {}
+    if os.path.exists(spath):
+        with open(spath, encoding="utf-8") as fh:
+            cur = _json.load(fh)
+    cur[table] = df.schema.json()
+    with open(spath, "w", encoding="utf-8") as fh:
+        _json.dump(cur, fh)
 
 
 def read_ledger_labels(spark: SparkSession, path: str) -> DataFrame:
@@ -447,6 +515,14 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
     into ``edir/labels/_cb=K`` and ``edir/bucket_mins/_bb=K``. Work is
     O(batch + affected components + touched buckets) except the one
     documented endpoint-label probe."""
+    from ..snapshots import SnapshotStore
+
+    snapshot = SnapshotStore.is_snapshot(path)
+    if snapshot:
+        # finish any crashed commit BEFORE the live reads (caller
+        # holds the lease): staging against pre-pending state and
+        # committing on top would drop the pending version's rows
+        SnapshotStore(path).recover()
     nb = _ledger_meta(path)
     new_assign = batch_band_assignments(spark, batch_docs).localCheckpoint()
     if not new_assign.head(1):
@@ -458,7 +534,7 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
         for r in new_assign.select(_bb(nb).alias("_b")).distinct().collect()
     )
     old_mins_t = (
-        _read_bucketed(spark, path, "bucket_mins")
+        _read_bucketed(spark, path, "bucket_mins", buckets=touched_bb)
         .where(F.col("_bb").isin(touched_bb))
         .drop("_bb")
         .localCheckpoint()  # the swap must not re-read a swapped dir
@@ -466,9 +542,7 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
     merged_mins = merge_bucket_mins(old_mins_t, new_assign).withColumn(
         "_bb", _bb(nb)
     )
-    merged_mins.write.mode("overwrite").partitionBy("_bb").parquet(
-        os.path.join(edir, "bucket_mins")
-    )
+    _write_staged_bucketed(merged_mins, edir, "bucket_mins", "_bb", snapshot)
 
     # ---- assignments (the retraction path's source of truth) -------------
     touched_ab = sorted(
@@ -477,15 +551,15 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
         .distinct().collect()
     )
     old_assign_t = (
-        _read_bucketed(spark, path, "assign")
+        _read_bucketed(spark, path, "assign", buckets=touched_ab)
         .where(F.col("_ab").isin(touched_ab))
         .drop("_ab")
     )
-    old_assign_t.unionByName(new_assign.select("band", "bucket", "doc_id")) \
-        .withColumn("_ab", _cb("doc_id", nb)) \
-        .write.mode("overwrite").partitionBy("_ab").parquet(
-            os.path.join(edir, "assign")
-        )
+    _write_staged_bucketed(
+        old_assign_t.unionByName(new_assign.select("band", "bucket", "doc_id"))
+        .withColumn("_ab", _cb("doc_id", nb)),
+        edir, "assign", "_ab", snapshot,
+    )
 
     # ---- labels -----------------------------------------------------------
     edges = incremental_candidate_edges(new_assign, old_mins_t).localCheckpoint()
@@ -533,7 +607,7 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
         [(None, None)], "old_rep long, new_label long"
     ).where(F.col("old_rep").isNotNull())
     changed_members = (
-        _read_bucketed(spark, path, "labels")
+        _read_bucketed(spark, path, "labels", buckets=affected_cb)
         .where(F.col("_cb").isin(affected_cb) if affected_cb else F.lit(False))
         .join(F.broadcast(relabel),
               F.col("cluster_id") == F.col("old_rep"))
@@ -557,31 +631,36 @@ def _ledger_stage(spark: SparkSession, path: str, batch_docs: DataFrame,
          .distinct().collect()} | set(affected_cb)
     )
     post = (
-        _read_bucketed(spark, path, "labels")
+        _read_bucketed(spark, path, "labels", buckets=touched_cb)
         .where(F.col("_cb").isin(touched_cb))
         .drop("_cb")
         .join(F.broadcast(changed.select("doc_id")), "doc_id", "left_anti")
         .unionByName(changed)
         .withColumn("_cb", _cb("cluster_id", nb))
     )
-    post.write.mode("overwrite").partitionBy("_cb").parquet(
-        os.path.join(edir, "labels")
-    )
+    _write_staged_bucketed(post, edir, "labels", "_cb", snapshot)
     # A touched bucket whose rows ALL moved to other buckets gets no
     # staged directory — without a manifest the swap would leave its
     # stale live rows in place NEXT TO their re-labelled copies
     # (round-10 find: duplicate doc_ids; same emptied-partition gap the
     # cascade retraction closes with _DROPPED). Record exactly the
     # emptied buckets; the swap deletes them, idempotently.
-    _write_dropped_manifest(edir, "labels", "_cb=", touched_cb)
+    _write_dropped_manifest(edir, "labels", "_cb=", touched_cb, snapshot)
 
 
 def _write_dropped_manifest(edir: str, table: str, prefix: str,
-                            touched: "list[int]") -> None:
+                            touched: "list[int]",
+                            snapshot: bool = False) -> None:
     """Record the touched buckets of ``table`` that ended with NO
     staged directory (every row left them): ``_ledger_swap`` deletes
-    those live dirs. Lives in the scratch, so it survives replays and
-    vanishes with the scratch only after the swap completed."""
+    those live dirs (hive), or the manifest build drops their entries
+    (snapshot — staged dirs there are named ``_dp=<bucket>``). Lives
+    in the scratch, so it survives replays and vanishes with the
+    scratch only after the swap/commit completed."""
+    from ..snapshots import STAGE_PART_PREFIX
+
+    if snapshot:
+        prefix = STAGE_PART_PREFIX
     tdir = os.path.join(edir, table)
     staged = {
         int(d.split("=", 1)[1])
@@ -633,6 +712,44 @@ def _ledger_swap(edir: str, path: str) -> None:
             os.rename(os.path.join(gdir, part), target)
 
 
+def _ledger_publish(edir: str, path: str, op: str,
+                    epoch: "int | None" = None,
+                    direction: "str | None" = None) -> None:
+    """Make a staged ledger scratch live: hive swaps bucket dirs in
+    place; snapshot publishes ONE version atomic across all three
+    tables (labels/anchors/assign can never be observed half-updated),
+    translating the per-table ``_DROPPED_<table>`` manifests into the
+    store's dict drop form. An empty-batch sink epoch on a snapshot
+    ledger still commits a metadata-only version so the epoch is
+    recorded in the same atomic flip."""
+    import json as _json
+
+    from ..snapshots import SnapshotStore
+
+    if not SnapshotStore.is_snapshot(path):
+        _ledger_swap(edir, path)
+        return
+    staged = os.path.isdir(edir) and any(
+        os.path.isdir(os.path.join(edir, t)) for t, _ in _LEDGER_TABLES
+    )
+    drops: dict[str, list[str]] = {}
+    for table, _pfx in _LEDGER_TABLES:
+        f = os.path.join(edir, f"_DROPPED_{table}")
+        if os.path.exists(f):
+            with open(f, encoding="utf-8") as fh:
+                drops[table] = [str(k) for k in _json.load(fh)]
+    if drops:
+        with open(os.path.join(edir, "_DROPPED"), "w",
+                  encoding="utf-8") as fh:
+            _json.dump(drops, fh)
+        staged = True
+    if staged or epoch is not None:
+        SnapshotStore(path).commit_staged(
+            edir if staged else None, op=op, epoch=epoch,
+            direction=direction,
+        )
+
+
 def _ledger_retract_stage(spark: SparkSession, path: str,
                           doomed: DataFrame, edir: str) -> None:
     """Compute the POST-state of every bucket a retraction touches:
@@ -642,6 +759,11 @@ def _ledger_retract_stage(spark: SparkSession, path: str,
     a PartitionFilters scan (except the one documented label probe)."""
     from pyspark.sql import Window
 
+    from ..snapshots import SnapshotStore
+
+    snapshot = SnapshotStore.is_snapshot(path)
+    if snapshot:
+        SnapshotStore(path).recover()  # see _ledger_stage
     nb = _ledger_meta(path)
     doomed_ids = doomed.select("doc_id").distinct().localCheckpoint()
     if not doomed_ids.head(1):
@@ -653,7 +775,7 @@ def _ledger_retract_stage(spark: SparkSession, path: str,
         .distinct().collect()
     )
     doomed_assign = (
-        _read_bucketed(spark, path, "assign")
+        _read_bucketed(spark, path, "assign", buckets=touched_ab)
         .where(F.col("_ab").isin(touched_ab))
         .drop("_ab")
         .join(F.broadcast(doomed_ids), "doc_id")
@@ -680,7 +802,7 @@ def _ledger_retract_stage(spark: SparkSession, path: str,
             .distinct().collect()
         )
         members = (
-            _read_bucketed(spark, path, "labels")
+            _read_bucketed(spark, path, "labels", buckets=affected_cb)
             .where(F.col("_cb").isin(affected_cb))
             .join(F.broadcast(doomed_labels), "cluster_id")
             .select("doc_id")
@@ -695,7 +817,7 @@ def _ledger_retract_stage(spark: SparkSession, path: str,
         # (co-membership => same component), so this IS the affected
         # components' complete subgraph
         member_assign = (
-            _read_bucketed(spark, path, "assign")
+            _read_bucketed(spark, path, "assign", buckets=m_ab)
             .where(F.col("_ab").isin(m_ab))
             .drop("_ab")
             .join(F.broadcast(members), "doc_id")
@@ -718,17 +840,15 @@ def _ledger_retract_stage(spark: SparkSession, path: str,
         )
         touched_cb = sorted(set(affected_cb) | set(new_cb))
         post = (
-            _read_bucketed(spark, path, "labels")
+            _read_bucketed(spark, path, "labels", buckets=touched_cb)
             .where(F.col("_cb").isin(touched_cb))
             .drop("_cb")
             .join(F.broadcast(members), "doc_id", "left_anti")
             .unionByName(new_labels)
             .withColumn("_cb", _cb("cluster_id", nb))
         )
-        post.write.mode("overwrite").partitionBy("_cb").parquet(
-            os.path.join(edir, "labels")
-        )
-        _write_dropped_manifest(edir, "labels", "_cb=", touched_cb)
+        _write_staged_bucketed(post, edir, "labels", "_cb", snapshot)
+        _write_dropped_manifest(edir, "labels", "_cb=", touched_cb, snapshot)
     else:
         surviving = None  # only singleton-bucket docs retracted
 
@@ -753,30 +873,27 @@ def _ledger_retract_stage(spark: SparkSession, path: str,
                 [], "band int, bucket string, min_doc long"
             )
         mins_post = (
-            _read_bucketed(spark, path, "bucket_mins")
+            _read_bucketed(spark, path, "bucket_mins", buckets=touched_bb)
             .where(F.col("_bb").isin(touched_bb))
             .drop("_bb")
             .join(changed_keys, ["band", "bucket"], "left_anti")
             .unionByName(new_mins)
             .withColumn("_bb", _bb(nb))
         )
-        mins_post.write.mode("overwrite").partitionBy("_bb").parquet(
-            os.path.join(edir, "bucket_mins")
-        )
-        _write_dropped_manifest(edir, "bucket_mins", "_bb=", touched_bb)
+        _write_staged_bucketed(mins_post, edir, "bucket_mins", "_bb", snapshot)
+        _write_dropped_manifest(edir, "bucket_mins", "_bb=", touched_bb,
+                                snapshot)
 
         # ---- assignments: drop the doomed rows ---------------------------
         assign_post = (
-            _read_bucketed(spark, path, "assign")
+            _read_bucketed(spark, path, "assign", buckets=touched_ab)
             .where(F.col("_ab").isin(touched_ab))
             .drop("_ab")
             .join(F.broadcast(doomed_ids), "doc_id", "left_anti")
             .withColumn("_ab", _cb("doc_id", nb))
         )
-        assign_post.write.mode("overwrite").partitionBy("_ab").parquet(
-            os.path.join(edir, "assign")
-        )
-        _write_dropped_manifest(edir, "assign", "_ab=", touched_ab)
+        _write_staged_bucketed(assign_post, edir, "assign", "_ab", snapshot)
+        _write_dropped_manifest(edir, "assign", "_ab=", touched_ab, snapshot)
 
 
 def ledger_retract(spark: SparkSession, path: str,
@@ -793,7 +910,7 @@ def ledger_retract(spark: SparkSession, path: str,
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         _ledger_retract_stage(spark, path, doomed, edir)
-        _ledger_swap(edir, path)
+        _ledger_publish(edir, path, op="retract")
         shutil.rmtree(edir, ignore_errors=True)
 
 
@@ -809,7 +926,7 @@ def ledger_append(spark: SparkSession, path: str,
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         _ledger_stage(spark, path, batch_docs, edir)
-        _ledger_swap(edir, path)
+        _ledger_publish(edir, path, op="append")
         shutil.rmtree(edir, ignore_errors=True)
 
 
@@ -848,11 +965,24 @@ class NearDupLedgerSink:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..commitlog import append_commit_line
+        from ..snapshots import SnapshotStore
         from ..tablelock import TableLock
 
         epoch = int(epoch_id)
         with TableLock(self.path, owner="NearDupLedgerSink"):
-            if epoch in self._commits():
+            store = (
+                SnapshotStore(self.path)
+                if SnapshotStore.is_snapshot(self.path)
+                else None
+            )
+            if store is not None:
+                # finish a pending commit (possibly THIS epoch's) so
+                # the committed check below can catch it; the epoch
+                # record rides the manifest's atomic flip
+                store.recover()
+                if store.epoch_committed(self.mode, epoch):
+                    return
+            elif epoch in self._commits():
                 return
             os.makedirs(self.epoch_root, exist_ok=True)
             edir = os.path.join(self.epoch_root, f"epoch={epoch}")
@@ -871,6 +1001,11 @@ class NearDupLedgerSink:
                 with open(tmp, "w", encoding="utf-8") as fh:
                     fh.write("staged\n")
                 os.replace(tmp, marker)
+            if store is not None:
+                _ledger_publish(edir, self.path, op=self.mode,
+                                epoch=epoch, direction=self.mode)
+                shutil.rmtree(edir, ignore_errors=True)  # metadata-only case
+                return
             self._swap(edir)
             append_commit_line(self.commit_path, str(epoch))
             shutil.rmtree(edir, ignore_errors=True)

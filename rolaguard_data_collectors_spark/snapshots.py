@@ -237,9 +237,18 @@ class SnapshotStore:
         dfile = os.path.join(dest, _DROPPED)
         if os.path.exists(dfile):
             with open(dfile, encoding="utf-8") as fh:
-                for day in json.load(fh):
+                drops = json.load(fh)
+            # list: drop these keys from EVERY table (the cascade's
+            # day semantics); dict {table: [keys]}: per-table drops
+            # (the ledger's emptied-bucket manifests)
+            if isinstance(drops, dict):
+                for t, keys in drops.items():
+                    for key in keys:
+                        tables.get(t, {}).pop(key, None)
+            else:
+                for key in drops:
                     for parts in tables.values():
-                        parts.pop(day, None)
+                        parts.pop(key, None)
         # metadata-only ops carry their day-drop list in _COMMIT_META
         for day in meta.get("drop_days") or []:
             for t in meta.get("drop_tables") or list(tables):

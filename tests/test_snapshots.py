@@ -435,6 +435,139 @@ def test_snapshot_create_refuses_double_init(tmp_path):
         SnapshotStore.create(path)
 
 
+def _ledger_state(spark, path):
+    from rolaguard_data_collectors_spark.llm.components import (
+        read_ledger_assign,
+        read_ledger_labels,
+        read_ledger_mins,
+    )
+
+    return (
+        sorted((r.doc_id, r.cluster_id)
+               for r in read_ledger_labels(spark, path).collect()),
+        sorted((r["band"], r["bucket"], r["min_doc"])
+               for r in read_ledger_mins(spark, path).collect()),
+        sorted((r["band"], r["bucket"], r["doc_id"])
+               for r in read_ledger_assign(spark, path).collect()),
+    )
+
+
+def test_snapshot_ledger_parity_roundtrip_and_atomic_commits(
+    spark, sf_dir, tmp_path
+):
+    """The near-dup ledger on the snapshot layout (round 10, second
+    maintained artifact ported): init/append/retract land bit-identical
+    to the hive layout, append equals the full rebuild over the merged
+    corpus, retract+append round-trips, and each epoch is ONE version —
+    labels, anchors and assignments commit atomically (the hive swap
+    exposes them table-by-table)."""
+    from rolaguard_data_collectors_spark.llm.components import (
+        ledger_append,
+        ledger_retract,
+        persist_near_dup_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    old_dir = str(tmp_path / "old")
+    os.makedirs(old_dir)
+    old.toPandas().to_parquet(
+        os.path.join(old_dir, "documents.parquet"), index=False
+    )
+    hive = str(tmp_path / "hive")
+    snap = str(tmp_path / "snap")
+    persist_near_dup_ledger(spark, old_dir, hive, n_buckets=8)
+    persist_near_dup_ledger(spark, old_dir, snap, n_buckets=8,
+                            layout="snapshot")
+    assert _ledger_state(spark, hive) == _ledger_state(spark, snap)
+
+    store = SnapshotStore(snap)
+    ledger_append(spark, hive, new)
+    ledger_append(spark, snap, new)
+    assert _ledger_state(spark, hive) == _ledger_state(spark, snap)
+    assert store.current_version() == 2  # ONE atomic version per epoch
+
+    # full-rebuild equality over the merged corpus
+    truth = str(tmp_path / "truth")
+    persist_near_dup_ledger(spark, sf_dir, truth, n_buckets=8)
+    assert _ledger_state(spark, snap) == _ledger_state(spark, truth)
+
+    before = _ledger_state(spark, snap)
+    ledger_retract(spark, snap, new.select("doc_id"))
+    old_truth = str(tmp_path / "old_truth")
+    persist_near_dup_ledger(spark, old_dir, old_truth, n_buckets=8)
+    assert _ledger_state(spark, snap) == _ledger_state(spark, old_truth)
+    ledger_append(spark, snap, new)
+    assert _ledger_state(spark, snap) == before
+
+
+def test_snapshot_ledger_sink_exactly_once_crash_and_pinned_reader(
+    spark, sf_dir, tmp_path
+):
+    """NearDupLedgerSink on a snapshot ledger: committed-epoch replay
+    is a no-op, a crash between data rename and manifest flip stays
+    invisible and replays clean, and a reader pinned pre-retract keeps
+    its exact snapshot through a retract + vacuum(keep_last=3)."""
+    from rolaguard_data_collectors_spark.llm.components import (
+        NearDupLedgerSink,
+        ledger_retract,
+        persist_near_dup_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    old_dir = str(tmp_path / "old")
+    os.makedirs(old_dir)
+    old.toPandas().to_parquet(
+        os.path.join(old_dir, "documents.parquet"), index=False
+    )
+    path = str(tmp_path / "snap_sink")
+    persist_near_dup_ledger(spark, old_dir, path, n_buckets=8,
+                            layout="snapshot")
+    store = SnapshotStore(path)
+    sink = NearDupLedgerSink(path)
+    b0 = new.where(F.col("doc_id") % 8 == 0)
+    b1 = new.where(F.col("doc_id") % 8 != 0)
+
+    sink(b0, 0)
+    s0 = _ledger_state(spark, path)
+    sink(b0, 0)  # replay of committed epoch
+    assert _ledger_state(spark, path) == s0
+    assert store.epoch_committed("append", 0)
+
+    class Boom(Exception):
+        pass
+
+    orig_finish = SnapshotStore._finish
+
+    def dying_finish(self, n):
+        raise Boom()
+
+    SnapshotStore._finish = dying_finish
+    try:
+        with pytest.raises(Boom):
+            sink(b1, 1)
+    finally:
+        SnapshotStore._finish = orig_finish
+    assert _ledger_state(spark, path) == s0  # crash invisible
+    sink(b1, 1)  # replay: recover + commit
+
+    # equality with the one-shot path over the same corpus
+    truth = str(tmp_path / "truth")
+    persist_near_dup_ledger(spark, sf_dir, truth, n_buckets=8)
+    assert _ledger_state(spark, path)[0] == _ledger_state(spark, truth)[0]
+
+    # pinned reader survives retract + vacuum
+    v = store.current_version()
+    pinned = store.read(spark, "labels", version=v)
+    n0 = pinned.count()
+    ledger_retract(spark, path, b0.select("doc_id"))
+    store.vacuum(keep_last=3)
+    assert pinned.count() == n0
+
+
 def test_snapshot_live_reader_survives_concurrent_churn(
     spark, sf_dir, tmp_path
 ):
