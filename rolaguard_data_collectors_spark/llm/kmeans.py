@@ -130,9 +130,29 @@ def assign_clusters(spark: SparkSession, sf_dir: str,
     return _assign(_emb(spark, sf_dir), centroids).drop("v")
 
 
+TOMBSTONE_SCHEMA = "vec_id long, cluster int"
+
+
+def _postings_frame(spark: SparkSession, path: str,
+                    clusters: "list[int] | None" = None) -> DataFrame:
+    """The postings scan, layout-aware: hive reads the partitioned
+    directory (callers' ``cluster`` isin filters become
+    PartitionFilters); snapshot resolves the manifest and ``clusters``
+    prunes the pinned dir list before Spark lists a file (the cluster
+    column lives in-file there, so the same isin filters still apply
+    as row guards)."""
+    from ..snapshots import SnapshotStore
+
+    if SnapshotStore.is_snapshot(path):
+        days = None if clusters is None else [str(int(c)) for c in clusters]
+        return SnapshotStore(path).read(spark, "postings", days=days)
+    return spark.read.parquet(path + "/postings")
+
+
 def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
                       k: int = 8, iters: int = 5,
-                      quantize: bool = False) -> list[list[float]]:
+                      quantize: bool = False,
+                      layout: str = "hive") -> list[list[float]]:
     """Train and WRITE the IVF index as a lake artifact:
 
     - ``<path>/centroids.parquet``: the k x dim codebook;
@@ -167,6 +187,41 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
         )
     else:
         payload = assigned.select("vec_id", "v", "cluster")
+    if layout == "snapshot":
+        # Snapshot-versioned index (snapshots.py): append epochs become
+        # ADD-mode commits (no whole-cell rewrite), tombstone applies
+        # become one atomic rewrite+drain commit, and probing readers
+        # are never disturbed by either. The frozen codebook
+        # (centroids/scales) stays a plain root file — it only changes
+        # at retrain, which rebuilds the index wholesale.
+        import json as _json
+
+        from ..snapshots import SnapshotStore
+
+        store = SnapshotStore.create(path)
+        edir = os.path.join(path, "_stage_tmp")
+        shutil.rmtree(edir, ignore_errors=True)
+        payload.withColumn(
+            "_dp", F.col("cluster").cast("string")
+        ).write.mode("overwrite").partitionBy("_dp").parquet(
+            os.path.join(edir, "postings")
+        )
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        schemas = {
+            "postings": payload.schema.json(),
+            "tombstones": StructType.fromDDL(TOMBSTONE_SCHEMA).json()
+            if hasattr(StructType, "fromDDL")
+            else _parse_datatype_string(TOMBSTONE_SCHEMA).json(),
+        }
+        with open(os.path.join(edir, "_SCHEMAS.json"), "w",
+                  encoding="utf-8") as fh:
+            _json.dump(schemas, fh)
+        with TableLock(path, owner="persist_ivf_index"):
+            store.commit_staged(edir, op="init")
+        return centroids
+    if layout != "hive":
+        raise ValueError(f"unknown IVF layout {layout!r}")
     payload.write.mode("overwrite").partitionBy("cluster").parquet(
         path + "/postings"
     )
@@ -202,15 +257,31 @@ def ivf_index_append(spark: SparkSession, path: str,
     # will use: stage it so routing can't diverge between the two.
     # Routing runs outside the lease (read-only over the frozen
     # codebook); only the live-postings append holds it.
+    from ..snapshots import SnapshotStore
+
     assigned = _route_for_index(spark, path, new_vectors).localCheckpoint()
     touched = sorted(
         r["cluster"] for r in assigned.select("cluster").distinct().collect()
     )
     _guard_tombstoned_ids(spark, path, assigned)
     with TableLock(path, owner="ivf_index_append"):
-        assigned.write.mode("append").partitionBy("cluster").parquet(
-            path + "/postings"
-        )
+        if SnapshotStore.is_snapshot(path):
+            store = SnapshotStore(path)
+            store.recover()
+            if touched:
+                edir = os.path.join(path, "_stage_tmp")
+                shutil.rmtree(edir, ignore_errors=True)
+                assigned.withColumn(
+                    "_dp", F.col("cluster").cast("string")
+                ).write.mode("overwrite").partitionBy("_dp").parquet(
+                    os.path.join(edir, "postings")
+                )
+                store.commit_staged(edir, op="append", mode="add",
+                                    extra={"cells": touched})
+        else:
+            assigned.write.mode("append").partitionBy("cluster").parquet(
+                path + "/postings"
+            )
     return touched
 
 
@@ -246,7 +317,7 @@ def _route_for_index(spark: SparkSession, path: str,
     """(vec_id, payload, cluster) rows routed against a persisted
     index's codebook, payload matching the index's posting schema
     (float vector or quantized codes)."""
-    quantized = "v" not in spark.read.parquet(path + "/postings").columns
+    quantized = "v" not in _postings_frame(spark, path).columns
     cents = (
         spark.read.parquet(path + "/centroids.parquet")
         .orderBy("cluster")
@@ -299,6 +370,7 @@ class IvfAppendSink:
     COMMIT_FILE = "_commits"
     EPOCH_DIR = "_epochs"
     OWNER = "IvfAppendSink"
+    DIRECTION = "append"
 
     def __init__(self, path: str):
         self.path = path
@@ -318,7 +390,29 @@ class IvfAppendSink:
         without the terminator is treated as uncommitted — safe: the
         commit is written only after the move completed, the scratch
         (with its marker) is cleared only after the commit, so the
-        replay re-moves nothing and re-commits the full record."""
+        replay re-moves nothing and re-commits the full record.
+
+        On a SNAPSHOT-layout index the epoch records ride the
+        manifests (epoch + extra.cells, per direction), written in the
+        same atomic flip that published the epoch's data — no torn-log
+        class of failure exists there; vacuumed manifests age out of
+        the feed the way a truncated log would."""
+        from ..snapshots import SnapshotStore, SnapshotVacuumedError
+
+        if SnapshotStore.is_snapshot(self.path):
+            store = SnapshotStore(self.path)
+            out: dict[int, list[int]] = {}
+            for v in range(store.current_version(), 0, -1):
+                try:
+                    m = store.manifest(v)
+                except SnapshotVacuumedError:
+                    break
+                if (m.get("direction") == self.DIRECTION
+                        and m.get("epoch") is not None):
+                    out[int(m["epoch"])] = [
+                        int(c) for c in (m.get("extra") or {}).get("cells", [])
+                    ]
+            return out
         done: dict[int, list[int]] = {}
         if not os.path.exists(self.commit_path):
             return done
@@ -362,6 +456,15 @@ class IvfAppendSink:
             self._epoch_locked(batch_df, int(epoch_id))
 
     def _epoch_locked(self, batch_df: DataFrame, epoch: int) -> None:
+        from ..snapshots import SnapshotStore
+
+        store = (
+            SnapshotStore(self.path)
+            if SnapshotStore.is_snapshot(self.path)
+            else None
+        )
+        if store is not None:
+            store.recover()  # the pending commit may BE this epoch
         if epoch in self.committed():
             return
         os.makedirs(self.epoch_root, exist_ok=True)
@@ -379,9 +482,16 @@ class IvfAppendSink:
                 for r in routed.select("cluster").distinct().collect()
             )
             if touched:
-                routed.write.mode("overwrite").partitionBy(
-                    "cluster"
-                ).parquet(edir)
+                if store is not None:
+                    routed.withColumn(
+                        "_dp", F.col("cluster").cast("string")
+                    ).write.mode("overwrite").partitionBy("_dp").parquet(
+                        os.path.join(edir, self.TARGET)
+                    )
+                else:
+                    routed.write.mode("overwrite").partitionBy(
+                        "cluster"
+                    ).parquet(edir)
             os.makedirs(edir, exist_ok=True)
             tmp = marker + ".tmp"
             with open(tmp, "w", encoding="utf-8") as fh:
@@ -389,13 +499,17 @@ class IvfAppendSink:
             os.replace(tmp, marker)
         with open(marker, encoding="utf-8") as fh:
             cells_s = fh.read().strip()
-        staged_rows = any(
-            d.startswith("cluster=")
+        staged_root = (
+            os.path.join(edir, self.TARGET) if store is not None else edir
+        )
+        part_prefix = "_dp=" if store is not None else "cluster="
+        staged_rows = os.path.isdir(staged_root) and any(
+            d.startswith(part_prefix)
             and any(
                 f.startswith("part-")
-                for f in os.listdir(os.path.join(edir, d))
+                for f in os.listdir(os.path.join(staged_root, d))
             )
-            for d in os.listdir(edir)
+            for d in os.listdir(staged_root)
         )
         if self.TARGET == "postings" and cells_s and staged_rows:
             # id-reuse guard on the STAGED rows (works on replays too,
@@ -408,8 +522,19 @@ class IvfAppendSink:
             # are live and only the commit record is missing.
             _guard_tombstoned_ids(
                 batch_df.sparkSession, self.path,
-                batch_df.sparkSession.read.parquet(edir),
+                batch_df.sparkSession.read.parquet(staged_root),
             )
+        if store is not None:
+            cells = (
+                [int(c) for c in cells_s.split("|")] if cells_s else []
+            )
+            store.commit_staged(
+                edir if staged_rows else None, op=self.DIRECTION,
+                epoch=epoch, direction=self.DIRECTION, mode="add",
+                extra={"cells": cells},
+            )
+            shutil.rmtree(edir, ignore_errors=True)  # metadata-only case
+            return
         self._move(edir, epoch)
         append_commit_line(self.commit_path, f"{epoch},{cells_s},end")
         shutil.rmtree(edir, ignore_errors=True)
@@ -436,14 +561,30 @@ def ivf_index_delete(spark: SparkSession, path: str,
     Returns the touched cells, sorted — the changed-cells feed, same
     contract as ``ivf_index_append``. Streaming twin with exactly-once
     epochs: ``IvfDeleteSink``."""
+    from ..snapshots import SnapshotStore
+
     located = _locate_cells(spark, path, doomed).localCheckpoint()
     touched = sorted(
         r["cluster"] for r in located.select("cluster").distinct().collect()
     )
     with TableLock(path, owner="ivf_index_delete"):
-        located.write.mode("append").partitionBy("cluster").parquet(
-            path + "/tombstones"
-        )
+        if SnapshotStore.is_snapshot(path):
+            store = SnapshotStore(path)
+            store.recover()
+            if touched:
+                edir = os.path.join(path, "_stage_tmp")
+                shutil.rmtree(edir, ignore_errors=True)
+                located.withColumn(
+                    "_dp", F.col("cluster").cast("string")
+                ).write.mode("overwrite").partitionBy("_dp").parquet(
+                    os.path.join(edir, "tombstones")
+                )
+                store.commit_staged(edir, op="delete", mode="add",
+                                    extra={"cells": touched})
+        else:
+            located.write.mode("append").partitionBy("cluster").parquet(
+                path + "/tombstones"
+            )
     return touched
 
 
@@ -464,7 +605,7 @@ def _locate_cells(spark: SparkSession, path: str,
             centroids,
         ).select("vec_id", "cluster")
     return (
-        spark.read.parquet(path + "/postings")
+        _postings_frame(spark, path)
         .join(F.broadcast(doomed.select("vec_id").distinct()), "vec_id")
         .select("vec_id", "cluster")
     )
@@ -488,6 +629,7 @@ class IvfDeleteSink(IvfAppendSink):
     COMMIT_FILE = "_commits_delete"
     EPOCH_DIR = "_epochs_delete"
     OWNER = "IvfDeleteSink"
+    DIRECTION = "delete"
 
     def _route(self, batch_df: DataFrame) -> DataFrame:
         return _locate_cells(batch_df.sparkSession, self.path, batch_df)
@@ -497,6 +639,13 @@ def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """The tombstone sidecar as a frame, or None when the index has
     none. Content check, not isdir (an applied-then-emptied sidecar
     root must not wedge the reader on schema inference)."""
+    from ..snapshots import SnapshotStore
+
+    if SnapshotStore.is_snapshot(path):
+        store = SnapshotStore(path)
+        if not store.table_days("tombstones"):
+            return None
+        return store.read(spark, "tombstones")
     tdir = path + "/tombstones"
     if not os.path.isdir(tdir) or not any(
         d.startswith("cluster=") for d in os.listdir(tdir)
@@ -513,7 +662,7 @@ def read_ivf_postings(spark: SparkSession, path: str,
     — small by the lake contract (compaction drains it) — and
     broadcast, so reads cost one broadcast-hash anti-join over the
     pruned postings, never a shuffle."""
-    posts = spark.read.parquet(path + "/postings")
+    posts = _postings_frame(spark, path, clusters=clusters)
     tomb = _tombstones(spark, path)
     if clusters is not None:
         cl = [int(c) for c in clusters]
@@ -545,6 +694,10 @@ def apply_ivf_tombstones(spark: SparkSession, path: str,
     gone (a no-op rewrite) and completes the clear. All under the
     index's single-writer lease, so a live IvfAppendSink epoch can
     never land between the stage-read and the swap."""
+    from ..snapshots import SnapshotStore
+
+    if SnapshotStore.is_snapshot(path):
+        return _apply_tombstones_snapshot(spark, path, target_files)
     scratch = os.path.join(path, "_tombstone_tmp")
     marker = os.path.join(scratch, "_SWAP")
     posts_root = os.path.join(path, "postings")
@@ -597,6 +750,60 @@ def apply_ivf_tombstones(spark: SparkSession, path: str,
                 fh.write(" ".join(str(c) for c in cells) + "\n")
             os.replace(tmp, marker)
             _finish_swap(cells)
+    return cells
+
+
+def _apply_tombstones_snapshot(spark: SparkSession, path: str,
+                               target_files: int) -> list[int]:
+    """``apply_ivf_tombstones`` on a snapshot-layout index: stage the
+    anti-joined rewrite of every tombstoned cell, then commit ONE
+    version that replaces those postings cells AND drops their
+    tombstone entries — the rewrite and the sidecar drain are ATOMIC
+    here (the hive recipe has a crash window between swap and
+    sidecar-clear that its marker protocol papers over), and probing
+    readers pinned on the previous version keep their exact files
+    until vacuum. A cell whose rewrite empties entirely is dropped
+    from the postings table rather than committed as a fileless dir."""
+    import json as _json
+
+    from ..snapshots import SnapshotStore
+
+    with TableLock(path, owner="apply_ivf_tombstones"):
+        store = SnapshotStore(path)
+        store.recover()
+        cells = sorted(int(c) for c in store.table_days("tombstones"))
+        if not cells:
+            return []
+        edir = os.path.join(path, "_stage_tmp")
+        shutil.rmtree(edir, ignore_errors=True)
+        drops: dict[str, list[str]] = {
+            "tombstones": [str(c) for c in cells]
+        }
+        post_days = set(store.table_days("postings"))
+        emptied: list[str] = []
+        for c in cells:
+            if str(c) not in post_days:
+                continue  # ghost deletes of ids routed to an empty cell
+            tomb = store.read(
+                spark, "tombstones", days=[str(c)]
+            ).select("vec_id")
+            dest = os.path.join(edir, "postings", f"_dp={c}")
+            store.read(spark, "postings", days=[str(c)]).join(
+                F.broadcast(tomb), "vec_id", "left_anti"
+            ).coalesce(target_files).write.mode("overwrite").parquet(dest)
+            if not any(
+                f.startswith("part-") and f.endswith(".parquet")
+                for f in os.listdir(dest)
+            ):
+                shutil.rmtree(dest)  # every row tombstoned: drop the cell
+                emptied.append(str(c))
+        if emptied:
+            drops["postings"] = emptied
+        os.makedirs(edir, exist_ok=True)
+        with open(os.path.join(edir, "_DROPPED"), "w",
+                  encoding="utf-8") as fh:
+            _json.dump(drops, fh)
+        store.commit_staged(edir, op="apply_tombstones")
     return cells
 
 

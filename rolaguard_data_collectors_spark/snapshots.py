@@ -18,11 +18,16 @@ Here, a commit never deletes anything a reader can see:
     <root>/data/v000007/<table>/_dp=<day>/part-*.parquet
                                       immutable data dirs, written once
 
-A manifest maps every (table, day) to the data directory that holds
-that partition's current content; untouched partitions keep pointing
-at directories published by earlier versions, so a commit costs
-O(touched partitions) metadata on top of the staged data it renames
-in. Readers resolve the pointer ONCE, then scan a pinned list of
+A manifest maps every (table, key) to the LIST of data directories
+that hold that partition's current content; untouched partitions keep
+pointing at directories published by earlier versions, so a commit
+costs O(touched partitions) metadata on top of the staged data it
+renames in. Commits come in two modes: ``replace`` (the staged dir
+becomes the partition's whole content — the cascade/ledger merge
+shape, whose stages compute complete post-states) and ``add`` (the
+staged dir is APPENDED to the partition's list — the IVF posting
+shape, where an epoch contributes new rows and must not pay a
+whole-cell rewrite). Readers resolve the pointer ONCE, then scan a pinned list of
 immutable directories: no swap can yank files out from under them,
 any historical version is readable until vacuumed (time travel), and
 a multi-table commit (all three cascade grains, or a retraction that
@@ -207,6 +212,10 @@ class SnapshotStore:
             json.dumps({"version": n}),
         )
 
+    @staticmethod
+    def _as_list(v) -> list:
+        return v if isinstance(v, list) else [v]
+
     def _build_manifest(self, n: int) -> dict:
         parent = self.manifest(n - 1)
         dest = self._data_path(n)
@@ -215,12 +224,16 @@ class SnapshotStore:
         if os.path.exists(mfile):
             with open(mfile, encoding="utf-8") as fh:
                 meta = json.load(fh)
-        tables = {t: dict(parts) for t, parts in parent["tables"].items()}
+        tables = {
+            t: {k: list(self._as_list(v)) for k, v in parts.items()}
+            for t, parts in parent["tables"].items()
+        }
         schemas = dict(parent["schemas"])
         sfile = os.path.join(dest, _SCHEMAS)
         if os.path.exists(sfile):
             with open(sfile, encoding="utf-8") as fh:
                 schemas.update(json.load(fh))
+        additive = meta.get("mode") == "add"
         if os.path.isdir(dest):
             for table in sorted(os.listdir(dest)):
                 tdir = os.path.join(dest, table)
@@ -233,7 +246,11 @@ class SnapshotStore:
                     rel = os.path.join(
                         self.DATA_DIR, f"v{n:06d}", table, part
                     )
-                    tables.setdefault(table, {})[day] = rel
+                    parts_map = tables.setdefault(table, {})
+                    if additive:
+                        parts_map.setdefault(day, []).append(rel)
+                    else:
+                        parts_map[day] = [rel]
         dfile = os.path.join(dest, _DROPPED)
         if os.path.exists(dfile):
             with open(dfile, encoding="utf-8") as fh:
@@ -257,7 +274,7 @@ class SnapshotStore:
         if meta.get("epoch") is not None and meta.get("direction"):
             d = meta["direction"]
             epoch_high[d] = max(epoch_high.get(d, -1), int(meta["epoch"]))
-        return {
+        out = {
             "version": n,
             "parent": n - 1,
             "op": meta.get("op", "unknown"),
@@ -265,6 +282,14 @@ class SnapshotStore:
             "tables": tables,
             "schemas": schemas,
         }
+        # commit-scoped payload a consumer reads back (e.g. the IVF
+        # changed-cells feed); epoch/direction ride along for it
+        if meta.get("extra") is not None:
+            out["extra"] = meta["extra"]
+        if meta.get("epoch") is not None:
+            out["epoch"] = meta["epoch"]
+            out["direction"] = meta.get("direction")
+        return out
 
     # -- commit ------------------------------------------------------------
     def commit_staged(
@@ -275,12 +300,19 @@ class SnapshotStore:
         direction: str | None = None,
         drop_days: list[str] | None = None,
         drop_tables: list[str] | None = None,
+        mode: str = "replace",
+        extra: dict | None = None,
     ) -> int:
         """Publish a staged scratch dir (layout in the module
         docstring) as the next version; ``edir=None`` commits a
         metadata-only version (empty-batch epoch bump, expire). The
         scratch is CONSUMED (renamed into ``data/``). Caller holds the
-        lease. Returns the committed version."""
+        lease. ``mode="add"`` APPENDS each staged dir to its
+        partition's dir list instead of replacing it (append-only
+        tables); ``extra`` is an arbitrary JSON payload recorded in
+        the manifest for consumers. Returns the committed version."""
+        if mode not in ("replace", "add"):
+            raise ValueError(f"commit mode {mode!r}")
         self.recover()
         n = self.current_version() + 1
         meta = {
@@ -289,6 +321,8 @@ class SnapshotStore:
             "direction": direction,
             "drop_days": drop_days,
             "drop_tables": drop_tables,
+            "mode": mode,
+            "extra": extra,
         }
         if edir is not None and os.path.isdir(edir):
             _atomic_write(os.path.join(edir, _META), json.dumps(meta))
@@ -322,7 +356,11 @@ class SnapshotStore:
 
             schema = StructType.fromJson(json.loads(m["schemas"][table]))
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, p) for _, p in sorted(entries.items())]
+        paths = [
+            os.path.join(self.root, p)
+            for _, rels in sorted(entries.items())
+            for p in self._as_list(rels)
+        ]
         return spark.read.parquet(*paths)
 
     # -- maintenance (standalone ops: these take the lease themselves) ------
@@ -338,21 +376,29 @@ class SnapshotStore:
                        timeout=lock_timeout) as lk:
             self.recover()
             m = self.manifest()
-            todo: list[tuple[str, str, str]] = []
+            todo: list[tuple[str, str, list[str]]] = []
             for table, parts in m["tables"].items():
-                for day, rel in parts.items():
-                    full = os.path.join(self.root, rel)
+                for day, rels in parts.items():
+                    fulls = [
+                        os.path.join(self.root, r)
+                        for r in self._as_list(rels)
+                    ]
                     n_files = sum(
-                        1 for f in os.listdir(full) if f.endswith(".parquet")
+                        1
+                        for full in fulls
+                        for f in os.listdir(full)
+                        if f.endswith(".parquet")
                     )
-                    if n_files > max_files:
-                        todo.append((table, day, full))
+                    # an append-mode partition spread over several dirs
+                    # is fragmentation too, whatever its file count
+                    if n_files > max_files or len(fulls) > max(1, max_files):
+                        todo.append((table, day, fulls))
             if not todo:
                 return []
             edir = os.path.join(self.root, "_stage_compact")
             shutil.rmtree(edir, ignore_errors=True)
-            for table, day, full in todo:
-                spark.read.parquet(full).coalesce(target_files).write.mode(
+            for table, day, fulls in todo:
+                spark.read.parquet(*fulls).coalesce(target_files).write.mode(
                     "overwrite"
                 ).parquet(
                     os.path.join(edir, table, STAGE_PART_PREFIX + day)
@@ -411,7 +457,8 @@ class SnapshotStore:
                 except SnapshotVacuumedError:
                     continue
                 for parts in m["tables"].values():
-                    referenced.update(parts.values())
+                    for rels in parts.values():
+                        referenced.update(self._as_list(rels))
             removed: list[str] = []
             droot = os.path.join(self.root, self.DATA_DIR)
             for vdir in sorted(os.listdir(droot)):

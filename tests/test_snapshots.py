@@ -281,7 +281,9 @@ def test_snapshot_expire_is_metadata_only_then_vacuum_reclaims(
 
     m1 = store.manifest()
     old_dirs = [
-        os.path.join(path, m1["tables"]["day"][d]) for d in expect_drop
+        os.path.join(path, rel)
+        for d in expect_drop
+        for rel in m1["tables"]["day"][d]
     ]
     dropped = store.expire(before=cutoff)
     assert dropped == expect_drop
@@ -331,9 +333,10 @@ def test_snapshot_compact_is_reader_safe_and_content_identical(
     # every live partition now reads exactly ONE file
     m = store.manifest()
     for g, parts in m["tables"].items():
-        for d, rel in parts.items():
+        for d, rels in parts.items():
+            assert len(rels) == 1, (g, d, rels)
             files = [
-                f for f in os.listdir(os.path.join(path, rel))
+                f for f in os.listdir(os.path.join(path, rels[0]))
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1, (g, d, files)
@@ -566,6 +569,191 @@ def test_snapshot_ledger_sink_exactly_once_crash_and_pinned_reader(
     ledger_retract(spark, path, b0.select("doc_id"))
     store.vacuum(keep_last=3)
     assert pinned.count() == n0
+
+
+def _ivf_emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _ivf_posts(spark, path):
+    from rolaguard_data_collectors_spark.llm.kmeans import read_ivf_postings
+
+    return sorted(
+        (r["vec_id"], r["cluster"])
+        for r in read_ivf_postings(spark, path)
+        .select("vec_id", "cluster").collect()
+    )
+
+
+def test_snapshot_ivf_parity_atomic_apply_and_pinned_reader(
+    spark, sf_dir, tmp_path
+):
+    """The IVF index on the snapshot layout (third maintained artifact
+    ported; ADD-mode commits): init/append/delete/apply land identical
+    to the hive layout, an append epoch never rewrites a cell (its
+    staged dir is APPENDED to the manifest entry), apply_ivf_tombstones
+    rewrites tombstoned cells and drains their sidecars in ONE atomic
+    commit (the hive recipe's swap-then-clear window does not exist),
+    and a reader pinned pre-apply keeps its exact files."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        apply_ivf_tombstones,
+        ivf_index_append,
+        ivf_index_delete,
+        persist_ivf_index,
+    )
+
+    emb = _ivf_emb(spark, sf_dir)
+    base_dir = str(tmp_path / "base")
+    os.makedirs(base_dir)
+    load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 3 != 0
+    ).toPandas().to_parquet(
+        os.path.join(base_dir, "embeddings.parquet"), index=False
+    )
+    newv = emb.where(F.col("vec_id") % 3 == 0)
+    hive = str(tmp_path / "hive")
+    snap = str(tmp_path / "snap")
+    c1 = persist_ivf_index(spark, base_dir, hive, k=4, iters=2)
+    c2 = persist_ivf_index(spark, base_dir, snap, k=4, iters=2,
+                           layout="snapshot")
+    assert c1 == c2
+    assert _ivf_posts(spark, hive) == _ivf_posts(spark, snap)
+
+    store = SnapshotStore(snap)
+    assert ivf_index_append(spark, hive, newv) == ivf_index_append(
+        spark, snap, newv
+    )
+    assert _ivf_posts(spark, hive) == _ivf_posts(spark, snap)
+    # ADD-mode: the appended cells' manifest entries now hold TWO dirs
+    m = store.manifest()
+    assert any(len(rels) == 2 for rels in m["tables"]["postings"].values())
+
+    doomed = newv.select("vec_id").limit(7)
+    assert ivf_index_delete(spark, hive, doomed) == ivf_index_delete(
+        spark, snap, doomed
+    )
+    assert _ivf_posts(spark, hive) == _ivf_posts(spark, snap)
+
+    v = store.current_version()
+    pinned = store.read(spark, "postings", version=v)
+    pn = pinned.count()
+    n_before = len(_ivf_posts(spark, snap))
+    assert apply_ivf_tombstones(spark, hive) == apply_ivf_tombstones(
+        spark, snap
+    )
+    assert _ivf_posts(spark, hive) == _ivf_posts(spark, snap)
+    assert len(_ivf_posts(spark, snap)) == n_before
+    # atomic drain: ONE commit rewrote the cells and emptied the sidecar
+    assert store.table_days("tombstones") == []
+    assert pinned.count() == pn  # pre-apply reader undisturbed
+    # id-reuse is legal again after apply, both layouts
+    re_add = emb.join(doomed, "vec_id").limit(2)
+    ivf_index_append(spark, hive, re_add)
+    ivf_index_append(spark, snap, re_add)
+    assert _ivf_posts(spark, hive) == _ivf_posts(spark, snap)
+
+
+def test_snapshot_ivf_sinks_exactly_once_and_changed_cells_feed(
+    spark, sf_dir, tmp_path
+):
+    """IvfAppendSink/IvfDeleteSink on a snapshot index: epoch records
+    (and the changed-cells feed committed() serves) ride the manifest —
+    replay is a no-op, a crash between rename and flip stays invisible
+    and replays clean, and the two directions' epoch counters never
+    mask each other."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        IvfAppendSink,
+        IvfDeleteSink,
+        persist_ivf_index,
+    )
+
+    emb = _ivf_emb(spark, sf_dir)
+    base_dir = str(tmp_path / "base")
+    os.makedirs(base_dir)
+    load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 3 != 0
+    ).toPandas().to_parquet(
+        os.path.join(base_dir, "embeddings.parquet"), index=False
+    )
+    newv = emb.where(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "snap_sink")
+    persist_ivf_index(spark, base_dir, path, k=4, iters=2,
+                      layout="snapshot")
+    sink = IvfAppendSink(path)
+    b0 = newv.where(F.col("vec_id") % 2 == 0)
+    b1 = newv.where(F.col("vec_id") % 2 != 0)
+
+    sink(b0, 0)
+    s0 = _ivf_posts(spark, path)
+    sink(b0, 0)  # replay
+    assert _ivf_posts(spark, path) == s0
+    feed = sink.committed()
+    assert 0 in feed and feed[0], feed  # changed-cells feed intact
+
+    class Boom(Exception):
+        pass
+
+    orig_finish = SnapshotStore._finish
+
+    def dying_finish(self, n):
+        raise Boom()
+
+    SnapshotStore._finish = dying_finish
+    try:
+        with pytest.raises(Boom):
+            sink(b1, 1)
+    finally:
+        SnapshotStore._finish = orig_finish
+    assert _ivf_posts(spark, path) == s0  # crash invisible
+    sink(b1, 1)  # replay commits; epoch recorded with its cells
+    assert 1 in sink.committed()
+
+    dsink = IvfDeleteSink(path)
+    dsink(b0.select("vec_id").limit(3), 0)
+    assert 0 in dsink.committed()
+    assert 0 in sink.committed()  # directions isolated
+    # deleted rows hidden at the read immediately
+    assert len(_ivf_posts(spark, path)) == len(
+        set(_ivf_posts(spark, path))
+    )
+
+
+def test_snapshot_compact_merges_additive_fragments(spark, sf_dir, tmp_path):
+    """Append epochs fragment a snapshot IVF cell across many small
+    dirs; store.compact() folds each fragmented partition back to one
+    dir/file in a single reader-safe commit."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        ivf_index_append,
+        persist_ivf_index,
+    )
+
+    emb = _ivf_emb(spark, sf_dir)
+    base_dir = str(tmp_path / "base")
+    os.makedirs(base_dir)
+    load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 4 == 1
+    ).toPandas().to_parquet(
+        os.path.join(base_dir, "embeddings.parquet"), index=False
+    )
+    path = str(tmp_path / "snap_frag")
+    persist_ivf_index(spark, base_dir, path, k=2, iters=2,
+                      layout="snapshot")
+    for i in (0, 2, 3):
+        ivf_index_append(spark, path,
+                         emb.where(F.col("vec_id") % 4 == i))
+    store = SnapshotStore(path)
+    m = store.manifest()
+    assert any(len(r) > 1 for r in m["tables"]["postings"].values())
+    pre = _ivf_posts(spark, path)
+    done = store.compact(spark, max_files=1, target_files=1)
+    assert done
+    assert _ivf_posts(spark, path) == pre
+    m2 = store.manifest()
+    assert all(len(r) == 1 for r in m2["tables"]["postings"].values())
+    store.vacuum(keep_last=1)
+    assert _ivf_posts(spark, path) == pre
 
 
 def test_snapshot_live_reader_survives_concurrent_churn(
