@@ -580,12 +580,19 @@ def test_ledger_retract_sink_exactly_once_and_crash_replay(
     assert after == _ledger_snapshot(spark, truth)
 
 
-def test_ledger_random_op_sequence_matches_rebuild(spark, sf_dir, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("layout", ["hive", "snapshot"])
+def test_ledger_random_op_sequence_matches_rebuild(spark, sf_dir, tmp_path,
+                                                   layout):
     """Seeded random interleaving of appends and retractions (with
     re-appends of previously retracted docs and a sprinkling of
     unknown ids): after every sequence the ledger must equal a fresh
     build over exactly the currently-present docs — the maintained
-    artifact can never drift from its declarative definition."""
+    artifact can never drift from its declarative definition. Runs on
+    BOTH layouts: the snapshot leg additionally proves version-commit
+    publishing never drifts under arbitrary op interleavings."""
     import os
     import random
 
@@ -610,7 +617,8 @@ def test_ledger_random_op_sequence_matches_rebuild(spark, sf_dir, tmp_path):
         os.path.join(start_dir, "documents.parquet"), index=False
     )
     path = str(tmp_path / "ledger")
-    persist_near_dup_ledger(spark, start_dir, path, n_buckets=8)
+    persist_near_dup_ledger(spark, start_dir, path, n_buckets=8,
+                            layout=layout)
 
     for step in range(6):
         if (rng.random() < 0.5 and absent) or not present:

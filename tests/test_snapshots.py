@@ -571,6 +571,66 @@ def test_snapshot_ledger_sink_exactly_once_crash_and_pinned_reader(
     assert pinned.count() == n0
 
 
+def test_snapshot_cascade_random_op_sequence_parity(spark, sf_dir, tmp_path):
+    """Seeded random interleaving of cascade appends and retractions
+    applied IDENTICALLY to a hive and a snapshot table: the two stay
+    bit-identical after every step, and both end equal to the direct
+    recompute over the currently-present events."""
+    import random
+
+    ev = load_table(spark, sf_dir, "events")
+    ids = sorted(
+        r.event_id
+        for r in ev.select("event_id").where(
+            F.col("event_id").isNotNull()
+        ).collect()
+    )
+    rng = random.Random(11)
+    present = set(rng.sample(ids, len(ids) // 2))
+    absent = set(ids) - present
+
+    start_dir = str(tmp_path / "start")
+    os.makedirs(start_dir)
+    ev.where(F.col("event_id").isin(sorted(present))).toPandas().to_parquet(
+        os.path.join(start_dir, "events.parquet"), index=False
+    )
+    hive = str(tmp_path / "hive")
+    snap = str(tmp_path / "snap")
+    persist_cascade(spark, start_dir, hive)
+    persist_cascade(spark, start_dir, snap, layout="snapshot")
+
+    for _step in range(5):
+        if (rng.random() < 0.5 and absent) or not present:
+            batch = set(rng.sample(sorted(absent), min(300, len(absent))))
+            bdf = ev.where(F.col("event_id").isin(sorted(batch)))
+            cascade_append(spark, hive, bdf)
+            cascade_append(spark, snap, bdf)
+            present |= batch
+            absent -= batch
+        else:
+            batch = set(rng.sample(sorted(present), min(300, len(present))))
+            bdf = ev.where(F.col("event_id").isin(sorted(batch)))
+            cascade_retract(spark, hive, bdf)
+            cascade_retract(spark, snap, bdf)
+            present -= batch
+            absent |= batch
+        assert _snap(spark, hive) == _snap(spark, snap), _step
+
+    truth_dir = str(tmp_path / "truth")
+    os.makedirs(truth_dir)
+    ev.where(F.col("event_id").isin(sorted(present))).toPandas().to_parquet(
+        os.path.join(truth_dir, "events.parquet"), index=False
+    )
+    full = cascade_grains(spark, truth_dir)
+    got = _snap(spark, snap)
+    for g in ("minute", "hour", "day"):
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["_sv"])
+            for r in full[g].collect()
+        }
+        assert got[g] == want, g
+
+
 def _ivf_emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
