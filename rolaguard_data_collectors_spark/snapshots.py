@@ -224,11 +224,19 @@ class SnapshotStore:
         if os.path.exists(mfile):
             with open(mfile, encoding="utf-8") as fh:
                 meta = json.load(fh)
+        base = parent
+        if meta.get("restore_version") is not None:
+            # rollback: the new version's content IS an older manifest's
+            # (readable by construction: rollback validated it under the
+            # lease, and vacuum can't run concurrently). epoch_high still
+            # inherits from the PARENT — epochs are facts about what was
+            # processed, and rewinding them would double-apply replays.
+            base = self.manifest(int(meta["restore_version"]))
         tables = {
             t: {k: list(self._as_list(v)) for k, v in parts.items()}
-            for t, parts in parent["tables"].items()
+            for t, parts in base["tables"].items()
         }
-        schemas = dict(parent["schemas"])
+        schemas = dict(base["schemas"])
         sfile = os.path.join(dest, _SCHEMAS)
         if os.path.exists(sfile):
             with open(sfile, encoding="utf-8") as fh:
@@ -302,6 +310,7 @@ class SnapshotStore:
         drop_tables: list[str] | None = None,
         mode: str = "replace",
         extra: dict | None = None,
+        restore_version: int | None = None,
     ) -> int:
         """Publish a staged scratch dir (layout in the module
         docstring) as the next version; ``edir=None`` commits a
@@ -323,6 +332,7 @@ class SnapshotStore:
             "drop_tables": drop_tables,
             "mode": mode,
             "extra": extra,
+            "restore_version": restore_version,
         }
         if edir is not None and os.path.isdir(edir):
             _atomic_write(os.path.join(edir, _META), json.dumps(meta))
@@ -362,6 +372,43 @@ class SnapshotStore:
             for p in self._as_list(rels)
         ]
         return spark.read.parquet(*paths)
+
+    def history(self) -> list[dict]:
+        """Retained version history, oldest first: one row per
+        readable manifest with (version, op, epoch, direction) — the
+        operational audit surface (what changed the table, when, which
+        streaming epoch it was)."""
+        out = []
+        for v in range(self.current_version(), -1, -1):
+            try:
+                m = self.manifest(v)
+            except SnapshotVacuumedError:
+                break
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op"),
+                    "epoch": m.get("epoch"),
+                    "direction": m.get("direction"),
+                }
+            )
+        return list(reversed(out))
+
+    def rollback(self, version: int, lock_timeout: float = 120.0) -> int:
+        """Restore the table to an older version's exact content as a
+        NEW commit — pure metadata (no data IO at any size), the
+        instant undo for a bad epoch. The target must still be
+        retained (vacuum defines the undo horizon). ``epoch_high`` is
+        NOT rewound: epochs record what was processed, and rewinding
+        them would make a streaming replay double-apply; a rolled-back
+        sink epoch is undone in CONTENT while staying committed in the
+        log, which is exactly the semantics of a corrective commit."""
+        with TableLock(self.root, owner="snapshot_rollback",
+                       timeout=lock_timeout):
+            self.recover()
+            self.manifest(int(version))  # raises if vacuumed / future
+            return self.commit_staged(None, op="rollback",
+                                      restore_version=int(version))
 
     # -- maintenance (standalone ops: these take the lease themselves) ------
     def compact(self, spark, max_files: int = 8, target_files: int = 1,

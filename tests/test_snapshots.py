@@ -571,6 +571,50 @@ def test_snapshot_ledger_sink_exactly_once_crash_and_pinned_reader(
     assert pinned.count() == n0
 
 
+def test_snapshot_history_and_rollback(spark, sf_dir, tmp_path):
+    """rollback(v) restores an older version's exact content as a NEW
+    metadata-only commit (instant undo of a bad epoch, zero data IO);
+    epoch records are NOT rewound, so a replay of the rolled-back
+    epoch stays a no-op; history() lists the audit trail; rolling back
+    past the vacuum horizon raises the named error."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "snap_rb")
+    SnapshotStore.create(path)
+    store = SnapshotStore(path)
+    sink = CascadeMaintenanceSink(path)
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 != 0)
+
+    sink(b0, 0)
+    good = _snap(spark, path)
+    v_good = store.current_version()
+    sink(b1, 1)  # the "bad" epoch
+    assert _snap(spark, path) != good
+
+    n = store.rollback(v_good)
+    assert n == store.current_version()
+    assert _snap(spark, path) == good  # content restored
+    # the rolled-back epoch stays committed: replay must NOT re-apply
+    sink(b1, 1)
+    assert _snap(spark, path) == good
+    assert store.epoch_committed("append", 1)
+
+    ops = [(h["version"], h["op"], h["epoch"]) for h in store.history()]
+    assert ops == [
+        (0, "create", None),
+        (1, "append", 0),
+        (2, "append", 1),
+        (3, "rollback", None),
+    ], ops
+
+    # rollback target survives vacuum because the new manifest
+    # references its dirs
+    store.vacuum(keep_last=1)
+    assert _snap(spark, path) == good
+    with pytest.raises(SnapshotVacuumedError):
+        store.rollback(1)  # past the horizon now
+
+
 def test_snapshot_cascade_random_op_sequence_parity(spark, sf_dir, tmp_path):
     """Seeded random interleaving of cascade appends and retractions
     applied IDENTICALLY to a hive and a snapshot table: the two stay
