@@ -412,19 +412,32 @@ class SnapshotStore:
 
     # -- maintenance (standalone ops: these take the lease themselves) ------
     def compact(self, spark, max_files: int = 8, target_files: int = 1,
-                lock_timeout: float = 120.0) -> list[tuple[str, str]]:
+                lock_timeout: float = 120.0,
+                cluster_by: "tuple[str, str] | None" = None,
+                tables: "list[str] | None" = None) -> list[tuple[str, str]]:
         """Rewrite every (table, day) partition whose current data dir
         holds more than ``max_files`` parquet files into
         ``target_files`` files, as ONE new version. Readers of any
         pinned version are untouched (old dirs live until vacuum) —
         the hive-layout epoch-fence dance is unnecessary here because
-        compaction never deletes what it read."""
+        compaction never deletes what it read.
+
+        ``cluster_by=(xcol, ycol)`` Z-orders each rewritten partition
+        (the OPTIMIZE-ZORDER lake pass, via plans/scale.zorder_value):
+        range-partition on the Morton key into ``target_files`` files
+        and sort within each, so every output file's parquet footer
+        carries tight min/max on BOTH columns and a two-sided box
+        predicate skips most files before any IO. ``tables`` restricts
+        the pass (a multi-table store may Z-order only the table that
+        has those columns)."""
         with TableLock(self.root, owner="snapshot_compact",
                        timeout=lock_timeout) as lk:
             self.recover()
             m = self.manifest()
             todo: list[tuple[str, str, list[str]]] = []
             for table, parts in m["tables"].items():
+                if tables is not None and table not in tables:
+                    continue
                 for day, rels in parts.items():
                     fulls = [
                         os.path.join(self.root, r)
@@ -445,9 +458,29 @@ class SnapshotStore:
             edir = os.path.join(self.root, "_stage_compact")
             shutil.rmtree(edir, ignore_errors=True)
             for table, day, fulls in todo:
-                spark.read.parquet(*fulls).coalesce(target_files).write.mode(
-                    "overwrite"
-                ).parquet(
+                df = spark.read.parquet(*fulls)
+                if cluster_by is not None:
+                    from pyspark.sql import functions as F
+
+                    from .plans.scale import zorder_value
+
+                    xcol, ycol = cluster_by
+                    lo_hi = df.agg(
+                        F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
+                    ).first()
+                    z = zorder_value(
+                        F.col(xcol), F.col(ycol),
+                        lo_hi[0], lo_hi[1], lo_hi[2], lo_hi[3],
+                    )
+                    df = (
+                        df.withColumn("_z", z)
+                        .repartitionByRange(target_files, "_z")
+                        .sortWithinPartitions("_z")
+                        .drop("_z")
+                    )
+                else:
+                    df = df.coalesce(target_files)
+                df.write.mode("overwrite").parquet(
                     os.path.join(edir, table, STAGE_PART_PREFIX + day)
                 )
             lk.refresh()  # distributed rewrite may have consumed the lease

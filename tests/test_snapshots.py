@@ -571,6 +571,59 @@ def test_snapshot_ledger_sink_exactly_once_crash_and_pinned_reader(
     assert pinned.count() == n0
 
 
+def test_snapshot_compact_zorder_enables_box_skipping(spark, tmp_path):
+    """compact(cluster_by=(x, y)) is the OPTIMIZE-ZORDER pass on the
+    snapshot layout: content identical, and the rewritten partition's
+    parquet footers get tight min/max on BOTH columns — a 2-D box
+    predicate skips most files, where the round-robin layout skips
+    none (same proof harness as tests/test_layout.py)."""
+    import json
+
+    from rolaguard_data_collectors_spark.plans.scale import (
+        file_minmax_stats,
+        skippable_fraction,
+    )
+    from rolaguard_data_collectors_spark.snapshots import STAGE_PART_PREFIX
+    from rolaguard_data_collectors_spark.tablelock import TableLock
+
+    path = str(tmp_path / "snap_z")
+    SnapshotStore.create(path)
+    store = SnapshotStore(path)
+    df = spark.range(50_000).select(
+        (F.col("id") % 223).cast("double").alias("x"),
+        F.floor(F.col("id") / 223).cast("double").alias("y"),
+    )
+    edir = os.path.join(path, "_stage_tmp")
+    pdir = os.path.join(edir, "tbl", STAGE_PART_PREFIX + "k")
+    df.repartition(16).write.parquet(pdir)  # round-robin: wide stats
+    with open(os.path.join(edir, "_SCHEMAS.json"), "w") as fh:
+        json.dump({"tbl": df.schema.json()}, fh)
+    with TableLock(path, owner="test"):
+        store.commit_staged(edir, op="init")
+
+    def live_stats():
+        rels = store.manifest()["tables"]["tbl"]["k"]
+        assert len(rels) == 1
+        return file_minmax_stats(os.path.join(path, rels[0]), ["x", "y"])
+
+    box = {"x": (0.0, 20.0), "y": (0.0, 20.0)}
+    frac0 = skippable_fraction(live_stats(), box)
+    before = sorted(
+        (r["x"], r["y"]) for r in store.read(spark, "tbl").collect()
+    )
+
+    done = store.compact(spark, max_files=8, target_files=16,
+                         cluster_by=("x", "y"))
+    assert ("tbl", "k") in done
+    after = sorted(
+        (r["x"], r["y"]) for r in store.read(spark, "tbl").collect()
+    )
+    assert after == before
+    frac1 = skippable_fraction(live_stats(), box)
+    assert frac1 >= 0.5, (frac0, frac1)
+    assert frac1 > frac0 + 0.3, (frac0, frac1)
+
+
 def test_snapshot_history_and_rollback(spark, sf_dir, tmp_path):
     """rollback(v) restores an older version's exact content as a NEW
     metadata-only commit (instant undo of a bad epoch, zero data IO);
