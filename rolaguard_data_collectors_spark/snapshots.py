@@ -352,7 +352,16 @@ class SnapshotStore:
         pinned list of immutable dirs. ``days`` prunes at the manifest
         (no listing, no footers for skipped partitions); ``version``
         time-travels. Empty selections return a TYPED empty frame from
-        the manifest's recorded schema."""
+        the manifest's recorded schema.
+
+        The scan is TYPED BY THE MANIFEST's recorded schema (the
+        version being read, so time travel sees the schema of its
+        day): schema EVOLUTION works the way a lake table expects —
+        files written before a column existed project it as NULL
+        (parquet by-name resolution), dropped columns are ignored, and
+        the result schema never depends on which file the reader
+        happened to list first (without this, a multi-dir read's
+        schema is whatever the first file has)."""
         m = self.manifest(version)
         entries = m["tables"].get(table)
         if entries is None and table not in m["schemas"]:
@@ -361,17 +370,27 @@ class SnapshotStore:
         if days is not None:
             want = {str(d) for d in days}
             entries = {d: p for d, p in entries.items() if d in want}
-        if not entries:
+        schema = None
+        if table in m["schemas"]:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(m["schemas"][table]))
+        if not entries:
+            if schema is None:
+                raise KeyError(
+                    f"table {table!r} in {self.root} has entries=0 and no "
+                    f"recorded schema at version {m['version']}"
+                )
             return spark.createDataFrame([], schema)
         paths = [
             os.path.join(self.root, p)
             for _, rels in sorted(entries.items())
             for p in self._as_list(rels)
         ]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
     def history(self) -> list[dict]:
         """Retained version history, oldest first: one row per

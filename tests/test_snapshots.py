@@ -624,6 +624,57 @@ def test_snapshot_compact_zorder_enables_box_skipping(spark, tmp_path):
     assert frac1 > frac0 + 0.3, (frac0, frac1)
 
 
+def test_snapshot_schema_evolution_reads_old_files_with_nulls(
+    spark, tmp_path
+):
+    """Reads are typed by the manifest's recorded schema, so adding a
+    column is a metadata change: files written BEFORE the column
+    existed project it as NULL, the result schema never depends on
+    which file the reader lists first, and time travel to the old
+    version still sees the old schema."""
+    import json
+
+    from rolaguard_data_collectors_spark.snapshots import STAGE_PART_PREFIX
+    from rolaguard_data_collectors_spark.tablelock import TableLock
+
+    path = str(tmp_path / "snap_evo")
+    SnapshotStore.create(path)
+    store = SnapshotStore(path)
+
+    def stage(df, day, tag):
+        edir = os.path.join(path, f"_stage_{tag}")
+        df.write.parquet(
+            os.path.join(edir, "tbl", STAGE_PART_PREFIX + day)
+        )
+        with open(os.path.join(edir, "_SCHEMAS.json"), "w") as fh:
+            json.dump({"tbl": df.schema.json()}, fh)
+        return edir
+
+    v1_df = spark.range(5).select(F.col("id").alias("a"))
+    with TableLock(path, owner="test"):
+        store.commit_staged(stage(v1_df, "d1", "v1"), op="init")
+    v1 = store.current_version()
+
+    # v2 adds column b (and its partition's files carry it)
+    v2_df = spark.range(3).select(
+        (F.col("id") + 100).alias("a"), F.lit("new").alias("b")
+    )
+    with TableLock(path, owner="test"):
+        store.commit_staged(stage(v2_df, "d2", "v2"), op="append")
+
+    cur = store.read(spark, "tbl")
+    assert cur.columns == ["a", "b"]
+    rows = {r["a"]: r["b"] for r in cur.collect()}
+    assert len(rows) == 8
+    assert all(rows[a] is None for a in range(5))       # old files: NULL
+    assert all(rows[a] == "new" for a in (100, 101, 102))
+    # pruned read of ONLY the old partition still carries the new schema
+    old_part = store.read(spark, "tbl", days=["d1"])
+    assert old_part.columns == ["a", "b"]
+    # time travel sees the old schema
+    assert store.read(spark, "tbl", version=v1).columns == ["a"]
+
+
 def test_snapshot_history_and_rollback(spark, sf_dir, tmp_path):
     """rollback(v) restores an older version's exact content as a NEW
     metadata-only commit (instant undo of a bad epoch, zero data IO);
