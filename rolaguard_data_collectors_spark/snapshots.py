@@ -478,6 +478,7 @@ class SnapshotStore:
             shutil.rmtree(edir, ignore_errors=True)
             for table, day, fulls in todo:
                 df = spark.read.parquet(*fulls)
+                lo_hi = None
                 if cluster_by is not None:
                     from pyspark.sql import functions as F
 
@@ -487,6 +488,7 @@ class SnapshotStore:
                     lo_hi = df.agg(
                         F.min(xcol), F.max(xcol), F.min(ycol), F.max(ycol)
                     ).first()
+                if lo_hi is not None and None not in tuple(lo_hi):
                     z = zorder_value(
                         F.col(xcol), F.col(ycol),
                         lo_hi[0], lo_hi[1], lo_hi[2], lo_hi[3],
@@ -498,6 +500,9 @@ class SnapshotStore:
                         .drop("_z")
                     )
                 else:
+                    # no cluster_by, or a cluster column with no
+                    # non-NULL values in this partition (no usable
+                    # bounds): plain coalescing rewrite
                     df = df.coalesce(target_files)
                 df.write.mode("overwrite").parquet(
                     os.path.join(edir, table, STAGE_PART_PREFIX + day)
