@@ -325,6 +325,23 @@ def skippable_fraction(
     return skipped / len(stats)
 
 
+def _reject_snapshot_root(root: str, lock_root: "str | None",
+                          op: str, instead: str, store_cls) -> None:
+    """The hive maintenance ops walk ``<root>/<col>=...`` dirs; on a
+    SNAPSHOT-layout root (or a sub-path of one) there are none, so
+    they would silently no-op — worse than failing. Raise with the
+    snapshot-native replacement instead."""
+    import os
+
+    for probe in (root, lock_root, os.path.dirname(root.rstrip("/"))):
+        if probe and store_cls.is_snapshot(probe):
+            raise ValueError(
+                f"{op}: {root} belongs to a snapshot-layout table "
+                f"({probe}); use {instead} — it is reader-safe and "
+                "needs no partition-swap machinery"
+            )
+
+
 def compact_partitions(spark, root: str, max_files: int = 8,
                        target_files: int = 1,
                        lock_root: str | None = None,
@@ -380,7 +397,12 @@ def compact_partitions(spark, root: str, max_files: int = 8,
     import os
     import shutil
 
+    from ..snapshots import SnapshotStore
     from ..tablelock import TableLock
+
+    _reject_snapshot_root(root, lock_root, "compact_partitions",
+                          "SnapshotStore(root).compact(spark, ...)",
+                          SnapshotStore)
 
     scratch = os.path.join(root, "_compact_tmp")
     marker = os.path.join(scratch, "_SWAP")
@@ -473,8 +495,12 @@ def expire_partitions(root: str, keep: "set[str] | None" = None,
     import os
     import shutil
 
+    from ..snapshots import SnapshotStore
     from ..tablelock import TableLock
 
+    _reject_snapshot_root(root, lock_root, "expire_partitions",
+                          "SnapshotStore(root).expire(keep=/before=)",
+                          SnapshotStore)
     if keep is None and before is None:
         # validate up front (round-9 review fix): a root with no
         # matching partitions must not mask a forgotten keep=/before=

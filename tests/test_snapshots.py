@@ -431,6 +431,26 @@ def test_retract_that_empties_every_touched_day(spark, sf_dir, tmp_path,
         assert all(after[g][k] == before[g][k] for k in after[g]), g
 
 
+def test_hive_maintenance_ops_reject_snapshot_roots(spark, sf_dir, tmp_path):
+    """compact_partitions/expire_partitions walk hive ``col=`` dirs —
+    on a snapshot root they'd silently no-op; they must instead raise
+    and name the snapshot-native replacement."""
+    from rolaguard_data_collectors_spark.plans.scale import (
+        compact_partitions,
+        expire_partitions,
+    )
+
+    path = str(tmp_path / "snap_guard")
+    persist_cascade(spark, sf_dir, path, layout="snapshot")
+    with pytest.raises(ValueError, match="snapshot-layout"):
+        compact_partitions(spark, path)
+    with pytest.raises(ValueError, match="snapshot-layout"):
+        expire_partitions(os.path.join(path, "day"), before="2100-01-01")
+    with pytest.raises(ValueError, match="snapshot-layout"):
+        compact_partitions(spark, os.path.join(path, "postings"),
+                           lock_root=path)
+
+
 def test_snapshot_create_refuses_double_init(tmp_path):
     path = str(tmp_path / "snap_dup")
     SnapshotStore.create(path)
