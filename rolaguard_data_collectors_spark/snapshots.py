@@ -70,6 +70,16 @@ the longest scan (Iceberg's snapshot-expiry contract). ``expire``
 dropped days; the bytes go at the next vacuum — so retention on a
 100 TB table is O(partitions) pointer work, not an O(data) delete.
 
+Scale note — manifest size: every commit rewrites the full
+(table, key) -> dirs map, so manifests are O(live partitions). That is
+the right trade for the partition grains this engine maintains (days,
+hash buckets, IVF cells: 10^2-10^5 entries, a few MB of JSON at the
+top end); a table with millions of partitions would need Iceberg's
+next trick — split manifests with a manifest list — which the layout
+leaves room for (the pointer would name a manifest LIST instead).
+Reader concurrency is lock-free by design; the single-writer lease
+only serializes mutators.
+
 Reference parity note: the reference keeps no historical state at all
 (mutable dicts, `auditing/datacollectors/BaseCollector.py:20-25`);
 this layer exists for the engine's own maintained lake artifacts.
