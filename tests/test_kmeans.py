@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from rolaguard_data_collectors_spark.llm.kmeans import (
     assign_clusters,
     ivf_topk,
@@ -220,7 +222,9 @@ def test_ivf_index_append_quantized_codes_match_builder(spark, sf_dir, tmp_path)
         assert base[(cluster, vid - shift)] == codes, (cluster, vid)
 
 
-def test_semantic_dedup_incremental_cell_sweep(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("layout", ["hive", "snapshot"])
+def test_semantic_dedup_incremental_cell_sweep(spark, sf_dir, tmp_path,
+                                               layout):
     """Round 9: the changed-cells-only maintenance flow a 100 TB lake
     index actually runs, end to end through the operators: route new
     vectors into the persisted index with ivf_index_append (an exact
@@ -229,17 +233,21 @@ def test_semantic_dedup_incremental_cell_sweep(spark, sf_dir, tmp_path):
     touched, and assert the union with the untouched cells' PREVIOUS
     survivors equals a full re-run over the updated index —
     cluster-local blocking makes the incremental sweep exact, not
-    approximate."""
+    approximate. Runs on BOTH index layouts: the snapshot leg proves
+    the whole incremental loop (add-mode append commit -> touched
+    cells -> manifest-pruned per-cell re-dedup) on the versioned
+    store."""
     from pyspark.sql import functions as F
 
     from rolaguard_data_collectors_spark.llm.kmeans import (
         ivf_index_append,
         persist_ivf_index,
+        read_ivf_postings,
         semantic_dedup_from_index,
     )
 
     path = str(tmp_path / "ivf_inc")
-    persist_ivf_index(spark, sf_dir, path, k=K, iters=2)
+    persist_ivf_index(spark, sf_dir, path, k=K, iters=2, layout=layout)
     before = {
         (r.vec_id, r.cluster)
         for r in semantic_dedup_from_index(spark, path).collect()
@@ -248,7 +256,7 @@ def test_semantic_dedup_incremental_cell_sweep(spark, sf_dir, tmp_path):
     # two cells receive appends: exact duplicates of one existing
     # member each, with NEGATIVE vec_ids so the keep-smallest rule must
     # flip the survivor (the append visibly changes those cells).
-    posts = spark.read.parquet(path + "/postings")
+    posts = read_ivf_postings(spark, path)
     seeds = (
         posts.groupBy("cluster")
         .agg(F.min("vec_id").alias("vec_id"))
