@@ -399,7 +399,6 @@ def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
         "assign": (assign.withColumn("_ab", _cb("doc_id", n_buckets)), "_ab"),
     }
     if layout == "snapshot":
-        store = SnapshotStore.create(path)
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         for table, (df, col) in staged.items():
@@ -407,6 +406,9 @@ def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
         with open(os.path.join(path, "_meta.json"), "w",
                   encoding="utf-8") as fh:
             _json.dump({"n_buckets": n_buckets}, fh)
+        # create AFTER staging succeeded — a failed build must not
+        # leave a poisoned empty snapshot root (see persist_cascade)
+        store = SnapshotStore.create(path)
         with TableLock(path, owner="persist_near_dup_ledger"):
             store.commit_staged(edir, op="init")
         return

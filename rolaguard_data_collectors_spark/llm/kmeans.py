@@ -198,7 +198,6 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
 
         from ..snapshots import SnapshotStore
 
-        store = SnapshotStore.create(path)
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         payload.withColumn(
@@ -217,6 +216,9 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
         with open(os.path.join(edir, "_SCHEMAS.json"), "w",
                   encoding="utf-8") as fh:
             _json.dump(schemas, fh)
+        # create AFTER staging succeeded — a failed build must not
+        # leave a poisoned empty snapshot root (see persist_cascade)
+        store = SnapshotStore.create(path)
         with TableLock(path, owner="persist_ivf_index"):
             store.commit_staged(edir, op="init")
         return centroids
@@ -465,7 +467,15 @@ class IvfAppendSink:
         )
         if store is not None:
             store.recover()  # the pending commit may BE this epoch
-        if epoch in self.committed():
+            # Exactly-once check via epoch_high (carried forward by
+            # EVERY commit, immune to vacuum) — committed()'s manifest
+            # walk stops at the vacuum horizon, which must only limit
+            # the changed-cells feed, never replay protection
+            # (round-10 review find: a vacuumed epoch manifest would
+            # have let the replay double-append).
+            if store.epoch_committed(self.DIRECTION, epoch):
+                return
+        elif epoch in self.committed():
             return
         os.makedirs(self.epoch_root, exist_ok=True)
         edir = os.path.join(self.epoch_root, f"epoch={epoch}")
@@ -768,7 +778,7 @@ def _apply_tombstones_snapshot(spark: SparkSession, path: str,
 
     from ..snapshots import SnapshotStore
 
-    with TableLock(path, owner="apply_ivf_tombstones"):
+    with TableLock(path, owner="apply_ivf_tombstones") as lk:
         store = SnapshotStore(path)
         store.recover()
         cells = sorted(int(c) for c in store.table_days("tombstones"))
@@ -803,6 +813,10 @@ def _apply_tombstones_snapshot(spark: SparkSession, path: str,
         with open(os.path.join(edir, "_DROPPED"), "w",
                   encoding="utf-8") as fh:
             _json.dump(drops, fh)
+        # the per-cell distributed rewrites above may have consumed
+        # the lease — re-extend (raises on lost exclusivity) before
+        # the mutating commit, same as SnapshotStore.compact
+        lk.refresh()
         store.commit_staged(edir, op="apply_tombstones")
     return cells
 

@@ -194,7 +194,6 @@ def persist_cascade(spark: SparkSession, sf_dir: str, path: str,
     time travel (see snapshots.py). One build, one choice, zero
     divergent writer code paths."""
     if layout == "snapshot":
-        store = SnapshotStore.create(path)
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         schemas: dict[str, str] = {}
@@ -205,6 +204,11 @@ def persist_cascade(spark: SparkSession, sf_dir: str, path: str,
         with open(os.path.join(edir, "_SCHEMAS.json"), "w",
                   encoding="utf-8") as fh:
             json.dump(schemas, fh)
+        # create AFTER the staging job succeeded (round-10 review
+        # find): a version pointer written first turns a failed build
+        # into a poisoned root — readers see an empty snapshot table,
+        # and a retry hits 'already a snapshot table'
+        store = SnapshotStore.create(path)
         with TableLock(path, owner="persist_cascade"):
             store.commit_staged(edir, op="init")
         return
@@ -597,8 +601,13 @@ class CascadeMaintenanceSink:
                 fh.write("staged\n")
             os.replace(tmp, marker)
         if store is not None:
-            staged = [g for g in self.GRAINS
-                      if os.path.isdir(os.path.join(edir, g))]
+            # A retraction that empties EVERY touched day stages only
+            # the _DROPPED list — that file IS content (round-10
+            # review find: committing metadata-only here would record
+            # the epoch while silently losing the day drops forever).
+            staged = any(
+                os.path.isdir(os.path.join(edir, g)) for g in self.GRAINS
+            ) or os.path.exists(os.path.join(edir, "_DROPPED"))
             store.commit_staged(edir if staged else None, op=direction,
                                 epoch=epoch, direction=direction)
             shutil.rmtree(edir, ignore_errors=True)  # metadata-only case

@@ -478,16 +478,23 @@ class SnapshotStore:
                         for f in os.listdir(full)
                         if f.endswith(".parquet")
                     )
-                    # an append-mode partition spread over several dirs
-                    # is fragmentation too, whatever its file count
-                    if n_files > max_files or len(fulls) > max(1, max_files):
+                    # n_files counts ACROSS the partition's dir list,
+                    # so add-mode spread is inherently budgeted (every
+                    # dir carries >=1 file); max_files is the single
+                    # fragmentation threshold either way
+                    if n_files > max_files:
                         todo.append((table, day, fulls))
             if not todo:
                 return []
             edir = os.path.join(self.root, "_stage_compact")
             shutil.rmtree(edir, ignore_errors=True)
             for table, day, fulls in todo:
-                df = spark.read.parquet(*fulls)
+                # typed read (round-10 review find): an add-mode dir
+                # list can span a schema change; an untyped read takes
+                # the FIRST file's schema and would silently null the
+                # evolved column in the rewrite — the exact hazard
+                # read() exists to prevent
+                df = self.read(spark, table, days=[day])
                 lo_hi = None
                 if cluster_by is not None:
                     from pyspark.sql import functions as F
@@ -586,13 +593,24 @@ class SnapshotStore:
                     if not os.path.isdir(tfull):
                         continue
                     for part in sorted(os.listdir(tfull)):
+                        if not part.startswith(STAGE_PART_PREFIX):
+                            # Spark write markers (_SUCCESS) ride along
+                            # in the table dir; they are not partitions
+                            # (round-10 review find: rmtree on a FILE
+                            # silently no-ops, the marker kept the dir
+                            # non-empty forever, and `removed` reported
+                            # a reclaim that never happened)
+                            continue
                         rel = os.path.join(self.DATA_DIR, vdir, table, part)
                         if rel not in referenced:
                             shutil.rmtree(os.path.join(tfull, part),
                                           ignore_errors=True)
                             removed.append(rel)
-                    if not os.listdir(tfull):
-                        os.rmdir(tfull)
+                    if not any(
+                        x.startswith(STAGE_PART_PREFIX)
+                        for x in os.listdir(tfull)
+                    ):
+                        shutil.rmtree(tfull, ignore_errors=True)
                 # drop now-empty version dirs (markers only)
                 if not any(
                     not x.startswith("_") for x in os.listdir(vfull)

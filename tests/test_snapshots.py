@@ -451,6 +451,164 @@ def test_hive_maintenance_ops_reject_snapshot_roots(spark, sf_dir, tmp_path):
                            lock_root=path)
 
 
+def test_snapshot_retract_sink_whole_day_drop_is_committed(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 review find: a STREAMING retraction epoch that empties
+    every touched day stages only the _DROPPED list — the sink must
+    commit that as content (dropping the days from the manifest), not
+    as a metadata-only epoch bump that records the epoch while losing
+    the drops forever."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "snap_dsink")
+    SnapshotStore.create(path)
+    store = SnapshotStore(path)
+    CascadeMaintenanceSink(path)(ev, 0)
+    day = next(d for d in store.table_days("day") if d != "__null__")
+    batch = ev.where(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == day
+    )
+    assert batch.count() > 0
+
+    rsink = CascadeMaintenanceSink(path, negate=True)
+    rsink(batch, 0)
+    for g in ("minute", "hour", "day"):
+        assert day not in store.table_days(g), g
+    assert store.epoch_committed("retract", 0)
+    before = _snap(spark, path)
+    rsink(batch, 0)  # committed-epoch replay: no-op, no error
+    assert _snap(spark, path) == before
+
+
+def test_snapshot_ivf_sink_replay_safe_past_vacuum_horizon(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 review find: the sink's exactly-once check must ride
+    epoch_high (carried by every commit), not the manifest walk that
+    stops at the vacuum horizon — an epoch whose own manifest was
+    vacuumed would otherwise double-append on replay."""
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        IvfAppendSink,
+        ivf_index_append,
+        persist_ivf_index,
+    )
+
+    emb = _ivf_emb(spark, sf_dir)
+    base_dir = str(tmp_path / "base")
+    os.makedirs(base_dir)
+    load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 3 != 0
+    ).toPandas().to_parquet(
+        os.path.join(base_dir, "embeddings.parquet"), index=False
+    )
+    path = str(tmp_path / "snap_vh")
+    persist_ivf_index(spark, base_dir, path, k=4, iters=2,
+                      layout="snapshot")
+    sink = IvfAppendSink(path)
+    newv = emb.where(F.col("vec_id") % 3 == 0)
+    b_epoch = newv.where(F.col("vec_id") % 5 == 0).limit(20)
+    sink(b_epoch, 0)
+
+    # push epoch 0's manifest past the vacuum horizon (disjoint batch)
+    store = SnapshotStore(path)
+    ivf_index_append(spark, path, newv.where(F.col("vec_id") % 5 == 1))
+    store.vacuum(keep_last=1)
+    assert 0 not in sink.committed()  # the FEED is horizon-limited...
+    s1 = _ivf_posts(spark, path)
+    sink(b_epoch, 0)  # ...but the replay must still be a no-op
+    assert _ivf_posts(spark, path) == s1
+    assert len(s1) == len(set(s1))  # no duplicated vec_ids anywhere
+
+
+def test_snapshot_compact_preserves_evolved_columns(spark, tmp_path):
+    """Round-10 review find: compacting a partition whose add-mode dir
+    list spans a schema change must read TYPED (manifest schema) — an
+    untyped read takes the first file's schema and silently nulls the
+    evolved column in the rewrite."""
+    import json
+
+    from rolaguard_data_collectors_spark.snapshots import STAGE_PART_PREFIX
+    from rolaguard_data_collectors_spark.tablelock import TableLock
+
+    path = str(tmp_path / "snap_cev")
+    SnapshotStore.create(path)
+    store = SnapshotStore(path)
+
+    def stage(df, tag):
+        edir = os.path.join(path, f"_stage_{tag}")
+        df.write.parquet(os.path.join(edir, "tbl", STAGE_PART_PREFIX + "k"))
+        with open(os.path.join(edir, "_SCHEMAS.json"), "w") as fh:
+            json.dump({"tbl": df.schema.json()}, fh)
+        return edir
+
+    old = spark.range(4).select(F.col("id").alias("a"))
+    new = spark.range(2).select(
+        (F.col("id") + 10).alias("a"), F.lit("v").alias("b")
+    )
+    with TableLock(path, owner="test"):
+        store.commit_staged(stage(old, "v1"), op="init")
+        store.commit_staged(stage(new, "v2"), op="append", mode="add")
+
+    store.compact(spark, max_files=1, target_files=1)
+    rows = {r["a"]: r["b"] for r in store.read(spark, "tbl").collect()}
+    assert rows[10] == "v" and rows[11] == "v"  # evolved values SURVIVED
+    assert all(rows[a] is None for a in range(4))
+
+
+def test_snapshot_vacuum_reclaims_dead_versions_fully(spark, sf_dir,
+                                                      tmp_path):
+    """Round-10 review find: _SUCCESS markers are not partitions —
+    vacuum must not report them as reclaimed, and a fully-dead
+    version's dirs must actually disappear from disk."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "snap_vac")
+    persist_cascade(spark, sf_dir, path, layout="snapshot")
+    store = SnapshotStore(path)
+    cascade_append(spark, path, ev.limit(50))
+    store.compact(spark, max_files=0, target_files=1)  # rewrites all
+    removed = store.vacuum(keep_last=1)
+    assert removed
+    assert not any(r.endswith("_SUCCESS") for r in removed)
+    droot = os.path.join(path, SnapshotStore.DATA_DIR)
+    live = {
+        os.path.relpath(os.path.join(path, rel), droot).split(os.sep)[0]
+        for parts in store.manifest()["tables"].values()
+        for rels in parts.values()
+        for rel in rels
+    }
+    for vdir in os.listdir(droot):
+        # every surviving version dir still holds live partitions
+        assert vdir in live, vdir
+
+
+def test_snapshot_failed_build_does_not_poison_root(spark, sf_dir,
+                                                    tmp_path):
+    """Round-10 review find: the version pointer is created only AFTER
+    the staging job succeeded — a failed build leaves no snapshot
+    root, and the retry simply works (the hive layout's semantics)."""
+    import rolaguard_data_collectors_spark.operators.cascade as C
+
+    path = str(tmp_path / "snap_poison")
+
+    class Boom(Exception):
+        pass
+
+    orig = C.cascade_grains
+
+    def dying(*a, **k):
+        raise Boom()
+
+    C.cascade_grains = dying
+    try:
+        with pytest.raises(Boom):
+            persist_cascade(spark, sf_dir, path, layout="snapshot")
+    finally:
+        C.cascade_grains = orig
+    assert not SnapshotStore.is_snapshot(path)
+    persist_cascade(spark, sf_dir, path, layout="snapshot")  # retry works
+    assert SnapshotStore(path).current_version() == 1
+
+
 def test_snapshot_create_refuses_double_init(tmp_path):
     path = str(tmp_path / "snap_dup")
     SnapshotStore.create(path)
