@@ -52,6 +52,7 @@ import json
 import os
 import socket
 import time
+import uuid
 
 
 class LockHeldError(TimeoutError):
@@ -91,6 +92,14 @@ class TableLock:
         self.lease_seconds = lease_seconds
         self.poll = poll
         self._held = False
+        # Per-ACQUISITION nonce (round-10 stress find): identity by
+        # (owner, host, pid) alone collides for two threads of one
+        # process running the same op — thread A's release() would
+        # read thread B's byte-identical payload as its own and unlink
+        # B's HELD lock, after which a third writer acquires while B
+        # still believes it holds (B's refresh then dies with a bogus
+        # 'lease lost'). The token makes _is_mine exact.
+        self._token: str | None = None
 
     # -- payload ----------------------------------------------------------
     def _payload(self) -> str:
@@ -99,6 +108,7 @@ class TableLock:
                 "owner": self.owner,
                 "host": socket.gethostname(),
                 "pid": os.getpid(),
+                "token": self._token,
                 "expiry": time.time() + self.lease_seconds,
             }
         )
@@ -127,6 +137,7 @@ class TableLock:
     # -- protocol ----------------------------------------------------------
     def acquire(self) -> "TableLock":
         os.makedirs(self.root, exist_ok=True)
+        self._token = uuid.uuid4().hex
         deadline = time.time() + self.timeout
         while True:
             try:
@@ -165,6 +176,7 @@ class TableLock:
             and info.get("owner") == self.owner
             and info.get("host") == socket.gethostname()
             and info.get("pid") == os.getpid()
+            and info.get("token") == self._token
         )
 
     def refresh(self) -> None:

@@ -1142,6 +1142,93 @@ def test_snapshot_compact_merges_additive_fragments(spark, sf_dir, tmp_path):
     assert _ivf_posts(spark, path) == pre
 
 
+def test_snapshot_ivf_concurrent_writer_stress(spark, sf_dir, tmp_path):
+    """The three-writer IVF stress on the SNAPSHOT layout: concurrent
+    append epochs, routed deletes + tombstone applies, and
+    compact+vacuum, serialized only by the table lease and the
+    version-commit protocol. Final index == (base + appends) − deletes
+    exactly, tombstones drained, every surviving manifest readable."""
+    import threading
+
+    from rolaguard_data_collectors_spark.llm.kmeans import (
+        _emb,
+        apply_ivf_tombstones,
+        ivf_index_append,
+        ivf_index_delete,
+        persist_ivf_index,
+        read_ivf_postings,
+    )
+
+    path = str(tmp_path / "snap_stress")
+    persist_ivf_index(spark, sf_dir, path, k=4, iters=1,
+                      layout="snapshot")
+    emb = _emb(spark, sf_dir)
+    base_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    store = SnapshotStore(path)
+
+    append_batches = [
+        emb.where(F.col("vec_id") % 5 == i).select(
+            (F.col("vec_id") + (i + 1) * 10_000_000).alias("vec_id"), "v"
+        )
+        for i in range(3)
+    ]
+    delete_batches = [
+        emb.where(F.col("vec_id") % 7 == i).select("vec_id", "v")
+        for i in range(2)
+    ]
+    errors: list = []
+
+    def appender():
+        try:
+            for b in append_batches:
+                ivf_index_append(spark, path, b)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    def deleter():
+        try:
+            for b in delete_batches:
+                ivf_index_delete(spark, path, b)
+                apply_ivf_tombstones(spark, path)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def maintainer():
+        try:
+            apply_ivf_tombstones(spark, path)
+            store.compact(spark, max_files=2, target_files=1)
+            store.vacuum(keep_last=3)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=f)
+          for f in (appender, deleter, maintainer)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(300)
+    assert not errors, errors
+
+    apply_ivf_tombstones(spark, path)  # drain any tombstones that lost
+    deleted = {
+        r["vec_id"]
+        for b in delete_batches for r in b.select("vec_id").collect()
+    }
+    appended = {
+        r["vec_id"]
+        for b in append_batches for r in b.select("vec_id").collect()
+    }
+    want = (base_ids | appended) - deleted
+    got = {r["vec_id"] for r in read_ivf_postings(spark, path).collect()}
+    assert got == want
+    assert store.table_days("tombstones") == []
+    # every retained version since table init is still fully readable
+    for h in store.history():
+        if h["op"] == "create":
+            continue  # v0: empty pre-init manifest, no tables yet
+        store.read(spark, "postings", version=h["version"]).count()
+
+
 def test_snapshot_live_reader_survives_concurrent_churn(
     spark, sf_dir, tmp_path
 ):
