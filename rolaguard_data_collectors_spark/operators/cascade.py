@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..commitlog import append_commit_line
 from ..registry import QuerySpec
-from ..snapshots import STAGE_PART_PREFIX, SnapshotStore
+from ..snapshots import SnapshotStore
 from ..tablelock import TableLock
 
 # One quantization of the input, shared by every grain and mirrored in
