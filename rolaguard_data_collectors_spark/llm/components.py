@@ -908,10 +908,11 @@ def ledger_retract(spark: SparkSession, path: str,
     restores the exact pre-retract state (tests/test_components.py)."""
     from ..tablelock import TableLock
 
-    with TableLock(path, owner="ledger_retract"):
+    with TableLock(path, owner="ledger_retract") as lk:
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         _ledger_retract_stage(spark, path, doomed, edir)
+        lk.refresh()  # the distributed stage may have consumed the lease
         _ledger_publish(edir, path, op="retract")
         shutil.rmtree(edir, ignore_errors=True)
 
@@ -924,10 +925,11 @@ def ledger_append(spark: SparkSession, path: str,
     (tests/test_components.py)."""
     from ..tablelock import TableLock
 
-    with TableLock(path, owner="ledger_append"):
+    with TableLock(path, owner="ledger_append") as lk:
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         _ledger_stage(spark, path, batch_docs, edir)
+        lk.refresh()  # the distributed stage may have consumed the lease
         _ledger_publish(edir, path, op="append")
         shutil.rmtree(edir, ignore_errors=True)
 
@@ -971,7 +973,7 @@ class NearDupLedgerSink:
         from ..tablelock import TableLock
 
         epoch = int(epoch_id)
-        with TableLock(self.path, owner="NearDupLedgerSink"):
+        with TableLock(self.path, owner="NearDupLedgerSink") as lk:
             store = (
                 SnapshotStore(self.path)
                 if SnapshotStore.is_snapshot(self.path)
@@ -1003,6 +1005,7 @@ class NearDupLedgerSink:
                 with open(tmp, "w", encoding="utf-8") as fh:
                     fh.write("staged\n")
                 os.replace(tmp, marker)
+            lk.refresh()  # the distributed stage may have consumed the lease
             if store is not None:
                 _ledger_publish(edir, self.path, op=self.mode,
                                 epoch=epoch, direction=self.mode)

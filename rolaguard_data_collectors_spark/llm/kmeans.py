@@ -266,7 +266,7 @@ def ivf_index_append(spark: SparkSession, path: str,
         r["cluster"] for r in assigned.select("cluster").distinct().collect()
     )
     _guard_tombstoned_ids(spark, path, assigned)
-    with TableLock(path, owner="ivf_index_append"):
+    with TableLock(path, owner="ivf_index_append") as lk:
         if SnapshotStore.is_snapshot(path):
             store = SnapshotStore(path)
             store.recover()
@@ -278,6 +278,7 @@ def ivf_index_append(spark: SparkSession, path: str,
                 ).write.mode("overwrite").partitionBy("_dp").parquet(
                     os.path.join(edir, "postings")
                 )
+                lk.refresh()  # staged write may have consumed the lease
                 store.commit_staged(edir, op="append", mode="add",
                                     extra={"cells": touched})
         else:
@@ -454,10 +455,11 @@ class IvfAppendSink:
         # so a maintenance swap cannot delete posting files this epoch
         # commits, and the stale-scratch sweep below cannot rmtree
         # another lease-holder's in-flight stage.
-        with TableLock(self.path, owner=self.OWNER):
-            self._epoch_locked(batch_df, int(epoch_id))
+        with TableLock(self.path, owner=self.OWNER) as lk:
+            self._epoch_locked(batch_df, int(epoch_id), lk)
 
-    def _epoch_locked(self, batch_df: DataFrame, epoch: int) -> None:
+    def _epoch_locked(self, batch_df: DataFrame, epoch: int,
+                      lk: "TableLock | None" = None) -> None:
         from ..snapshots import SnapshotStore
 
         store = (
@@ -534,6 +536,8 @@ class IvfAppendSink:
                 batch_df.sparkSession, self.path,
                 batch_df.sparkSession.read.parquet(staged_root),
             )
+        if lk is not None:
+            lk.refresh()  # the distributed stage may have consumed the lease
         if store is not None:
             cells = (
                 [int(c) for c in cells_s.split("|")] if cells_s else []
@@ -577,7 +581,7 @@ def ivf_index_delete(spark: SparkSession, path: str,
     touched = sorted(
         r["cluster"] for r in located.select("cluster").distinct().collect()
     )
-    with TableLock(path, owner="ivf_index_delete"):
+    with TableLock(path, owner="ivf_index_delete") as lk:
         if SnapshotStore.is_snapshot(path):
             store = SnapshotStore(path)
             store.recover()
@@ -589,6 +593,7 @@ def ivf_index_delete(spark: SparkSession, path: str,
                 ).write.mode("overwrite").partitionBy("_dp").parquet(
                     os.path.join(edir, "tombstones")
                 )
+                lk.refresh()  # staged write may have consumed the lease
                 store.commit_staged(edir, op="delete", mode="add",
                                     extra={"cells": touched})
         else:
@@ -725,7 +730,7 @@ def apply_ivf_tombstones(spark: SparkSession, path: str,
                           ignore_errors=True)
         shutil.rmtree(scratch, ignore_errors=True)
 
-    with TableLock(path, owner="apply_ivf_tombstones"):
+    with TableLock(path, owner="apply_ivf_tombstones") as lk:
         if os.path.exists(marker):
             with open(marker, encoding="utf-8") as fh:
                 cells = [int(c) for c in fh.read().split() if c]
@@ -754,6 +759,10 @@ def apply_ivf_tombstones(spark: SparkSession, path: str,
                 os.path.join(scratch, f"cluster={c}")
             )
         if cells:
+            # the per-cell distributed rewrites may have consumed the
+            # lease — re-extend (raises on lost exclusivity) before
+            # the destructive swap, same as compact_partitions
+            lk.refresh()
             os.makedirs(scratch, exist_ok=True)
             tmp = marker + ".tmp"
             with open(tmp, "w", encoding="utf-8") as fh:

@@ -450,10 +450,11 @@ def cascade_append(spark: SparkSession, path: str,
     the live minute table, so even the stage must exclude concurrent
     merges (two unserialized merges would each stage pre-state missing
     the other's rows and the second swap would erase the first)."""
-    with TableLock(path, owner="cascade_append"):
+    with TableLock(path, owner="cascade_append") as lk:
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         touched = _stage_batch(spark, new_events, edir, path)
+        lk.refresh()  # the distributed stage may have consumed the lease
         _publish_staged(edir, path, op="append", touched=touched)
         shutil.rmtree(edir, ignore_errors=True)
     return touched
@@ -476,10 +477,11 @@ def cascade_retract(spark: SparkSession, path: str,
     never O(table); crash-safe exactly like append (stage under
     scratch, swap, idempotent replay) and serialized by the table's
     single-writer lease."""
-    with TableLock(path, owner="cascade_retract"):
+    with TableLock(path, owner="cascade_retract") as lk:
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         touched = _stage_batch(spark, events, edir, path, negate=True)
+        lk.refresh()  # the distributed stage may have consumed the lease
         _publish_staged(edir, path, op="retract", touched=touched)
         shutil.rmtree(edir, ignore_errors=True)
     return touched
@@ -564,10 +566,11 @@ class CascadeMaintenanceSink:
         # excludes compact_partitions/expire_partitions over the grain
         # tables (callers pass lock_root=<cascade path>) and any
         # concurrent batch cascade_append on the same table.
-        with TableLock(self.path, owner="CascadeMaintenanceSink"):
-            self._epoch_locked(batch_df, int(epoch_id))
+        with TableLock(self.path, owner="CascadeMaintenanceSink") as lk:
+            self._epoch_locked(batch_df, int(epoch_id), lk)
 
-    def _epoch_locked(self, batch_df: DataFrame, epoch: int) -> None:
+    def _epoch_locked(self, batch_df: DataFrame, epoch: int,
+                      lk: "TableLock | None" = None) -> None:
         direction = "retract" if self.negate else "append"
         store = (
             SnapshotStore(self.path)
@@ -600,6 +603,8 @@ class CascadeMaintenanceSink:
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("staged\n")
             os.replace(tmp, marker)
+        if lk is not None:
+            lk.refresh()  # the distributed stage may have consumed the lease
         if store is not None:
             # A retraction that empties EVERY touched day stages only
             # the _DROPPED list — that file IS content (round-10
