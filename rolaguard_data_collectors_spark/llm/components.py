@@ -399,6 +399,14 @@ def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
         "assign": (assign.withColumn("_ab", _cb("doc_id", n_buckets)), "_ab"),
     }
     if layout == "snapshot":
+        if SnapshotStore.is_snapshot(path):
+            # fail BEFORE any mutation — see persist_cascade: a
+            # re-build would rewrite _meta.json (n_buckets!) under a
+            # live table and rmtree the shared scratch leaselessly
+            raise ValueError(
+                f"{path} is already a snapshot ledger; maintain it "
+                "with ledger_append/ledger_retract"
+            )
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         for table, (df, col) in staged.items():

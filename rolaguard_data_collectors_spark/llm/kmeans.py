@@ -198,6 +198,14 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
 
         from ..snapshots import SnapshotStore
 
+        if SnapshotStore.is_snapshot(path):
+            # fail BEFORE any mutation — see persist_cascade: the
+            # leaseless scratch rmtree below could otherwise delete a
+            # concurrent append's staged epoch mid-commit
+            raise ValueError(
+                f"{path} is already a snapshot IVF index; maintain it "
+                "with ivf_index_append/ivf_index_delete"
+            )
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         payload.withColumn(
@@ -265,11 +273,21 @@ def ivf_index_append(spark: SparkSession, path: str,
     touched = sorted(
         r["cluster"] for r in assigned.select("cluster").distinct().collect()
     )
-    _guard_tombstoned_ids(spark, path, assigned)
     with TableLock(path, owner="ivf_index_append") as lk:
-        if SnapshotStore.is_snapshot(path):
-            store = SnapshotStore(path)
-            store.recover()
+        store = (
+            SnapshotStore(path) if SnapshotStore.is_snapshot(path) else None
+        )
+        if store is not None:
+            store.recover()  # a pending DELETE commit's tombstones
+            # must be visible to the guard below
+        # guard INSIDE the lease (round-10 review find): checked before
+        # the lock, a concurrent ivf_index_delete could tombstone one
+        # of these ids in the guard-to-lock window and this append
+        # would commit a row the reader hides and the next apply
+        # physically deletes — the exact silent loss the guard exists
+        # to turn into a named error
+        _guard_tombstoned_ids(spark, path, assigned)
+        if store is not None:
             if touched:
                 edir = os.path.join(path, "_stage_tmp")
                 shutil.rmtree(edir, ignore_errors=True)

@@ -194,6 +194,16 @@ def persist_cascade(spark: SparkSession, sf_dir: str, path: str,
     time travel (see snapshots.py). One build, one choice, zero
     divergent writer code paths."""
     if layout == "snapshot":
+        if SnapshotStore.is_snapshot(path):
+            # fail BEFORE any mutation (round-10 review find: the
+            # create-after-staging reorder must not trade away the
+            # double-init guard — a re-build against a live table
+            # would overwrite root metadata and rmtree the shared
+            # scratch without the lease before create() raised)
+            raise ValueError(
+                f"{path} is already a snapshot cascade table; "
+                "maintain it with cascade_append/cascade_retract"
+            )
         edir = os.path.join(path, "_stage_tmp")
         shutil.rmtree(edir, ignore_errors=True)
         schemas: dict[str, str] = {}

@@ -307,6 +307,8 @@ class SnapshotStore:
         if meta.get("epoch") is not None:
             out["epoch"] = meta["epoch"]
             out["direction"] = meta.get("direction")
+        if meta.get("restore_version") is not None:
+            out["restore_version"] = meta["restore_version"]
         return out
 
     # -- commit ------------------------------------------------------------
@@ -413,14 +415,15 @@ class SnapshotStore:
                 m = self.manifest(v)
             except SnapshotVacuumedError:
                 break
-            out.append(
-                {
-                    "version": v,
-                    "op": m.get("op"),
-                    "epoch": m.get("epoch"),
-                    "direction": m.get("direction"),
-                }
-            )
+            row = {
+                "version": v,
+                "op": m.get("op"),
+                "epoch": m.get("epoch"),
+                "direction": m.get("direction"),
+            }
+            if m.get("restore_version") is not None:
+                row["restore_version"] = m["restore_version"]
+            out.append(row)
         return list(reversed(out))
 
     def rollback(self, version: int, lock_timeout: float = 120.0) -> int:
@@ -435,9 +438,30 @@ class SnapshotStore:
         with TableLock(self.root, owner="snapshot_rollback",
                        timeout=lock_timeout):
             self.recover()
-            self.manifest(int(version))  # raises if vacuumed / future
+            v = int(version)
+            # bypass the instance cache (round-10 review find): a
+            # DIFFERENT process may have vacuumed the target since
+            # this instance cached it — validate against disk, then
+            # prove every referenced dir still exists before
+            # committing a manifest that points at them
+            self._manifest_cache.pop(v, None)
+            m = self.manifest(v)  # fresh read; raises if vacuumed/future
+            missing = [
+                rel
+                for parts in m["tables"].values()
+                for rels in parts.values()
+                for rel in self._as_list(rels)
+                if not os.path.isdir(os.path.join(self.root, rel))
+            ]
+            if missing:
+                raise SnapshotVacuumedError(
+                    f"rollback target v{v} of {self.root}: "
+                    f"{len(missing)} referenced data dir(s) no longer "
+                    f"exist (e.g. {missing[0]}) — vacuumed out of the "
+                    "undo horizon"
+                )
             return self.commit_staged(None, op="rollback",
-                                      restore_version=int(version))
+                                      restore_version=v)
 
     # -- maintenance (standalone ops: these take the lease themselves) ------
     def compact(self, spark, max_files: int = 8, target_files: int = 1,
@@ -488,6 +512,21 @@ class SnapshotStore:
                 return []
             edir = os.path.join(self.root, "_stage_compact")
             shutil.rmtree(edir, ignore_errors=True)
+            clusterable: dict[str, bool] = {}
+            if cluster_by is not None:
+                # apply the Z-order only to tables whose schema carries
+                # BOTH columns (round-10 review find: a multi-table
+                # store — IVF postings + tombstones — would otherwise
+                # crash mid-pass on the table lacking the payload
+                # columns); others get the plain coalescing rewrite
+                for table in {t for t, _, _ in todo}:
+                    fields = {
+                        f.get("name")
+                        for f in json.loads(
+                            m["schemas"].get(table, "{}")
+                        ).get("fields", [])
+                    }
+                    clusterable[table] = set(cluster_by) <= fields
             for table, day, fulls in todo:
                 # typed read (round-10 review find): an add-mode dir
                 # list can span a schema change; an untyped read takes
@@ -496,7 +535,7 @@ class SnapshotStore:
                 # read() exists to prevent
                 df = self.read(spark, table, days=[day])
                 lo_hi = None
-                if cluster_by is not None:
+                if cluster_by is not None and clusterable.get(table):
                     from pyspark.sql import functions as F
 
                     from .plans.scale import zorder_value

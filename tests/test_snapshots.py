@@ -616,6 +616,99 @@ def test_snapshot_create_refuses_double_init(tmp_path):
         SnapshotStore.create(path)
 
 
+def test_snapshot_persist_rebuild_fails_fast_without_mutation(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 review find: re-running a snapshot persist against a
+    LIVE table must fail BEFORE any mutation — previously the staging
+    job ran, root metadata (the ledger's n_buckets!) was overwritten
+    and the shared scratch rmtree'd leaselessly before create()
+    finally raised."""
+    import json
+
+    from rolaguard_data_collectors_spark.llm.components import (
+        persist_near_dup_ledger,
+    )
+
+    lpath = str(tmp_path / "led")
+    persist_near_dup_ledger(spark, sf_dir, lpath, n_buckets=8,
+                            layout="snapshot")
+    with open(os.path.join(lpath, "_meta.json")) as fh:
+        meta_before = json.load(fh)
+    with pytest.raises(ValueError, match="already a snapshot ledger"):
+        persist_near_dup_ledger(spark, sf_dir, lpath, n_buckets=4,
+                                layout="snapshot")
+    with open(os.path.join(lpath, "_meta.json")) as fh:
+        assert json.load(fh) == meta_before  # n_buckets NOT rewritten
+
+    cpath = str(tmp_path / "casc")
+    persist_cascade(spark, sf_dir, cpath, layout="snapshot")
+    before = _snap(spark, cpath)
+    with pytest.raises(ValueError, match="already a snapshot cascade"):
+        persist_cascade(spark, sf_dir, cpath, layout="snapshot")
+    assert _snap(spark, cpath) == before
+
+
+def test_snapshot_rollback_detects_cross_process_vacuum(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 review find: a rollback target cached by THIS instance
+    but vacuumed by ANOTHER process must raise the named error, not
+    commit a manifest pointing at deleted dirs."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "snap_xv")
+    persist_cascade(spark, sf_dir, path, layout="snapshot")
+    store = SnapshotStore(path)
+    v1 = store.current_version()
+    store.manifest(v1)  # warm this instance's cache
+    cascade_append(spark, path, ev.limit(40))
+    store.compact(spark, max_files=0, target_files=1)  # rewrites all
+    # "another process": fresh instance vacuums v1 away
+    SnapshotStore(path).vacuum(keep_last=1)
+    with pytest.raises(SnapshotVacuumedError):
+        store.rollback(v1)
+    # table still healthy
+    assert read_grain(spark, path, "day").count() > 0
+
+
+def test_snapshot_compact_zorder_skips_tables_without_columns(
+    spark, tmp_path
+):
+    """Round-10 review find: cluster_by on a multi-table store must
+    plainly rewrite tables whose schema lacks the cluster columns, not
+    crash the whole maintenance pass mid-loop."""
+    import json
+
+    from rolaguard_data_collectors_spark.snapshots import STAGE_PART_PREFIX
+    from rolaguard_data_collectors_spark.tablelock import TableLock
+
+    path = str(tmp_path / "snap_mix")
+    SnapshotStore.create(path)
+    store = SnapshotStore(path)
+    a = spark.range(2000).select(
+        (F.col("id") % 41).cast("double").alias("x"),
+        F.floor(F.col("id") / 41).cast("double").alias("y"),
+    )
+    b = spark.range(500).select(F.col("id").alias("k"))
+    edir = os.path.join(path, "_stage_tmp")
+    a.repartition(4).write.parquet(
+        os.path.join(edir, "ta", STAGE_PART_PREFIX + "p")
+    )
+    b.repartition(4).write.parquet(
+        os.path.join(edir, "tb", STAGE_PART_PREFIX + "p")
+    )
+    with open(os.path.join(edir, "_SCHEMAS.json"), "w") as fh:
+        json.dump({"ta": a.schema.json(), "tb": b.schema.json()}, fh)
+    with TableLock(path, owner="test"):
+        store.commit_staged(edir, op="init")
+
+    done = store.compact(spark, max_files=1, target_files=1,
+                         cluster_by=("x", "y"))
+    assert ("ta", "p") in done and ("tb", "p") in done
+    assert store.read(spark, "ta").count() == 2000
+    assert store.read(spark, "tb").count() == 500
+
+
 def _ledger_state(spark, path):
     from rolaguard_data_collectors_spark.llm.components import (
         read_ledger_assign,
