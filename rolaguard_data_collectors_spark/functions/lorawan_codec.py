@@ -737,3 +737,76 @@ def test_app_keys(raw: bytes, keys: list[bytes]) -> list[bytes]:
     if m_type == "JoinRequest":
         return [k for k in keys if validate_join_request_mic(raw, k)]
     return [k for k in keys if validate_data_mic(raw, k)]
+
+
+# --- JoinAccept-side key testing (op 46, JA leg) --------------------------
+
+
+def ja_crack_prep(raw: bytes) -> tuple[int, bytes] | None:
+    """Key-independent half of JoinAccept key testing: split the wire
+    frame into (mhdr, encrypted_body). None unless the frame is a
+    plausible JoinAccept — MHDR m_type 001, body a 16- or 32-byte ECB
+    ciphertext (12/28-byte payload + 4-byte MIC, without/with CFList)
+    — mirroring the reference's UnmarshalText reject
+    (lorawanWrapper.go:393-396)."""
+    if raw is None or len(raw) not in (17, 33):
+        return None
+    if MTYPES[raw[0] >> 5] != "JoinAccept":
+        return None
+    return raw[0], raw[1:]
+
+
+def ja_survivors(
+    key: bytes, frames: list[tuple[int, bytes]]
+) -> list[bool]:
+    """testAppKeyWithJoinAccept (lorawanWrapper.go:505-531) over MANY
+    JoinAccepts under ONE candidate key: decrypt each frame's body
+    with the key (device-side = aes128_encrypt, the spec quirk), then
+    re-MIC the decrypted payload (LoRaWAN 1.0 downlink-join form:
+    CMAC(key, MHDR | payload)[:4], mic_join_accept) and keep frames
+    whose recomputed MIC equals the decrypted trailer — exactly the
+    reference's decrypt-candidate -> ValidateDownlinkJoinMIC loop,
+    restated as a set filter.
+
+    Batched like aes_cmac_batch: ECB is stateless per block, so ALL
+    frames' ciphertexts decrypt in ONE cipher update (frames are
+    16/32-byte multiples), and the per-frame re-MIC runs through the
+    stage-vectorized CMAC batch — a keyspace sweep pays two cipher
+    crossings per key, not two per (key, frame)."""
+    if not frames:
+        return []
+    blob = b"".join(body for _, body in frames)
+    dec = aes128_encrypt(key, blob)
+    inputs: list[bytes] = []
+    trailers: list[bytes] = []
+    off = 0
+    for mhdr, body in frames:
+        d = dec[off : off + len(body)]
+        off += len(body)
+        inputs.append(bytes([mhdr]) + d[:-4])
+        trailers.append(d[-4:])
+    macs = aes_cmac_batch(key, inputs)
+    return [mac[:4] == tr for mac, tr in zip(macs, trailers)]
+
+
+def test_app_keys_with_join_accept(
+    raw: bytes, keys: list[bytes]
+) -> list[bytes]:
+    """testAppKeysWithJoinAccept's registered-key pass
+    (lorawanWrapper.go:388-416) as a set filter: every candidate key
+    under which the JoinAccept decrypts to a payload whose re-MIC
+    matches. The `generateKeys` option's structured sweep is the same
+    kernel fed by reference_keyspaces (lorawan_queries.py) — same
+    keys, set-engine control flow instead of first-hit early exit."""
+    prep = ja_crack_prep(raw)
+    if prep is None:
+        return []
+    hits = ja_survivors_many(keys, [prep])
+    return [k for k, flags in zip(keys, hits) if flags[0]]
+
+
+def ja_survivors_many(
+    keys: list[bytes], frames: list[tuple[int, bytes]]
+) -> list[list[bool]]:
+    """ja_survivors for many keys (row = key, col = frame)."""
+    return [ja_survivors(k, frames) for k in keys]

@@ -33,6 +33,7 @@ from .lorawan_udfs import (
     encode_join_request_b64,
     join_workflow_kernel,
     make_crack_udf,
+    make_ja_crack_udf,
 )
 
 
@@ -378,6 +379,114 @@ def lorawan_key_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- op 46, JoinAccept side (testAppKeysWithJoinAccept) ------------------
+
+# Per-session memo of the prebuilt JoinAccept sample (the
+# _FRAME_SAMPLE_CACHE convention: content-keyed on the events parquet
+# identity so an in-place regeneration invalidates it).
+_JA_SAMPLE_CACHE: dict[tuple, list[tuple]] = {}
+
+# Fixed NetID for the synthesized JoinAccepts (any 3 bytes work — the
+# crack never reads it; it only affects the ciphertext bytes).
+_JA_NET_ID = b"\x13\x00\x00"
+
+
+def _ja_frame_sample(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """(event_id, user_id, mhdr, encrypted_body) for the bounded
+    JoinAccept sample: one JA per sampled signup event (event_id %
+    97), server-encrypted under the planted per-app key
+    md5('app-<uid%8>') with AppNonce = event_id % 2^24. The split is
+    the key-independent half of JA key testing
+    (lorawan_codec.ja_crack_prep); the sweep kernel pays only
+    decrypt + re-MIC per (key, frame)."""
+    from ..catalog import content_identity
+    from . import lorawan_codec as lc
+
+    ev = load_table(spark, sf_dir, "events")
+    key = content_identity(sf_dir, ev)
+    sample = _JA_SAMPLE_CACHE.get(key)
+    if sample is None:
+        for stale in [k for k in _JA_SAMPLE_CACHE if k[0] == sf_dir]:
+            del _JA_SAMPLE_CACHE[stale]
+        rows = (
+            ev.filter(
+                (F.col("event_type") == "signup") & (F.col("event_id") % 97 == 0)
+            )
+            .select("event_id", "user_id")
+            .collect()  # bounded: signup ∩ (event_id % 97) — 200 rows at sf0.1
+        )
+        sample = []
+        for r in rows:
+            app_key = _true_app_key_bytes(r.user_id)
+            frame = lc.encode_join_accept(
+                app_key,
+                (r.event_id % (1 << 24)).to_bytes(3, "little"),
+                _JA_NET_ID,
+                "%08x" % r.user_id,
+            )
+            mhdr, enc_body = lc.ja_crack_prep(frame)
+            sample.append((r.event_id, r.user_id, mhdr, enc_body))
+        _JA_SAMPLE_CACHE[key] = sample
+    return sample
+
+
+def _true_app_key_bytes(user_id: int) -> bytes:
+    """The suite's planted per-app AppKey (md5('app-<uid%8>') — the
+    same key material the join_workflow leg derives sessions from)."""
+    import hashlib
+
+    return hashlib.md5(b"app-%d" % (user_id % 8)).digest()
+
+
+def lorawan_ja_crack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op 46, JoinAccept side: testAppKeysWithJoinAccept
+    (lorawanWrapper.go:388-504) — decrypt each JoinAccept with every
+    candidate key, re-MIC the decrypted payload, survivors = keys
+    whose recomputed MIC matches the decrypted trailer. The
+    ``generateKeys`` option's structured sweep is the same three
+    keyspaces the JR/data sweep uses (reference_keyspaces, exact byte
+    construction), so the candidate relation is shared; the true
+    per-app keys are planted so the query provably cracks.
+
+    Same distribution shape as lorawan_key_bruteforce: keyspace =
+    the distributed side (partitions freely at any scale), bounded
+    JoinAccept sample broadcast once per executor, survivors-only
+    Arrow return."""
+    sample = _ja_frame_sample(spark, sf_dir)
+    crack = make_ja_crack_udf(spark, sample)
+    true_keys = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "signup") & (F.col("event_id") % 97 == 0))
+        .select(
+            F.md5(F.format_string("app-%d", F.col("user_id") % 8)).alias("cand_key")
+        )
+        .distinct()
+    )
+    n_par = compute_parallelism(spark)
+    candidates = (
+        reference_keyspaces(spark, BRUTE_KEYS_PER_FAMILY)
+        .select("cand_key")
+        .unionByName(true_keys)
+        .distinct()
+        # same AQE note as lorawan_key_bruteforce: candidates are tiny
+        # in rows but fan out to |sample| decrypt+MIC checks each —
+        # spread them across the cores explicitly.
+        .repartition(n_par)
+    )
+    hits = candidates.select(
+        "cand_key", F.explode(crack("cand_key")).alias("_hit")
+    )
+    return hits.select(
+        F.col("_hit.event_id").alias("event_id"),
+        F.col("_hit.user_id").alias("user_id"),
+        F.col("cand_key").alias("cracked_key"),
+        (
+            F.col("cand_key")
+            == F.md5(F.format_string("app-%d", F.col("_hit.user_id") % 8))
+        ).alias("is_true_key"),
+    )
+
+
 # DuckDB oracle for the suite: like _DECODE_ROUNDTRIP_ORACLE, every
 # registered column is an invariant derivable from `events`. The jw
 # leg's JoinRequest fields roundtrip through encode->parse, its MIC
@@ -416,16 +525,36 @@ WITH jw AS (
          md5('dev-' || CAST(user_id AS VARCHAR)) AS cracked_key,
          true AS is_true_key
   FROM events WHERE event_id % 97 = 0
+), ja AS (
+  -- JoinAccept-side sweep survivors: exactly the planted per-app
+  -- AppKeys (md5('app-<uid%8>')), one row per sampled signup JA —
+  -- a structured-keyspace candidate passing the decrypt->re-MIC
+  -- check is a 2^-32 accident the hash compare would catch.
+  SELECT event_id, user_id,
+         CAST(NULL AS VARCHAR) AS m_type,
+         CAST(NULL AS VARCHAR) AS join_eui,
+         CAST(NULL AS VARCHAR) AS dev_eui,
+         CAST(NULL AS BIGINT) AS dev_nonce,
+         CAST(NULL AS BOOLEAN) AS mic_ok,
+         CAST(NULL AS BOOLEAN) AS keys_distinct_ok,
+         CAST(NULL AS BOOLEAN) AS session_roundtrip_ok,
+         'ja_crack' AS stage,
+         md5('app-' || CAST(user_id % 8 AS VARCHAR)) AS cracked_key,
+         true AS is_true_key
+  FROM events WHERE event_type = 'signup' AND event_id % 97 = 0
 )
-SELECT * FROM jw UNION ALL SELECT * FROM bf
+SELECT * FROM jw UNION ALL SELECT * FROM bf UNION ALL SELECT * FROM ja
 """
 
 
 def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ops 43-44 + 46 as one tagged union (registry consolidation):
-    the JoinRequest parse + session-key derivation rows tagged
-    ``join_workflow`` and the keyspace-cross-frame MIC bruteforce
-    survivors tagged ``bruteforce``, null-padded to the union schema.
+    """Ops 43-44 + 46 (both sides) as one tagged union (registry
+    consolidation): the JoinRequest parse + session-key derivation
+    rows tagged ``join_workflow``, the keyspace-cross-frame MIC
+    bruteforce survivors tagged ``bruteforce``, and the
+    JoinAccept-side decrypt->re-MIC sweep survivors
+    (testAppKeysWithJoinAccept, lorawanWrapper.go:388-504) tagged
+    ``ja_crack``, null-padded to the union schema.
     Registered columns are roundtrip invariants so the whole suite is
     hash-oracled (_SECURITY_SUITE_ORACLE); the raw-key component
     builders above keep the standalone semantics for tests
@@ -470,7 +599,10 @@ def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("join_workflow").alias("stage"),
     )
     bf = lorawan_key_bruteforce(spark, sf_dir).withColumn("stage", F.lit("bruteforce"))
-    return jw.unionByName(bf, allowMissingColumns=True)
+    ja = lorawan_ja_crack(spark, sf_dir).withColumn("stage", F.lit("ja_crack"))
+    return jw.unionByName(bf, allowMissingColumns=True).unionByName(
+        ja, allowMissingColumns=True
+    )
 
 
 QUERIES = [
@@ -481,5 +613,6 @@ QUERIES = [
               "ops 13/41/45/47 encode->decode->MIC round trip"),
     QuerySpec("lorawan_security_suite", lorawan_security_suite,
               _SECURITY_SUITE_ORACLE,
-              "ops 43-44,46: join parse + session keys + keyspace MIC bruteforce"),
+              "ops 43-44,46: join parse + session keys + keyspace MIC "
+              "bruteforce + JoinAccept decrypt->re-MIC sweep"),
 ]

@@ -500,6 +500,54 @@ def make_crack_udf(spark, sample: list[tuple]):
     return crack_key
 
 
+def make_ja_crack_udf(spark, sample: list[tuple]):
+    """JoinAccept-side key-sweep kernel (op 46's second half,
+    testAppKeysWithJoinAccept, lorawanWrapper.go:388-504): same
+    broadcast-frame-sample shape as make_crack_udf — one Arrow row per
+    candidate key in, the JoinAccepts that key cracks out — but the
+    per-key test is decrypt-with-candidate -> re-MIC
+    (lorawan_codec.ja_survivors) instead of the data/JR CMAC form.
+
+    ``sample`` rows are (event_id, user_id, mhdr, encrypted_body) —
+    the key-independent split (lorawan_codec.ja_crack_prep), prebuilt
+    once per frame. The broadcast handle rides on the returned udf as
+    ``frames_broadcast`` (the make_crack_udf convention)."""
+    bc = spark.sparkContext.broadcast(sample)
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("user_id", T.LongType()),
+                ]
+            )
+        )
+    )
+    def ja_crack_key(key_hex: pd.Series) -> pd.Series:
+        rows = bc.value
+        frames = [(r[2], r[3]) for r in rows]
+        out = []
+        for kh in key_hex:
+            # Malformed candidate hex = no match (validate_mic
+            # convention); kernel failures must propagate — mapping
+            # them to "no survivors" would silently report nothing
+            # cracked.
+            try:
+                key = bytes.fromhex(kh)
+            except (ValueError, TypeError):
+                out.append([])
+                continue
+            flags = lc.ja_survivors(key, frames)
+            out.append(
+                [(rows[i][0], rows[i][1]) for i, ok in enumerate(flags) if ok]
+            )
+        return pd.Series(out)
+
+    ja_crack_key.frames_broadcast = bc
+    return ja_crack_key
+
+
 @F.pandas_udf(T.StringType())
 def pb_uplink_to_json(value: pd.Series) -> pd.Series:
     """Op 15 (LoraServerIOCollector.py:253-263): when a gateway uplink

@@ -393,3 +393,82 @@ def test_derive_session_keys_batch_matches_scalar():
         assert got == want
 
     run()
+
+
+# --- op 46, JoinAccept side (testAppKeysWithJoinAccept) -------------------
+
+
+def test_ja_survivors_finds_exactly_planted_key():
+    """decrypt-candidate -> re-MIC (lorawanWrapper.go:505-531): the
+    encoding AppKey must survive; structured wrong keys must not."""
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    frames = []
+    for n in range(5):
+        raw = lc.encode_join_accept(
+            key, bytes([n, 1, 2]), b"\x13\x00\x00", "%08x" % (n + 1)
+        )
+        prep = lc.ja_crack_prep(raw)
+        assert prep is not None and prep[0] == 0x20 and len(prep[1]) == 16
+        frames.append(prep)
+    wrong = [bytes([i] + [j] * 15) for i in range(4) for j in range(256)]
+    assert lc.test_app_keys_with_join_accept(
+        lc.encode_join_accept(key, b"\x09\x08\x07", b"\x13\x00\x00", "0a0b0c0d"),
+        wrong + [key],
+    ) == [key]
+    flags = lc.ja_survivors(key, frames)
+    assert flags == [True] * len(frames)
+    for w in wrong[:64]:
+        assert lc.ja_survivors(w, frames) == [False] * len(frames)
+
+
+def test_ja_survivors_matches_scalar_decrypt_remic():
+    """The batched kernel is bit-identical to the per-frame scalar
+    form (decrypt -> mic_join_accept compare)."""
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    keys = [bytes([k] * 16) for k in range(8)]
+    frames = []
+    for n in range(6):
+        raw = lc.encode_join_accept(
+            keys[n % 3], bytes([n, 0, 0]), b"\x01\x02\x03", "%08x" % n
+        )
+        frames.append(lc.ja_crack_prep(raw))
+    for key in keys:
+        want = []
+        for mhdr, body in frames:
+            dec = lc.join_accept_decrypt(key, body)
+            want.append(lc.mic_join_accept(key, mhdr, dec[:-4]) == dec[-4:])
+        assert lc.ja_survivors(key, frames) == want
+
+
+def test_ja_crack_prep_rejects_non_joinaccept():
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    key = bytes(16)
+    ja = lc.encode_join_accept(key, b"\x00\x00\x00", b"\x00\x00\x00", "00000001")
+    assert lc.ja_crack_prep(ja) is not None
+    # wrong m_type (JoinRequest MHDR), wrong length, empty
+    jr = lc.encode_join_request(key, "0102030405060708", "1112131415161718", 258)
+    assert lc.ja_crack_prep(jr) is None
+    assert lc.ja_crack_prep(ja[:-1]) is None
+    assert lc.ja_crack_prep(b"") is None
+    assert lc.ja_crack_prep(None) is None
+
+
+def test_ja_reference_comment_vector_shape():
+    """The reference repo's own JoinAccept example
+    (jsonUnmarshaler.go:15: macPayload 'HWxw2bAlEDfZF8xu', mic
+    'fc1ede82') reassembles to a 17-byte wire frame our prep accepts
+    with the JoinAccept MHDR — and no structured-prefix key cracks it
+    (its AppKey is not in the planted set)."""
+    import base64
+
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    raw = b"\x20" + base64.b64decode("HWxw2bAlEDfZF8xu") + bytes.fromhex("fc1ede82")
+    prep = lc.ja_crack_prep(raw)
+    assert prep is not None and prep[0] == 0x20 and len(prep[1]) == 16
+    wrong = [bytes([0] * 14 + [i, j]) for i in range(16) for j in range(256)]
+    assert lc.test_app_keys_with_join_accept(raw, wrong) == []

@@ -214,3 +214,56 @@ def test_frame_sample_memo_invalidates_on_regeneration(spark, tmp_path):
 
     s2 = _frame_sample(spark, str(d))
     assert len(s2) == 2, "stale frame sample served after regeneration"
+
+
+def test_ja_crack_cracks_only_planted_app_keys(spark, sf_dir):
+    """op 46 JoinAccept side: every sampled signup JA is cracked by
+    exactly its planted per-app AppKey (md5('app-<uid%8>')) and by
+    nothing else in the structured candidate prefix."""
+    import hashlib
+
+    from rolaguard_data_collectors_spark.functions.lorawan_queries import (
+        lorawan_ja_crack,
+    )
+
+    rows = lorawan_ja_crack(spark, sf_dir).collect()
+    assert rows, "ja_crack produced no survivors"
+    by_frame: dict[int, int] = {}
+    for r in rows:
+        want = hashlib.md5(b"app-%d" % (r.user_id % 8)).hexdigest()
+        assert r.cracked_key == want
+        assert r.is_true_key
+        by_frame[r.event_id] = by_frame.get(r.event_id, 0) + 1
+    assert all(n == 1 for n in by_frame.values())
+
+
+def test_ja_crack_udf_matches_codec_kernel(spark, sf_dir):
+    """The broadcast-sample Arrow UDF returns exactly what the codec
+    kernel computes frame-by-frame for the same candidate keys."""
+    from rolaguard_data_collectors_spark.functions.lorawan_queries import (
+        _ja_frame_sample,
+        _true_app_key_bytes,
+    )
+    from rolaguard_data_collectors_spark.functions.lorawan_udfs import (
+        make_ja_crack_udf,
+    )
+
+    sample = _ja_frame_sample(spark, sf_dir)
+    assert sample, "empty JoinAccept sample"
+    cands = [bytes([i] * 16).hex() for i in range(6)] + [
+        _true_app_key_bytes(sample[0][1]).hex()
+    ]
+    udf = make_ja_crack_udf(spark, sample)
+    df = spark.createDataFrame([(c,) for c in cands], ["cand_key"])
+    got = {
+        r.cand_key: sorted((h.event_id, h.user_id) for h in r.hits)
+        for r in df.select("cand_key", udf("cand_key").alias("hits")).collect()
+    }
+    frames = [(r[2], r[3]) for r in sample]
+    for c in cands:
+        flags = lc.ja_survivors(bytes.fromhex(c), frames)
+        want = sorted(
+            (sample[i][0], sample[i][1]) for i, ok in enumerate(flags) if ok
+        )
+        assert got[c] == want
+    udf.frames_broadcast.unpersist()
