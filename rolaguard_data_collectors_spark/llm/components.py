@@ -399,10 +399,13 @@ def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
         "assign": (assign.withColumn("_ab", _cb("doc_id", n_buckets)), "_ab"),
     }
     if layout == "snapshot":
-        if SnapshotStore.is_snapshot(path):
+        if SnapshotStore.has_committed_content(path):
             # fail BEFORE any mutation — see persist_cascade: a
             # re-build would rewrite _meta.json (n_buckets!) under a
-            # live table and rmtree the shared scratch leaselessly
+            # live table and rmtree the shared scratch leaselessly.
+            # An empty version-0 root (crash between create() and the
+            # init commit) has nothing committed: re-init is safe and
+            # rewrites _meta.json consistently with THIS build.
             raise ValueError(
                 f"{path} is already a snapshot ledger; maintain it "
                 "with ledger_append/ledger_retract"
@@ -416,7 +419,7 @@ def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
             _json.dump({"n_buckets": n_buckets}, fh)
         # create AFTER staging succeeded — a failed build must not
         # leave a poisoned empty snapshot root (see persist_cascade)
-        store = SnapshotStore.create(path)
+        store = SnapshotStore.create_or_resume(path)
         with TableLock(path, owner="persist_near_dup_ledger"):
             store.commit_staged(edir, op="init")
         return
@@ -992,7 +995,7 @@ class NearDupLedgerSink:
                 # the committed check below can catch it; the epoch
                 # record rides the manifest's atomic flip
                 store.recover()
-                if store.epoch_committed(self.mode, epoch):
+                if store.epoch_replay_check(self.mode, epoch):
                     return
             elif epoch in self._commits():
                 return

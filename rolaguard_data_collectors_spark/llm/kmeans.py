@@ -198,10 +198,11 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
 
         from ..snapshots import SnapshotStore
 
-        if SnapshotStore.is_snapshot(path):
+        if SnapshotStore.has_committed_content(path):
             # fail BEFORE any mutation — see persist_cascade: the
             # leaseless scratch rmtree below could otherwise delete a
-            # concurrent append's staged epoch mid-commit
+            # concurrent append's staged epoch mid-commit. An empty
+            # version-0 root (crashed init) is safe to re-init.
             raise ValueError(
                 f"{path} is already a snapshot IVF index; maintain it "
                 "with ivf_index_append/ivf_index_delete"
@@ -226,7 +227,7 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
             _json.dump(schemas, fh)
         # create AFTER staging succeeded — a failed build must not
         # leave a poisoned empty snapshot root (see persist_cascade)
-        store = SnapshotStore.create(path)
+        store = SnapshotStore.create_or_resume(path)
         with TableLock(path, owner="persist_ivf_index"):
             store.commit_staged(edir, op="init")
         return centroids
@@ -493,7 +494,7 @@ class IvfAppendSink:
             # the changed-cells feed, never replay protection
             # (round-10 review find: a vacuumed epoch manifest would
             # have let the replay double-append).
-            if store.epoch_committed(self.DIRECTION, epoch):
+            if store.epoch_replay_check(self.DIRECTION, epoch):
                 return
         elif epoch in self.committed():
             return

@@ -194,12 +194,15 @@ def persist_cascade(spark: SparkSession, sf_dir: str, path: str,
     time travel (see snapshots.py). One build, one choice, zero
     divergent writer code paths."""
     if layout == "snapshot":
-        if SnapshotStore.is_snapshot(path):
+        if SnapshotStore.has_committed_content(path):
             # fail BEFORE any mutation (round-10 review find: the
             # create-after-staging reorder must not trade away the
             # double-init guard — a re-build against a live table
             # would overwrite root metadata and rmtree the shared
-            # scratch without the lease before create() raised)
+            # scratch without the lease before create() raised). An
+            # EMPTY version-0 root (crash between create() and the
+            # init commit) has no committed content and is safe to
+            # re-init — create_or_resume below picks it up.
             raise ValueError(
                 f"{path} is already a snapshot cascade table; "
                 "maintain it with cascade_append/cascade_retract"
@@ -218,7 +221,7 @@ def persist_cascade(spark: SparkSession, sf_dir: str, path: str,
         # find): a version pointer written first turns a failed build
         # into a poisoned root — readers see an empty snapshot table,
         # and a retry hits 'already a snapshot table'
-        store = SnapshotStore.create(path)
+        store = SnapshotStore.create_or_resume(path)
         with TableLock(path, owner="persist_cascade"):
             store.commit_staged(edir, op="init")
         return
@@ -594,7 +597,7 @@ class CascadeMaintenanceSink:
             # committed exactly when the data became visible, in one
             # atomic pointer flip; no separate commit-log ordering.
             store.recover()
-            if store.epoch_committed(direction, epoch):
+            if store.epoch_replay_check(direction, epoch):
                 return
         elif epoch in self._commits():
             return

@@ -107,6 +107,21 @@ class SnapshotVacuumedError(SnapshotError):
     """The requested historical version's manifest was vacuumed."""
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-renamed/created entry survives power
+    loss — file fsync alone does not make the rename durable (the
+    dirent lives in the directory). No-op where directories can't be
+    opened (the object-store adapters get durability from the store)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:  # pragma: no cover — non-POSIX / adapter-backed
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -114,6 +129,12 @@ def _atomic_write(path: str, payload: str) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, path)
+    # durability of the rename itself: an acknowledged commit (manifest
+    # write or _VERSION flip) must not vanish on power loss — recover()
+    # keeps state CONSISTENT either way, but batch callers have already
+    # deleted their scratch by then, so the commit would be silently
+    # lost rather than replayed.
+    _fsync_dir(os.path.dirname(path) or ".")
 
 
 class SnapshotStore:
@@ -163,6 +184,41 @@ class SnapshotStore:
         )
         return store
 
+    @classmethod
+    def create_or_resume(cls, root: str) -> "SnapshotStore":
+        """``create``, tolerant of a crashed FIRST build: a crash
+        between create() and the init commit leaves an empty version-0
+        root (nothing committed), which plain ``create`` refuses —
+        forcing manual deletion. Resumes that case; still raises if
+        the root holds any committed content (the builder guards'
+        'already a snapshot table, maintain it incrementally' case)."""
+        if not cls.is_snapshot(root):
+            return cls.create(root)
+        store = cls(root)
+        store.recover()  # a pending v1 commit means content exists
+        m = store.manifest()
+        if m["version"] == 0 and not m["tables"]:
+            return store
+        raise SnapshotError(
+            f"{root} is already a snapshot table with committed content"
+        )
+
+    @classmethod
+    def has_committed_content(cls, root: str) -> bool:
+        """True if ``root`` is a snapshot table holding (or mid-commit
+        on) real content; False for non-snapshot roots AND for the
+        empty version-0 window a crash between create() and the init
+        commit leaves behind (re-initializable via
+        ``create_or_resume``). The builders' double-init guards use
+        this so a crashed first build doesn't demand manual root
+        deletion."""
+        if not cls.is_snapshot(root):
+            return False
+        store = cls(root)
+        store.recover()
+        m = store.manifest()
+        return not (m["version"] == 0 and not m["tables"])
+
     # -- metadata ----------------------------------------------------------
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, self.MANIFEST_DIR, f"v{version:06d}.json")
@@ -199,6 +255,31 @@ class SnapshotStore:
     def epoch_committed(self, direction: str, epoch: int) -> bool:
         high = self.manifest()["epoch_high"].get(direction, -1)
         return epoch <= high
+
+    def epoch_replay_check(self, direction: str, epoch: int) -> bool:
+        """Replay guard for streaming sinks asking about the CURRENT
+        incoming epoch: True = already committed (skip), False = new
+        (apply). Unlike the pure ``epoch_committed`` query, this
+        RAISES on epoch REGRESSION: foreachBatch re-delivers at most
+        the last possibly-uncommitted epoch (== the high-water mark),
+        so an incoming epoch BELOW it means the streaming checkpoint
+        was reset/deleted against this store root — the high-water
+        form would then silently skip every batch as 'already
+        committed' (and unlike a commit-log set, it cannot be cleared
+        by truncation). A snapshot-layout sink needs a fresh store
+        root (or restore + matching checkpoint) after a checkpoint
+        reset."""
+        high = self.manifest()["epoch_high"].get(direction, -1)
+        if epoch < high:
+            raise SnapshotError(
+                f"epoch regression on {self.root} direction "
+                f"{direction!r}: incoming epoch {epoch} is below the "
+                f"committed high-water mark {high}. The streaming "
+                "checkpoint was likely reset against an existing "
+                "store; use a new store root (or restore the matching "
+                "checkpoint) instead of silently skipping batches."
+            )
+        return epoch == high
 
     # -- recovery ----------------------------------------------------------
     def recover(self) -> None:
@@ -349,6 +430,10 @@ class SnapshotStore:
         if edir is not None and os.path.isdir(edir):
             _atomic_write(os.path.join(edir, _META), json.dumps(meta))
             os.rename(edir, self._data_path(n))
+            # make the rename durable (same reasoning as _atomic_write:
+            # recover() rebuilds the manifest from data/vN, so a lost
+            # rename after the scratch was consumed loses the commit)
+            _fsync_dir(os.path.dirname(self._data_path(n)))
         else:
             os.makedirs(self._data_path(n))
             _atomic_write(
@@ -408,13 +493,19 @@ class SnapshotStore:
         """Retained version history, oldest first: one row per
         readable manifest with (version, op, epoch, direction) — the
         operational audit surface (what changed the table, when, which
-        streaming epoch it was)."""
+        streaming epoch it was). Reads manifests WITHOUT populating
+        the instance cache: each manifest is O(live partitions) and an
+        audit listing over a generous keep_last would otherwise pin
+        every retained manifest in memory for the instance lifetime."""
         out = []
         for v in range(self.current_version(), -1, -1):
-            try:
-                m = self.manifest(v)
-            except SnapshotVacuumedError:
-                break
+            m = self._manifest_cache.get(v)
+            if m is None:
+                try:
+                    with open(self._manifest_path(v), encoding="utf-8") as fh:
+                        m = json.load(fh)
+                except FileNotFoundError:
+                    break
             row = {
                 "version": v,
                 "op": m.get("op"),
@@ -576,7 +667,16 @@ class SnapshotStore:
         sub-tables). Day keys compare lexicographically (ISO dates);
         ``keep`` pins an explicit allowlist instead. Bytes are
         reclaimed by the next ``vacuum``; any pinned historical version
-        still reads the expired days until then."""
+        still reads the expired days until then.
+
+        ``before=`` is ONLY valid over day-keyed sub-tables: the
+        lexicographic compare is correct for zero-padded ISO day keys
+        but wrong for the unpadded stringified-int keys the
+        bucket/cell-keyed stores (near-dup ledger, IVF postings) use
+        ('10' < '2'). Guarded below — every key under comparison and
+        the bound itself must be ISO-day-shaped or this raises;
+        bucket-keyed tables expire with ``keep=`` (explicit
+        allowlist)."""
         if (keep is None) == (before is None):
             raise ValueError("expire needs exactly one of keep= or before=")
         with TableLock(self.root, owner="snapshot_expire",
@@ -590,6 +690,17 @@ class SnapshotStore:
             if keep is not None:
                 drop = sorted(days - set(keep))
             else:
+                import re
+
+                bad = [d for d in {before, *days}
+                       if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", str(d))]
+                if bad:
+                    raise SnapshotError(
+                        f"expire(before=) needs ISO day keys; found "
+                        f"non-day key(s) {sorted(bad)[:5]} in {self.root} "
+                        "— lexicographic order is wrong for numeric "
+                        "bucket keys; use keep= for bucket-keyed tables"
+                    )
                 drop = sorted(d for d in days if d < before)
             if drop:
                 self.commit_staged(None, op="expire", drop_days=drop,

@@ -1,0 +1,116 @@
+"""Generate an sf1 (~10x sf0.1) dataset by key-offset replication.
+
+The driver's generator (TESTDATA.md, seed=42) isn't in the repo, so
+scale-up evidence beyond sf0.1 replicates sf0.1 ten times with
+disjoint key ranges per replica — preserving per-key distributions,
+join fan-outs, and null rates exactly, while scaling row counts,
+distinct-key cardinality, and shuffle widths 10x. Oracle parity
+remains a real check: DuckDB reads the same generated files.
+
+Per-replica transforms:
+- fact/dim keys shift by k * (max_key + 1) so FKs stay intra-replica;
+- `documents.text` gets a ' replicaK' suffix (k>0) so the corpus
+  dup-rate matches sf0.1 instead of every doc acquiring 9 exact
+  copies (which would distort the dedup/near-dup group structure);
+- `embeddings.embedding` gets a deterministic 1e-6-scale perturbation
+  (k>0) so ANN top-k has no cross-replica exact ties (tie order is
+  the one thing replication would otherwise leave undefined);
+- region/nation copy unchanged (fixed dims at every TPC-H SF).
+
+Usage: python scripts/gen_sf1.py [out_dir]   (default testdata_sf1/)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+K = 10
+
+
+def main(out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 8")
+
+    def src(t: str) -> str:
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    def write(t: str, sql: str) -> None:
+        con.execute(
+            f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n:,} rows")
+
+    for t in ("region", "nation"):
+        write(t, f"SELECT * FROM {src(t)}")
+
+    offs = {}
+    for t, key in (("customer", "c_custkey"), ("supplier", "s_suppkey"),
+                   ("part", "p_partkey"), ("orders", "o_orderkey"),
+                   ("events", "event_id"), ("documents", "doc_id"),
+                   ("embeddings", "vec_id")):
+        offs[t] = con.sql(
+            f"SELECT max({key}) + 1 FROM {src(t)}"
+        ).fetchone()[0]
+    offs["user"] = con.sql(
+        f"SELECT max(user_id) + 1 FROM {src('events')}"
+    ).fetchone()[0]
+
+    rep = "(SELECT range AS k FROM range(%d)) reps" % K
+    write("customer", f"""
+        SELECT c_custkey + k * {offs['customer']} AS c_custkey,
+               c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM {src('customer')} CROSS JOIN {rep}""")
+    write("supplier", f"""
+        SELECT s_suppkey + k * {offs['supplier']} AS s_suppkey,
+               s_name, s_nationkey, s_acctbal
+        FROM {src('supplier')} CROSS JOIN {rep}""")
+    write("part", f"""
+        SELECT p_partkey + k * {offs['part']} AS p_partkey,
+               p_name, p_brand, p_type, p_size, p_retailprice
+        FROM {src('part')} CROSS JOIN {rep}""")
+    write("orders", f"""
+        SELECT o_orderkey + k * {offs['orders']} AS o_orderkey,
+               o_custkey + k * {offs['customer']} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM {src('orders')} CROSS JOIN {rep}""")
+    write("lineitem", f"""
+        SELECT l_orderkey + k * {offs['orders']} AS l_orderkey,
+               l_partkey + k * {offs['part']} AS l_partkey,
+               l_suppkey + k * {offs['supplier']} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM {src('lineitem')} CROSS JOIN {rep}""")
+    write("events", f"""
+        SELECT event_id + k * {offs['events']} AS event_id, ts,
+               user_id + k * {offs['user']} AS user_id,
+               event_type, value, props
+        FROM {src('events')} CROSS JOIN {rep}""")
+    write("documents", f"""
+        SELECT doc_id + k * {offs['documents']} AS doc_id,
+               CASE WHEN k = 0 THEN text
+                    ELSE text || ' replica' || k END AS text,
+               lang, source,
+               CASE WHEN k = 0 THEN n_chars
+                    ELSE n_chars + 8 + length(CAST(k AS VARCHAR))
+               END AS n_chars
+        FROM {src('documents')} CROSS JOIN {rep}""")
+    write("embeddings", f"""
+        SELECT vec_id + k * {offs['embeddings']} AS vec_id,
+               CASE WHEN k = 0 THEN embedding
+                    ELSE list_transform(embedding,
+                         x -> CAST(x + ((vec_id * 31 + k) % 997)
+                                   * 0.000001 AS FLOAT)) END AS embedding,
+               label
+        FROM {src('embeddings')} CROSS JOIN {rep}""")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), "testdata_sf1"))

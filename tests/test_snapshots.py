@@ -1394,3 +1394,119 @@ def test_snapshot_live_reader_survives_concurrent_churn(
             for r in full[g].collect()
         }
         assert got[g] == want, g
+
+
+# --- round-11 advice hardening --------------------------------------------
+
+
+def test_expire_before_rejects_non_day_keys(spark, tmp_path):
+    """expire(before=) compares keys lexicographically — correct for
+    ISO day keys, wrong for the unpadded numeric bucket keys the
+    ledger/IVF stores use ('10' < '2'). The guard makes that misuse
+    loud instead of silently mis-expiring."""
+    path = str(tmp_path / "bucketed")
+    store = SnapshotStore.create(path)
+    edir = str(tmp_path / "stage")
+    df = spark.range(20).withColumn("_dp", (F.col("id") % 12).cast("string"))
+    df.write.mode("overwrite").partitionBy("_dp").parquet(
+        os.path.join(edir, "t")
+    )
+    store.commit_staged(edir, op="init")
+    with pytest.raises(Exception, match="ISO day keys"):
+        store.expire(before="5")
+    # keep= (the bucket-keyed path) still works
+    keep = set(store.table_days("t")) - {"3"}
+    dropped = store.expire(keep=keep)
+    assert dropped == ["3"]
+
+
+def test_expire_before_still_works_on_day_keys(spark, tmp_path):
+    path = str(tmp_path / "daykeyed")
+    store = SnapshotStore.create(path)
+    edir = str(tmp_path / "stage_day")
+    df = spark.range(10).withColumn(
+        "_dp",
+        F.when(F.col("id") < 5, F.lit("2024-01-01")).otherwise(
+            F.lit("2024-02-10")
+        ),
+    )
+    df.write.mode("overwrite").partitionBy("_dp").parquet(
+        os.path.join(edir, "t")
+    )
+    store.commit_staged(edir, op="init")
+    assert store.expire(before="2024-02-01") == ["2024-01-01"]
+
+
+def test_create_or_resume_resumes_empty_v0_root(spark, sf_dir, tmp_path):
+    """A crash between create() and the init commit leaves an empty
+    version-0 root; create_or_resume (and the builders' guards via
+    has_committed_content) re-initialize it instead of demanding
+    manual deletion — but refuse once content is committed."""
+    path = str(tmp_path / "crashed")
+    SnapshotStore.create(path)  # simulated crash: no init commit ever
+    assert SnapshotStore.is_snapshot(path)
+    assert not SnapshotStore.has_committed_content(path)
+    store = SnapshotStore.create_or_resume(path)  # resumes, no raise
+    edir = str(tmp_path / "stage_resume")
+    spark.range(4).withColumn("_dp", F.lit("2024-01-01")).write.mode(
+        "overwrite"
+    ).partitionBy("_dp").parquet(os.path.join(edir, "t"))
+    store.commit_staged(edir, op="init")
+    assert SnapshotStore.has_committed_content(path)
+    with pytest.raises(Exception, match="committed content"):
+        SnapshotStore.create_or_resume(path)
+
+
+def test_ledger_rebuild_allowed_after_crashed_init(spark, sf_dir, tmp_path):
+    """Builder-level version of the crash window: SnapshotStore.create
+    ran but the init commit never landed (empty v0 + _meta.json). The
+    rebuild must succeed and rewrite _meta.json consistently."""
+    from rolaguard_data_collectors_spark.llm.components import (
+        persist_near_dup_ledger,
+    )
+
+    path = str(tmp_path / "led_crash")
+    os.makedirs(path)
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"n_buckets": 16}, fh)
+    SnapshotStore.create(path)  # crash before the init commit
+    persist_near_dup_ledger(spark, sf_dir, path, n_buckets=8,
+                            layout="snapshot")
+    store = SnapshotStore(path)
+    assert store.current_version() == 1
+    with open(os.path.join(path, "_meta.json")) as fh:
+        assert json.load(fh)["n_buckets"] == 8
+
+
+def test_epoch_replay_check_raises_on_regression(spark, tmp_path):
+    """A stream restarted from a deleted checkpoint re-emits epoch 0
+    against a store whose high-water is ahead; the high-water replay
+    guard must raise (silently skipping every batch as 'already
+    committed' is the failure the advice flagged), while the normal
+    skip/apply semantics are unchanged."""
+    path = str(tmp_path / "epochs")
+    store = SnapshotStore.create(path)
+    for epoch in (0, 1, 2):
+        store.commit_staged(None, op="append", epoch=epoch,
+                            direction="append")
+    assert store.epoch_replay_check("append", 2) is True  # replay: skip
+    assert store.epoch_replay_check("append", 3) is False  # new: apply
+    assert store.epoch_replay_check("retract", 0) is False  # other dir
+    with pytest.raises(Exception, match="epoch regression"):
+        store.epoch_replay_check("append", 0)
+    # the pure audit query stays non-raising
+    assert store.epoch_committed("append", 0)
+
+
+def test_history_does_not_pin_manifests_in_cache(spark, tmp_path):
+    """history() is an audit listing; it must not cache every retained
+    manifest (O(live partitions) each) on the instance."""
+    path = str(tmp_path / "hist")
+    store = SnapshotStore.create(path)
+    for epoch in range(5):
+        store.commit_staged(None, op="append", epoch=epoch,
+                            direction="append")
+    fresh = SnapshotStore(path)
+    rows = fresh.history()
+    assert [r["version"] for r in rows] == list(range(6))
+    assert fresh._manifest_cache == {}
