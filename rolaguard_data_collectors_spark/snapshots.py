@@ -91,6 +91,7 @@ import json
 import os
 import shutil
 
+from .storage import LOCAL
 from .tablelock import TableLock
 
 STAGE_PART_PREFIX = "_dp="
@@ -147,26 +148,36 @@ class SnapshotStore:
     MANIFEST_DIR = "_manifests"
     DATA_DIR = "data"
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, adapter=None):
         self.root = root
+        # Storage seam (storage.py): the METADATA plane — the
+        # ``_VERSION`` pointer and the manifests — goes through the
+        # adapter, so the commit protocol (stage data -> write
+        # manifest -> flip pointer) runs unchanged on a conditional-put
+        # object store without atomic rename. Bulk data dirs stay on
+        # the filesystem Spark writes to.
+        self._store = adapter if adapter is not None else LOCAL
         self._manifest_cache: dict[int, dict] = {}
 
     # -- identity ----------------------------------------------------------
     @staticmethod
-    def is_snapshot(root: str) -> bool:
-        return os.path.exists(os.path.join(root, SnapshotStore.VERSION_FILE))
+    def is_snapshot(root: str, adapter=None) -> bool:
+        store = adapter if adapter is not None else LOCAL
+        return store.read(
+            os.path.join(root, SnapshotStore.VERSION_FILE)
+        ) is not None
 
     @classmethod
-    def create(cls, root: str) -> "SnapshotStore":
+    def create(cls, root: str, adapter=None) -> "SnapshotStore":
         """Initialize an empty snapshot table (version 0). Called at
         table birth, before any concurrent writer exists; raises if the
         root already holds a snapshot table."""
-        store = cls(root)
-        if cls.is_snapshot(root):
+        store = cls(root, adapter=adapter)
+        if cls.is_snapshot(root, adapter=adapter):
             raise SnapshotError(f"{root} is already a snapshot table")
         os.makedirs(os.path.join(root, cls.MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, cls.DATA_DIR), exist_ok=True)
-        _atomic_write(
+        store._store.put_atomic(
             store._manifest_path(0),
             json.dumps(
                 {
@@ -179,22 +190,22 @@ class SnapshotStore:
                 }
             ),
         )
-        _atomic_write(
+        store._store.put_atomic(
             os.path.join(root, cls.VERSION_FILE), json.dumps({"version": 0})
         )
         return store
 
     @classmethod
-    def create_or_resume(cls, root: str) -> "SnapshotStore":
+    def create_or_resume(cls, root: str, adapter=None) -> "SnapshotStore":
         """``create``, tolerant of a crashed FIRST build: a crash
         between create() and the init commit leaves an empty version-0
         root (nothing committed), which plain ``create`` refuses —
         forcing manual deletion. Resumes that case; still raises if
         the root holds any committed content (the builder guards'
         'already a snapshot table, maintain it incrementally' case)."""
-        if not cls.is_snapshot(root):
-            return cls.create(root)
-        store = cls(root)
+        if not cls.is_snapshot(root, adapter=adapter):
+            return cls.create(root, adapter=adapter)
+        store = cls(root, adapter=adapter)
         store.recover()  # a pending v1 commit means content exists
         m = store.manifest()
         if m["version"] == 0 and not m["tables"]:
@@ -204,7 +215,7 @@ class SnapshotStore:
         )
 
     @classmethod
-    def has_committed_content(cls, root: str) -> bool:
+    def has_committed_content(cls, root: str, adapter=None) -> bool:
         """True if ``root`` is a snapshot table holding (or mid-commit
         on) real content; False for non-snapshot roots AND for the
         empty version-0 window a crash between create() and the init
@@ -212,9 +223,9 @@ class SnapshotStore:
         ``create_or_resume``). The builders' double-init guards use
         this so a crashed first build doesn't demand manual root
         deletion."""
-        if not cls.is_snapshot(root):
+        if not cls.is_snapshot(root, adapter=adapter):
             return False
-        store = cls(root)
+        store = cls(root, adapter=adapter)
         store.recover()
         m = store.manifest()
         return not (m["version"] == 0 and not m["tables"])
@@ -227,9 +238,12 @@ class SnapshotStore:
         return os.path.join(self.root, self.DATA_DIR, f"v{version:06d}")
 
     def current_version(self) -> int:
-        with open(os.path.join(self.root, self.VERSION_FILE),
-                  encoding="utf-8") as fh:
-            return int(json.load(fh)["version"])
+        raw = self._store.read(os.path.join(self.root, self.VERSION_FILE))
+        if raw is None:
+            raise FileNotFoundError(
+                os.path.join(self.root, self.VERSION_FILE)
+            )
+        return int(json.loads(raw)["version"])
 
     def manifest(self, version: int | None = None) -> dict:
         cur = self.current_version()
@@ -238,14 +252,13 @@ class SnapshotStore:
             raise SnapshotError(f"version {v} does not exist (current {cur})")
         if v in self._manifest_cache:
             return self._manifest_cache[v]
-        try:
-            with open(self._manifest_path(v), encoding="utf-8") as fh:
-                m = json.load(fh)
-        except FileNotFoundError:
+        raw = self._store.read(self._manifest_path(v))
+        if raw is None:
             raise SnapshotVacuumedError(
                 f"manifest v{v} of {self.root} was vacuumed "
                 f"(current version {cur})"
-            ) from None
+            )
+        m = json.loads(raw)
         self._manifest_cache[v] = m  # manifests are immutable
         return m
 
@@ -289,16 +302,18 @@ class SnapshotStore:
         manifest present but pointer not flipped (flip)."""
         cur = self.current_version()
         n = cur + 1
-        if os.path.isdir(self._data_path(n)) or os.path.exists(
-            self._manifest_path(n)
+        if os.path.isdir(self._data_path(n)) or (
+            self._store.read(self._manifest_path(n)) is not None
         ):
             self._finish(n)
 
     def _finish(self, n: int) -> None:
         mpath = self._manifest_path(n)
-        if not os.path.exists(mpath):
-            _atomic_write(mpath, json.dumps(self._build_manifest(n)))
-        _atomic_write(
+        if self._store.read(mpath) is None:
+            self._store.put_atomic(
+                mpath, json.dumps(self._build_manifest(n))
+            )
+        self._store.put_atomic(
             os.path.join(self.root, self.VERSION_FILE),
             json.dumps({"version": n}),
         )
@@ -501,11 +516,10 @@ class SnapshotStore:
         for v in range(self.current_version(), -1, -1):
             m = self._manifest_cache.get(v)
             if m is None:
-                try:
-                    with open(self._manifest_path(v), encoding="utf-8") as fh:
-                        m = json.load(fh)
-                except FileNotFoundError:
+                raw = self._store.read(self._manifest_path(v))
+                if raw is None:
                     break
+                m = json.loads(raw)
             row = {
                 "version": v,
                 "op": m.get("op"),
@@ -772,7 +786,7 @@ class SnapshotStore:
                     continue
                 v = int(mf[1:-5])
                 if v < lo:
-                    os.unlink(os.path.join(mroot, mf))
+                    self._store.delete(os.path.join(mroot, mf))
             # retired manifests must not be served from this instance's
             # cache either — their data dirs may be gone
             for v in [v for v in self._manifest_cache if v < lo]:

@@ -1,0 +1,163 @@
+"""Metadata-storage seam for the lease + version-pointer protocols.
+
+TableLock and SnapshotStore's METADATA operations (the ``_LOCK`` file,
+the ``_VERSION`` pointer, manifests) need four primitives:
+
+- ``put_atomic``      — durable all-or-nothing write (readers never see
+                        a torn payload)
+- ``put_if_absent``   — atomic create-if-not-exists (the lease acquire)
+- ``replace_if_match``— compare-and-swap on the current payload (lease
+                        refresh, conditional takeover)
+- ``delete_if_match`` — conditional delete (lease release / steal)
+
+On POSIX these map to fsync'd rename, ``O_CREAT|O_EXCL``, and
+read-compare-replace (the compare->replace window is the lease
+contract's documented TOCTOU residue — expiry timing already bounds
+it). On an object store WITHOUT atomic rename they map directly to
+conditional puts: S3 ``If-None-Match: *`` / ``If-Match: <etag>``, GCS
+``ifGenerationMatch`` — which are TRUE CAS, i.e. STRONGER than the
+local mapping. ``MemoryConditionalStore`` implements that stronger
+contract in-process so the tests can prove the protocols correct on a
+rename-less store (tests/test_storage_adapter.py).
+
+Scope: METADATA only. Bulk table data (parquet files/dirs) is written
+by Spark and published by the manifest — on an object store the staged
+objects are simply written under their final ``data/vN/`` keys and the
+manifest commit makes them visible, so no data rename is needed
+either; the local layout keeps the scratch-dir rename as an
+optimization.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+
+class LocalFSStore:
+    """POSIX filesystem implementation — the default; byte-compatible
+    with the files TableLock/SnapshotStore always wrote."""
+
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        try:
+            fd = os.open(path, os.O_RDONLY)
+        except OSError:  # pragma: no cover — non-POSIX
+            return
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def ensure_root(self, root: str) -> None:
+        os.makedirs(root, exist_ok=True)
+
+    def put_atomic(self, path: str, payload: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        # the rename's dirent must survive power loss too: an
+        # acknowledged commit pointer that vanishes is a lost commit
+        # (the caller already deleted its scratch)
+        self._fsync_dir(os.path.dirname(path) or ".")
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return True
+
+    def read(self, path: str) -> str | None:
+        try:
+            with open(path, encoding="utf-8") as fh:
+                return fh.read()
+        except OSError:
+            return None
+
+    def replace_if_match(self, path: str, payload: str,
+                         expected: str) -> bool:
+        """Read-compare-replace. NOT true CAS — the window between the
+        compare and the replace is the lease protocol's documented
+        TOCTOU residue (bounded by lease expiry timing); object-store
+        adapters close it with a real conditional put."""
+        if self.read(path) != expected:
+            return False
+        self.put_atomic(path, payload)
+        return True
+
+    def delete_if_match(self, path: str, expected: str) -> bool:
+        if self.read(path) != expected:
+            return False
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass  # raced with a breaker: already gone
+        return True
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+
+class MemoryConditionalStore:
+    """In-process reference implementation of a rename-less store with
+    TRUE conditional writes (the S3 If-Match / GCS ifGenerationMatch
+    contract): every mutation is a single atomic compare-and-set under
+    one mutex. Used by tests to prove the lease and version-pointer
+    protocols survive on stores without atomic rename; also the
+    template an S3/GCS adapter would follow (swap the dict ops for
+    conditional PUT/DELETE calls)."""
+
+    def __init__(self):
+        self._objects: dict[str, str] = {}
+        self._mu = threading.Lock()
+
+    def ensure_root(self, root: str) -> None:
+        pass  # object stores have no directories
+
+    def put_atomic(self, path: str, payload: str) -> None:
+        with self._mu:
+            self._objects[path] = payload
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        with self._mu:
+            if path in self._objects:
+                return False
+            self._objects[path] = payload
+            return True
+
+    def read(self, path: str) -> str | None:
+        with self._mu:
+            return self._objects.get(path)
+
+    def replace_if_match(self, path: str, payload: str,
+                         expected: str) -> bool:
+        with self._mu:
+            if self._objects.get(path) != expected:
+                return False
+            self._objects[path] = payload
+            return True
+
+    def delete_if_match(self, path: str, expected: str) -> bool:
+        with self._mu:
+            if self._objects.get(path) != expected:
+                return False
+            del self._objects[path]
+            return True
+
+    def delete(self, path: str) -> None:
+        with self._mu:
+            self._objects.pop(path, None)
+
+
+LOCAL = LocalFSStore()

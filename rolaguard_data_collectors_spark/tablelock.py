@@ -54,6 +54,8 @@ import socket
 import time
 import uuid
 
+from .storage import LOCAL
+
 
 class LockHeldError(TimeoutError):
     """Raised when the lease cannot be acquired within ``timeout``."""
@@ -84,6 +86,7 @@ class TableLock:
         timeout: float = 120.0,
         lease_seconds: float = 300.0,
         poll: float = 0.05,
+        adapter=None,
     ):
         self.root = root
         self.path = os.path.join(root, self.LOCK_NAME)
@@ -91,7 +94,17 @@ class TableLock:
         self.timeout = timeout
         self.lease_seconds = lease_seconds
         self.poll = poll
+        # Storage seam (storage.py): all lock-file I/O goes through
+        # the adapter — the POSIX default preserves the historical
+        # O_EXCL/rename behavior; a conditional-put adapter runs the
+        # same protocol on stores without atomic rename (and its true
+        # CAS closes the local read-compare-replace TOCTOU windows).
+        self._store = adapter if adapter is not None else LOCAL
         self._held = False
+        # Exact payload we last wrote: refresh/release are conditional
+        # on it (compare-and-swap identity — strictly stronger than
+        # the old field-tuple _is_mine check).
+        self._last_payload: str | None = None
         # Per-ACQUISITION nonce (round-10 stress find): identity by
         # (owner, host, pid) alone collides for two threads of one
         # process running the same op — thread A's release() would
@@ -114,12 +127,13 @@ class TableLock:
         )
 
     @staticmethod
-    def _read(path: str) -> dict | None:
+    def _parse(raw: str | None) -> dict | None:
+        if raw is None:
+            return None  # vanished
         try:
-            with open(path, encoding="utf-8") as fh:
-                return json.loads(fh.read())
-        except (OSError, ValueError):
-            return None  # vanished, or torn write by a crashed acquirer
+            return json.loads(raw)
+        except ValueError:
+            return None  # torn write by a crashed acquirer
 
     def _is_stale(self, info: dict | None) -> bool:
         if info is None:
@@ -136,47 +150,39 @@ class TableLock:
 
     # -- protocol ----------------------------------------------------------
     def acquire(self) -> "TableLock":
-        os.makedirs(self.root, exist_ok=True)
+        self._store.ensure_root(self.root)
         self._token = uuid.uuid4().hex
         deadline = time.time() + self.timeout
         while True:
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                info = self._read(self.path)
-                if self._is_stale(info):
-                    # Break the stale lease. unlink+retry races another
-                    # breaker benignly: both unlink (one ENOENTs), and
-                    # O_EXCL lets exactly one of them create.
-                    try:
-                        os.unlink(self.path)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                if time.time() > deadline:
-                    raise LockHeldError(
-                        f"table lock {self.path} held by "
-                        f"{info.get('owner')}@{info.get('host')} "
-                        f"pid {info.get('pid')} (lease until "
-                        f"{info.get('expiry')}); waited {self.timeout}s"
-                    )
-                time.sleep(self.poll)
+            payload = self._payload()
+            if self._store.put_if_absent(self.path, payload):
+                self._held = True
+                self._last_payload = payload
+                return self
+            raw = self._store.read(self.path)
+            info = self._parse(raw)
+            if self._is_stale(info):
+                # Break the stale lease CONDITIONALLY on the payload we
+                # judged stale — a concurrent breaker or a fresh acquire
+                # between our read and the delete leaves the new lock
+                # intact (one breaker wins the delete; put_if_absent
+                # lets exactly one of them create).
+                if raw is not None:
+                    self._store.delete_if_match(self.path, raw)
                 continue
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                fh.write(self._payload())
-                fh.flush()
-                os.fsync(fh.fileno())
-            self._held = True
-            return self
+            if time.time() > deadline:
+                raise LockHeldError(
+                    f"table lock {self.path} held by "
+                    f"{info.get('owner')}@{info.get('host')} "
+                    f"pid {info.get('pid')} (lease until "
+                    f"{info.get('expiry')}); waited {self.timeout}s"
+                )
+            time.sleep(self.poll)
 
     def _is_mine(self) -> bool:
-        info = self._read(self.path)
         return (
-            info is not None
-            and info.get("owner") == self.owner
-            and info.get("host") == socket.gethostname()
-            and info.get("pid") == os.getpid()
-            and info.get("token") == self._token
+            self._last_payload is not None
+            and self._store.read(self.path) == self._last_payload
         )
 
     def refresh(self) -> None:
@@ -184,35 +190,32 @@ class TableLock:
         operations call this so a slow distributed stage can't outlive
         its lease mid-swap. If the lease already expired and another
         writer took over, refresh RAISES instead of clobbering the new
-        holder's lock — the operation lost its exclusivity and must
-        not proceed to a mutating phase (TOCTOU window between the
-        check and the replace is the lease contract's usual residue:
-        size lease_seconds so expiry-while-alive never happens)."""
+        holder's lock — a compare-and-swap on the exact payload we last
+        wrote (true CAS on conditional-put stores; on the local
+        adapter the read-compare-replace window is the lease
+        contract's usual residue: size lease_seconds so
+        expiry-while-alive never happens)."""
         if not self._held:
             raise RuntimeError("refresh() without the lock held")
-        if not self._is_mine():
+        payload = self._payload()
+        if self._last_payload is None or not self._store.replace_if_match(
+            self.path, payload, self._last_payload
+        ):
             self._held = False
             raise LockHeldError(
                 f"lease on {self.path} was lost (expired and taken "
                 f"over) — aborting before any further mutation"
             )
-        tmp = self.path + f".refresh.{os.getpid()}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(self._payload())
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self.path)
+        self._last_payload = payload
 
     def release(self) -> None:
         if self._held:
             self._held = False
-            # unlink only OUR lock: after an expiry+takeover the file
+            # delete only OUR lock: after an expiry+takeover the file
             # belongs to the new holder and must survive our release
-            if self._is_mine():
-                try:
-                    os.unlink(self.path)
-                except FileNotFoundError:
-                    pass  # broken concurrently: nothing to release
+            if self._last_payload is not None:
+                self._store.delete_if_match(self.path, self._last_payload)
+            self._last_payload = None
 
     def __enter__(self) -> "TableLock":
         return self.acquire()

@@ -130,10 +130,16 @@ def test_full_sweep_join_accepts(spark, sf_dir):
     rate = checks / dt
     print(f"\nJoinAccept full sweep: {n_keys} keys x {len(sample)} JAs = "
           f"{checks:,} decrypt+re-MIC checks in {dt:.2f}s "
-          f"({rate/1e6:.1f}M/s)")
+          f"({rate/1e6:.1f}M/s, {n_keys/dt/1e3:.0f}k keys/s)")
     for r in rows:
         want = hashlib.md5(b"app-%d" % (r.h.user_id % 8)).hexdigest()
         assert r.cand_key == want, (r.h.event_id, r.cand_key)
     assert {r.h.event_id for r in rows} == {eid for eid, *_ in sample}
-    assert rate > 2e6, f"kernel throughput regressed: {rate/1e6:.2f}M/s"
+    # JA cost is per-KEY dominated (two cipher crossings per key
+    # regardless of sample size: one ECB decrypt over all frames, one
+    # CMAC batch), so the floor is keys/s, not checks/s — measured
+    # ~88k keys/s at sf0.01 on local[32]; 15k catches an
+    # order-of-magnitude regression without host-noise flakes.
+    assert n_keys / dt > 1.5e4, \
+        f"JA kernel throughput regressed: {n_keys/dt/1e3:.1f}k keys/s"
     crack.frames_broadcast.unpersist()
