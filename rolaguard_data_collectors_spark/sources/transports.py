@@ -40,6 +40,26 @@ class RawMessage:
     ts: int  # arrival epoch seconds
 
 
+def put_evict_oldest(q: "queue.Queue[RawMessage]", record: RawMessage) -> int:
+    """Enqueue with oldest-first backpressure: when the bounded queue
+    is full, evict heads until the NEWEST message lands, returning how
+    many were dropped (the callback-thread half of every live
+    transport's callback->queue->poll path; tested directly because
+    provoking a 100k-deep overflow through a real broker is not a unit
+    test)."""
+    dropped = 0
+    while True:
+        try:
+            q.put_nowait(record)
+            return dropped
+        except queue.Full:
+            try:
+                q.get_nowait()
+                dropped += 1
+            except queue.Empty:
+                continue
+
+
 class Transport:
     """Contract: connect() once, poll() repeatedly, close() once."""
 
@@ -196,20 +216,9 @@ class MqttTransport(Transport):
                 value=msg.payload.decode("utf-8", errors="replace"),
                 ts=int(time.time()),
             )
-            while True:
-                try:
-                    self._queue.put_nowait(record)
-                    return
-                except queue.Full:
-                    # true oldest-first backpressure: evict the head so
-                    # the newest message always lands, and count the
-                    # loss so it's observable (dropped_messages is
-                    # surfaced by poll()'s caller via transport stats)
-                    try:
-                        self._queue.get_nowait()
-                        self.dropped_messages += 1
-                    except queue.Empty:
-                        continue
+            # oldest-first backpressure, loss observable (the counter
+            # is surfaced by poll()'s caller via transport stats)
+            self.dropped_messages += put_evict_oldest(self._queue, record)
 
         client.on_message = on_message
         client.connect(c.host, c.port)
@@ -468,7 +477,10 @@ class TTNv3SseTransport(Transport):
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
-    def connect(self) -> None:  # pragma: no cover - needs TTN network
+    def connect(self) -> None:
+        # covered for real: tests/test_transports_live.py stands up a
+        # stdlib HTTP server speaking the SSE protocol (streaming POST,
+        # blank-line-delimited events) on localhost
         import time
 
         def run():
