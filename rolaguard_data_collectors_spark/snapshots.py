@@ -781,7 +781,10 @@ class SnapshotStore:
                 ):
                     shutil.rmtree(vfull, ignore_errors=True)
             mroot = os.path.join(self.root, self.MANIFEST_DIR)
-            for mf in sorted(os.listdir(mroot)):
+            # adapter-backed listing: on an object store the manifests
+            # live only in the store, so an os.listdir sweep would
+            # silently retain every manifest forever
+            for mf in self._store.list_prefix(mroot):
                 if not (mf.startswith("v") and mf.endswith(".json")):
                     continue
                 v = int(mf[1:-5])

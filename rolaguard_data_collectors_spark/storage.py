@@ -108,6 +108,17 @@ class LocalFSStore:
         except FileNotFoundError:
             pass
 
+    def list_prefix(self, dirpath: str) -> list[str]:
+        """Names of objects directly under ``dirpath`` (files only) —
+        the manifest-sweep primitive (object stores: LIST by prefix)."""
+        try:
+            return sorted(
+                n for n in os.listdir(dirpath)
+                if os.path.isfile(os.path.join(dirpath, n))
+            )
+        except OSError:
+            return []
+
 
 class MemoryConditionalStore:
     """In-process reference implementation of a rename-less store with
@@ -158,6 +169,14 @@ class MemoryConditionalStore:
     def delete(self, path: str) -> None:
         with self._mu:
             self._objects.pop(path, None)
+
+    def list_prefix(self, dirpath: str) -> list[str]:
+        prefix = dirpath.rstrip("/") + "/"
+        with self._mu:
+            return sorted(
+                k[len(prefix):] for k in self._objects
+                if k.startswith(prefix) and "/" not in k[len(prefix):]
+            )
 
 
 LOCAL = LocalFSStore()

@@ -174,6 +174,17 @@ def test_snapshot_protocol_on_memory_store(spark, tmp_path):
     assert sorted(SnapshotStore(root, adapter=ad).table_days("t")) == [
         "2024-01-01", "2024-01-02",
     ]
+    # vacuum sweeps manifests through the adapter's list primitive —
+    # an os.listdir sweep would silently retain every manifest forever
+    # on a store where manifests are objects, not files
+    for e in range(4):
+        fresh.commit_staged(None, op="append", epoch=e, direction="append")
+    fresh.vacuum(keep_last=2)
+    mroot = os.path.join(root, "_manifests")
+    assert len(ad.list_prefix(mroot)) == 2
+    with pytest.raises(Exception, match="vacuumed"):
+        SnapshotStore(root, adapter=ad).manifest(0)
+    assert SnapshotStore(root, adapter=ad).read(spark, "t").count() == 8
 
 
 def test_snapshot_recover_on_memory_store(spark, tmp_path):
