@@ -42,19 +42,50 @@ def _sentinel_gk() -> F.Column:
 
 # --- TPC-H Q1: pricing summary (hash aggregate, 8 aggs) ------------------
 
+# Money sums accumulate in DECIMAL, not double (round-11 sf1 find): a
+# double sum is non-associative, so at 10x rows Spark's partial-agg
+# tree and DuckDB's single-node fold can land one cent apart across a
+# round(2) boundary (q5 549463674.44 vs .43, cube 375233912585.59 vs
+# .60 — run-to-run flaky with AQE repartitioning). DECIMAL addition is
+# exact and order-independent at ANY scale and partitioning; per-row
+# FACTORS (1-disc, (1-disc)*(1+tax)) are computed in double — IEEE
+# multiply is deterministic per row and identical on both engines —
+# then cast to DECIMAL(18,12) (both engines round the same double to
+# the same 12dp decimal). Output casts back to double so the schema is
+# unchanged. Same fix the maintained cascade shipped in round 9
+# (DECIMAL(28,6) partials).
+
+
+def _money(col):
+    """Exact summand: money column as DECIMAL(18,6)."""
+    return col.cast("decimal(18,6)")
+
+
+def _factor(col):
+    """Exact per-row multiplier: double expression as DECIMAL(18,12)."""
+    return col.cast("decimal(18,12)")
+
+
+def _dsum(summand, scale=2):
+    """Order-independent money sum, rounded, back to double."""
+    return F.round(F.sum(summand), scale).cast("double")
+
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    ext = _money(F.col("l_extendedprice"))
+    disc_price = ext * _factor(F.lit(1.0) - F.col("l_discount"))
+    charge = ext * _factor(
+        (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _dsum(_money(F.col("l_quantity"))).alias("sum_qty"),
+            _dsum(ext).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -65,10 +96,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l_discount AS DECIMAL(18,12))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,12))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
@@ -86,12 +119,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _money(F.col("l_extendedprice")) * _factor(
+        F.lit(1.0) - F.col("l_discount")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(_dsum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -99,7 +134,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l_discount AS DECIMAL(18,12))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -120,7 +156,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = _money(F.col("l_extendedprice")) * _factor(
+        F.lit(1.0) - F.col("l_discount")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -129,12 +167,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(_dsum(revenue).alias("revenue"))
     )
 
 
 Q5_ORACLE = """
-SELECT n_name, r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, r_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l_discount AS DECIMAL(18,12))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -238,12 +278,14 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.count("*").alias("n"),
+             _dsum(_money(F.col("l_quantity"))).alias("sum_qty"))
     )
 
 
 ROLLUP_ORACLE = """
-SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -252,12 +294,14 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"),
+             _dsum(_money(F.col("o_totalprice"))).alias("total"))
     )
 
 
 CUBE_ORACLE = """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -996,11 +1040,13 @@ def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GROUPING_ANALYTICS_ORACLE = """
 SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
-       count(*) AS n, round(sum(l_quantity), 2) AS agg_val
+       count(*) AS n,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS agg_val
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 UNION ALL
 SELECT 'cube' AS gset, o_orderstatus AS key1, o_orderpriority AS key2,
-       count(*) AS n, round(sum(o_totalprice), 2) AS agg_val
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS agg_val
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 UNION ALL
 SELECT 'gsets' AS gset, l_returnflag AS key1, l_linestatus AS key2,
