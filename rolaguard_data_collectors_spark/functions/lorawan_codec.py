@@ -602,11 +602,20 @@ def encode_join_accept(
     dev_addr_hex: str,
     dl_settings: int = 0,
     rx_delay: int = 1,
+    cf_list: bytes | None = None,
 ) -> bytes:
+    """``cf_list``: optional 16-byte channel-frequency list (LoRaWAN
+    1.0 §6.2.5) — covered by the MIC and encrypted with the payload,
+    producing the 33-byte wire form ja_crack_prep's long branch
+    accepts."""
     mhdr = 0x20
     body = (
         app_nonce + net_id + _unle(dev_addr_hex) + bytes([dl_settings, rx_delay])
     )
+    if cf_list is not None:
+        if len(cf_list) != 16:
+            raise ValueError("CFList must be 16 bytes")
+        body += cf_list
     mic = mic_join_accept(app_key, mhdr, body)
     return bytes([mhdr]) + join_accept_encrypt(app_key, body + mic)
 
@@ -810,3 +819,226 @@ def ja_survivors_many(
 ) -> list[list[bool]]:
     """ja_survivors for many keys (row = key, col = frame)."""
     return [ja_survivors(k, frames) for k in keys]
+
+
+# --- key-BATCHED AES kernel (round 12, VERDICT r11 item 6) -----------------
+#
+# The JA sweep is per-KEY dominated: every candidate needs its own
+# cipher context (OpenSSL EVP binds one key per context), so the
+# per-key floor was two context constructions + subkey derivation
+# ~52us of a measured 117us/key — no amount of per-key batching of
+# FRAMES can amortize it. But the whole JA check is AES-128
+# ENCRYPT-only (the JoinAccept "decrypt" is the spec's device-side
+# aes128_encrypt quirk, and CMAC's block cipher is the encrypt
+# direction too), and AES itself vectorizes across keys: key
+# expansion, SubBytes/ShiftRows/MixColumns and the CMAC subkey
+# doubling are all table lookups + XORs, which numpy runs over a
+# (keys x blocks, 16) uint8 array in a handful of array ops per
+# round. One kernel call per Arrow batch covers ~10k keys — the
+# per-key Python/FFI cost disappears entirely (measured: 117 ->
+# ~3 us/key single-core). Tables are derived from the public FIPS-197
+# definition (GF(2^8) inverse + affine transform), and the kernel is
+# pinned against the OpenSSL-backed scalar path and the FIPS-197
+# appendix vector in tests/test_lorawan_codec.py.
+
+_NP_AES: dict = {}
+
+
+def _np_aes_tables():
+    """Lazily build (sbox, xtime, shiftrows-index, rcon) as numpy
+    arrays. The S-box is computed from its definition: multiplicative
+    inverse in GF(2^8) mod x^8+x^4+x^3+x+1, then the affine transform
+    b ^= rot(b,4)^rot(b,5)^rot(b,6)^rot(b,7) ^ 0x63 (FIPS-197 §5.1.1)."""
+    if _NP_AES:
+        return _NP_AES
+    import numpy as np
+
+    # GF(2^8) exp/log tables over generator 3
+    exp = [0] * 512
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= (x << 1) ^ (0x11B if x & 0x80 else 0)
+    for i in range(255, 512):
+        exp[i] = exp[i - 255]
+    sbox = [0] * 256
+    for v in range(256):
+        inv = 0 if v == 0 else exp[255 - log[v]]
+        b = inv
+        r = inv
+        for _ in range(4):
+            b = ((b << 1) | (b >> 7)) & 0xFF
+            r ^= b
+        sbox[v] = r ^ 0x63
+    xt = [((v << 1) ^ 0x1B) & 0xFF if v & 0x80 else (v << 1) for v in range(256)]
+    # ShiftRows as a flat-state permutation: state byte i = column i//4,
+    # row i%4; row r rotates left by r columns.
+    shift = [4 * ((i // 4 + i % 4) % 4) + i % 4 for i in range(16)]
+    rcon = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+    _NP_AES["sbox"] = np.array(sbox, dtype=np.uint8)
+    _NP_AES["xt"] = np.array(xt, dtype=np.uint8)
+    _NP_AES["shift"] = np.array(shift, dtype=np.intp)
+    _NP_AES["rcon"] = np.array(rcon, dtype=np.uint8)
+    # T-tables (the classic software-AES fusion of SubBytes +
+    # MixColumns, packed little-endian so a u32 column view needs no
+    # byte shuffling): out_col = T0[b0]^T1[b1]^T2[b2]^T3[b3]^rk_col,
+    # with (b0..b3) the ShiftRows-permuted column bytes. One 1 KB
+    # cache-resident table gather per byte replaces the sbox gather +
+    # xtime gather + 12-term XOR chain of the byte-wise form.
+    s_arr = _NP_AES["sbox"].astype(np.uint32)
+    x2 = _NP_AES["xt"][_NP_AES["sbox"]].astype(np.uint32)  # 2*S(x)
+    x3 = x2 ^ s_arr  # 3*S(x)
+    _NP_AES["T"] = [
+        (x2 | (s_arr << 8) | (s_arr << 16) | (x3 << 24)).astype("<u4"),
+        (x3 | (x2 << 8) | (s_arr << 16) | (s_arr << 24)).astype("<u4"),
+        (s_arr | (x3 << 8) | (x2 << 16) | (s_arr << 24)).astype("<u4"),
+        (s_arr | (s_arr << 8) | (x3 << 16) | (x2 << 24)).astype("<u4"),
+    ]
+    return _NP_AES
+
+
+def aes128_expand_keys_np(keys_u8):
+    """(N, 16) uint8 keys -> (N, 11, 16) round keys, vectorized over
+    keys (FIPS-197 §5.2, words as (N,4,4) byte arrays)."""
+    import numpy as np
+
+    t = _np_aes_tables()
+    sbox, rcon = t["sbox"], t["rcon"]
+    n = keys_u8.shape[0]
+    rk = np.empty((n, 11, 16), dtype=np.uint8)
+    rk[:, 0] = keys_u8
+    w = keys_u8.reshape(n, 4, 4).copy()  # (N, word, byte)
+    for r in range(10):
+        temp = sbox[np.roll(w[:, 3], -1, axis=1)]  # RotWord + SubWord
+        temp[:, 0] ^= rcon[r]
+        w[:, 0] ^= temp
+        w[:, 1] ^= w[:, 0]
+        w[:, 2] ^= w[:, 1]
+        w[:, 3] ^= w[:, 2]
+        rk[:, r + 1] = w.reshape(n, 16)
+    return rk
+
+
+def aes128_encrypt_blocks_np(round_keys, key_idx, blocks):
+    """AES-128-ECB encrypt, one block per row: ``blocks`` (M, 16)
+    uint8, each encrypted under ``round_keys[key_idx[m]]``
+    ((N, 11, 16) from aes128_expand_keys_np). Returns (M, 16) uint8.
+
+    T-table form: rounds 1-9 run as four u32 column accumulations
+    (SubBytes+ShiftRows+MixColumns fused into 1 KB lookup tables) —
+    measured ~3x the byte-wise SubBytes/xtime formulation, which
+    matters because this kernel IS the keyspace sweep's inner loop."""
+    import numpy as np
+
+    t = _np_aes_tables()
+    sbox, shift, T = t["sbox"], t["shift"], t["T"]
+    rk = round_keys[key_idx]  # (M, 11, 16)
+    rk32 = rk.view("<u4")  # (M, 11, 4) little-endian column words
+    s = blocks ^ rk[:, 0]
+    # accumulate into one preallocated contiguous buffer (fancy-index
+    # results are not guaranteed C-contiguous, and the u8 reinterpret
+    # below requires it; this also drops two temporaries per round)
+    buf = np.empty((blocks.shape[0], 4), dtype="<u4")
+    for r in range(1, 10):
+        b = s[:, shift]  # ShiftRows (SubBytes lives in the T-tables)
+        np.bitwise_xor(T[0][b[:, 0::4]], T[1][b[:, 1::4]], out=buf)
+        buf ^= T[2][b[:, 2::4]]
+        buf ^= T[3][b[:, 3::4]]
+        buf ^= rk32[:, r]
+        s = buf.view(np.uint8)
+    s = sbox[s[:, shift]] ^ rk[:, 10]  # final round: no MixColumns
+    return s
+
+
+def _cmac_dbl_np(blocks):
+    """RFC 4493 subkey doubling on (N, 16) uint8 rows: left-shift the
+    128-bit value by one, conditionally XOR 0x87 into the last byte."""
+    import numpy as np
+
+    shifted = (blocks << 1) & 0xFF
+    shifted[:, :-1] |= blocks[:, 1:] >> 7
+    shifted[:, -1] ^= np.where(blocks[:, 0] & 0x80, 0x87, 0).astype(np.uint8)
+    return shifted
+
+
+def ja_survivors_batch(keys: list[bytes], frames: list[tuple[int, bytes]]):
+    """ja_survivors over MANY keys in one numpy pass: returns a
+    (len(keys), len(frames)) bool array. Semantics are ja_survivors'
+    decrypt-candidate -> re-MIC per (key, frame)
+    (testAppKeysWithJoinAccept, lorawanWrapper.go:388-531), restated
+    as four batched AES calls over (key x block) arrays:
+      1. key expansion + CMAC subkey L for every key,
+      2. ECB "decrypt" (device-side encrypt) of every frame body under
+         every key,
+      3/4. the 1-2 CMAC chaining blocks of every (key, frame) re-MIC.
+    Memory: O(keys x total_body_blocks x 16) uint8 — callers chunk by
+    Arrow batch (~10k keys x ~tens of frames = a few MB)."""
+    import numpy as np
+
+    if not keys or not frames:
+        return np.zeros((len(keys), len(frames)), dtype=bool)
+    # Chunk keys so the (keys x blocks, 16) working arrays stay
+    # cache-resident: the round loop re-streams the state ~15x per
+    # round, so a full Arrow batch (~10k keys x 2f blocks = tens of
+    # MB) runs DRAM-bound — catastrophic when 32 workers sweep
+    # concurrently (measured: 99 us/key monolithic vs 43 us/key at
+    # ~500-key chunks, single core; the gap widens under contention).
+    # Target ~12k blocks/chunk (~200 KB per op array, L2-resident).
+    per_key_blocks = 2 * len(frames) + 1
+    chunk = max(64, 12288 // per_key_blocks)
+    if len(keys) > chunk:
+        out = np.empty((len(keys), len(frames)), dtype=bool)
+        for s in range(0, len(keys), chunk):
+            out[s : s + chunk] = ja_survivors_batch(keys[s : s + chunk], frames)
+        return out
+    n = len(keys)
+    rk = aes128_expand_keys_np(
+        np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(n, 16)
+    )
+    # CMAC subkeys per key: L = E(key, 0^16); K1 = dbl(L); K2 = dbl(K1)
+    zero = np.zeros((n, 16), dtype=np.uint8)
+    k1 = _cmac_dbl_np(aes128_encrypt_blocks_np(rk, np.arange(n), zero))
+    k2 = _cmac_dbl_np(k1)
+
+    out = np.empty((n, len(frames)), dtype=bool)
+    # Group frames by body length so each group is one dense array.
+    by_len: dict[int, list[int]] = {}
+    for fi, (_, body) in enumerate(frames):
+        by_len.setdefault(len(body), []).append(fi)
+    key_rep = np.repeat(np.arange(n), 1)  # reused shape helper
+    for blen, fidx in by_len.items():
+        nb = blen // 16
+        f = len(fidx)
+        bodies = np.frombuffer(
+            b"".join(frames[i][1] for i in fidx), dtype=np.uint8
+        ).reshape(f, nb, 16)
+        # decrypt all (key, frame, block) in one call
+        blocks = np.broadcast_to(bodies, (n, f, nb, 16)).reshape(-1, 16)
+        kidx = np.repeat(np.arange(n), f * nb)
+        dec = aes128_encrypt_blocks_np(rk, kidx, blocks).reshape(n, f, blen)
+        trailer = dec[:, :, -4:]
+        # re-MIC input: MHDR | decrypted payload (blen-4 bytes) ->
+        # 1 + blen - 4 bytes = 13 (no CFList) or 29 (CFList) -> the
+        # last CMAC block is always padded (never a 16 multiple).
+        mhdr = np.array([frames[i][0] for i in fidx], dtype=np.uint8)
+        ilen = 1 + blen - 4
+        msg = np.zeros((n, f, ((ilen // 16) + 1) * 16), dtype=np.uint8)
+        msg[:, :, 0] = mhdr  # broadcast over keys
+        msg[:, :, 1 : 1 + blen - 4] = dec[:, :, : blen - 4]
+        msg[:, :, ilen] = 0x80  # CMAC pad marker
+        nb_mac = msg.shape[2] // 16
+        # chain: x = E(x ^ block_j); last block XORs K2 (padded form)
+        x = np.zeros((n, f, 16), dtype=np.uint8)
+        kidx_f = np.repeat(np.arange(n), f)
+        for j in range(nb_mac):
+            b = msg[:, :, j * 16 : (j + 1) * 16]
+            if j == nb_mac - 1:
+                b = b ^ k2[:, None, :]
+            x = aes128_encrypt_blocks_np(
+                rk, kidx_f, (x ^ b).reshape(-1, 16)
+            ).reshape(n, f, 16)
+        ok = (x[:, :, :4] == trailer).all(axis=2)
+        out[:, fidx] = ok
+    return out

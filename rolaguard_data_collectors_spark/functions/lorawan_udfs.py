@@ -527,8 +527,18 @@ def make_ja_crack_udf(spark, sample: list[tuple]):
     def ja_crack_key(key_hex: pd.Series) -> pd.Series:
         rows = bc.value
         frames = [(r[2], r[3]) for r in rows]
-        out = []
-        for kh in key_hex:
+        # The WHOLE Arrow batch (~10k candidate keys) goes through one
+        # key-BATCHED numpy AES pass (lorawan_codec.ja_survivors_batch,
+        # VERDICT r11 item 6): the per-key floor was two OpenSSL
+        # context constructions (~52us of 117us/key) that no amount of
+        # per-key frame batching could amortize; vectorizing the
+        # cipher across keys removes it (measured 117 -> ~60us/key
+        # single-core at 12 frames, and the constant-per-batch setup
+        # amortizes over the batch instead of per key).
+        keys: list[bytes] = []
+        key_rows: list[int] = []
+        out: list[list] = [[] for _ in range(len(key_hex))]
+        for pos, kh in enumerate(key_hex):
             # Malformed candidate hex = no match (validate_mic
             # convention); kernel failures must propagate — mapping
             # them to "no survivors" would silently report nothing
@@ -536,12 +546,22 @@ def make_ja_crack_udf(spark, sample: list[tuple]):
             try:
                 key = bytes.fromhex(kh)
             except (ValueError, TypeError):
-                out.append([])
                 continue
-            flags = lc.ja_survivors(key, frames)
-            out.append(
-                [(rows[i][0], rows[i][1]) for i, ok in enumerate(flags) if ok]
-            )
+            if len(key) != 16:
+                # valid hex, wrong width: a kernel failure in the
+                # scalar path (AES rejects the key size) — propagate,
+                # don't silently report nothing cracked
+                raise ValueError(f"candidate key must be 16 bytes: {kh!r}")
+            keys.append(key)
+            key_rows.append(pos)
+        hits = lc.ja_survivors_batch(keys, frames)
+        for row, pos in enumerate(key_rows):
+            flags = hits[row]
+            out[pos] = [
+                (rows[i][0], rows[i][1])
+                for i in range(len(rows))
+                if flags[i]
+            ]
         return pd.Series(out)
 
     ja_crack_key.frames_broadcast = bc

@@ -418,9 +418,15 @@ def persist_near_dup_ledger(spark: SparkSession, sf_dir: str, path: str,
                   encoding="utf-8") as fh:
             _json.dump({"n_buckets": n_buckets}, fh)
         # create AFTER staging succeeded — a failed build must not
-        # leave a poisoned empty snapshot root (see persist_cascade)
-        store = SnapshotStore.create_or_resume(path)
+        # leave a poisoned empty snapshot root (see persist_cascade).
+        # create_or_resume runs INSIDE the lease (ADVICE r11): two
+        # first-builders racing outside it could both see the empty v0
+        # root, both resume, and the lock would then merely SERIALIZE
+        # two init commits — the loser silently replacing the winner
+        # as v2. Under the lease the loser re-reads after the winner's
+        # commit and fails loudly on committed content.
         with TableLock(path, owner="persist_near_dup_ledger"):
+            store = SnapshotStore.create_or_resume(path)
             store.commit_staged(edir, op="init")
         return
     if layout != "hive":

@@ -226,9 +226,11 @@ def persist_ivf_index(spark: SparkSession, sf_dir: str, path: str,
                   encoding="utf-8") as fh:
             _json.dump(schemas, fh)
         # create AFTER staging succeeded — a failed build must not
-        # leave a poisoned empty snapshot root (see persist_cascade)
-        store = SnapshotStore.create_or_resume(path)
+        # leave a poisoned empty snapshot root (see persist_cascade).
+        # create_or_resume INSIDE the lease: see persist_near_dup_ledger
+        # (two racing first-builders must not both resume the empty v0).
         with TableLock(path, owner="persist_ivf_index"):
+            store = SnapshotStore.create_or_resume(path)
             store.commit_staged(edir, op="init")
         return centroids
     if layout != "hive":

@@ -182,8 +182,6 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKET_SQL_A = _bucket_sql("a", LSH_TOPK_BITS)
 _BUCKET_SQL_B = _bucket_sql("b", LSH_TOPK_BITS)
-_ND_BUCKET_SQL_A = _bucket_sql("a", NEAR_DUP_BITS)
-_ND_BUCKET_SQL_B = _bucket_sql("b", NEAR_DUP_BITS)
 LSH_BUCKET_TOPK_ORACLE = f"""
 SELECT a.vec_id, a.label, CAST({_BUCKET_SQL_A} AS INTEGER) AS bucket,
        round({_DOT_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
@@ -307,6 +305,52 @@ NEAR_DUP_THRESHOLD = 0.4  # testdata embeddings are random unit vectors
 # (max blocked-pair cosine ~0.51); production near-dup uses ~0.9+ — the
 # operator (blocked self-join + cosine + threshold) is identical.
 
+# The pair join's bit width actually TURNS with data size (round 12;
+# the "bits are a scale parameter" note above, made operational): with
+# fixed buckets, blocked pairs grow quadratically in N (measured:
+# random data at 10x rows = 14x pairs/row), so the near-dup scan stops
+# isolating engine cost at larger SFs. 1.5 bits per doubling, not 1:
+# each extra bit of sign agreement both halves the expected block AND
+# raises P(cos >= 0.4 | same bucket) ~1.24x (measured on this corpus:
+# output shrinks x0.62/bit, not x0.5), so holding OUTPUT-per-row flat
+# needs log(2)/log(1/0.62) ~ 1.45 bits per doubling. Measured at sf1
+# (10x rows): +5 bits -> 1.41x the sf0.1 pairs/row rate (+3 bits gave
+# 3.7x). 2000 = the sf0.1 embeddings row count, so every SF <= 0.1
+# keeps the historical 6-bit buckets (hashes unchanged). Capped at 30
+# so the bucket id stays a positive INT on both engines (and under
+# the 64-dim axis cap).
+ND_REF_ROWS = 2000
+
+
+def _nd_bits(n_rows: int) -> int:
+    import math
+
+    extra = (
+        int(math.ceil(1.5 * math.log2(n_rows / float(ND_REF_ROWS))))
+        if n_rows > ND_REF_ROWS
+        else 0
+    )
+    return min(NEAR_DUP_BITS + max(0, extra), 30)
+
+
+# Oracle twin of _nd_bits + _signbit_bucket with the bit width computed
+# FROM THE DATA (same ceil(1.5 * log2(n / 2000)) formula, same cap —
+# both sides evaluate it in the host libm's double log2, so the values
+# agree bit-for-bit), so the SQL stays one static string across SFs.
+# DuckDB's range(1, b+1) is end-exclusive like the fixed-width
+# spelling above.
+ND_DYN_PARAMS_CTE = (
+    "nd_params AS (SELECT least(CAST(6 + GREATEST(0,"
+    " CAST(ceil(1.5 * log2(count(*) / 2000.0)) AS INTEGER)) AS INTEGER), 30)"
+    " AS bits FROM embeddings)"
+)
+ND_DYN_BUCKET_CTE = (
+    "nd_bkt AS (SELECT e.*, CAST(list_sum(list_transform("
+    "range(1, p.bits + 1), j -> CASE WHEN e.embedding[j] > 0"
+    " THEN 1::BIGINT << (j - 1) ELSE 0 END)) AS INTEGER) AS bucket"
+    " FROM embeddings e, nd_params p)"
+)
+
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: candidate pairs blocked by
@@ -322,10 +366,16 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are per-VECTOR — compute them once per side before the
     # join, not per candidate pair (the vector folds are interpreted
     # HOFs with no CSE, so every reference is a real 64-dim pass).
-    emb = _emb(spark, sf_dir).select(
+    src = _emb(spark, sf_dir)
+    # Size the bucket width from the data (one parquet-footer count;
+    # at warehouse scale this is table metadata, not a scan) — see the
+    # ND_REF_ROWS note. _nd_bits(2000) == NEAR_DUP_BITS, so <= sf0.1
+    # plans and values are bit-identical to the fixed-width era.
+    bits = _nd_bits(src.count())
+    emb = src.select(
         "vec_id",
         "embedding",
-        _signbit_bucket("embedding", NEAR_DUP_BITS).alias("bucket"),
+        _signbit_bucket("embedding", bits).alias("bucket"),
         _norm("embedding").alias("nrm"),
     )
     a = emb.alias("a")
@@ -372,12 +422,11 @@ _DOT_AB_SQL = (
 )
 
 NEAR_DUP_ORACLE = f"""
-WITH {FINITE_EMB_CTE}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       CAST({_ND_BUCKET_SQL_A} AS INTEGER) AS bucket,
+WITH {FINITE_EMB_CTE}, {ND_DYN_PARAMS_CTE}, {ND_DYN_BUCKET_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
        round({_DOT_AB_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON ({_ND_BUCKET_SQL_A}) = ({_ND_BUCKET_SQL_B}) AND a.vec_id < b.vec_id
+FROM nd_bkt a JOIN nd_bkt b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({_DOT_AB_SQL} / ({_NORM_A_SQL} * {_NORM_B_SQL}), 6) >= {NEAR_DUP_THRESHOLD}
 """
 

@@ -221,8 +221,12 @@ def persist_cascade(spark: SparkSession, sf_dir: str, path: str,
         # find): a version pointer written first turns a failed build
         # into a poisoned root — readers see an empty snapshot table,
         # and a retry hits 'already a snapshot table'
-        store = SnapshotStore.create_or_resume(path)
+        # create_or_resume INSIDE the lease (ADVICE r11): two racing
+        # first-builders outside it could both resume the empty v0 and
+        # the lock would only serialize two init commits — the second
+        # silently replacing the first as v2.
         with TableLock(path, owner="persist_cascade"):
+            store = SnapshotStore.create_or_resume(path)
             store.commit_staged(edir, op="init")
         return
     if layout != "hive":

@@ -42,69 +42,126 @@ def _sentinel_gk() -> F.Column:
 
 # --- TPC-H Q1: pricing summary (hash aggregate, 8 aggs) ------------------
 
-# Money sums accumulate in DECIMAL, not double (round-11 sf1 find): a
-# double sum is non-associative, so at 10x rows Spark's partial-agg
-# tree and DuckDB's single-node fold can land one cent apart across a
-# round(2) boundary (q5 549463674.44 vs .43, cube 375233912585.59 vs
-# .60 — run-to-run flaky with AQE repartitioning). DECIMAL addition is
-# exact and order-independent at ANY scale and partitioning; per-row
-# FACTORS (1-disc, (1-disc)*(1+tax)) are computed in double — IEEE
-# multiply is deterministic per row and identical on both engines —
-# then cast to DECIMAL(18,12) (both engines round the same double to
-# the same 12dp decimal). Output casts back to double so the schema is
-# unchanged. Same fix the maintained cascade shipped in round 9
-# (DECIMAL(28,6) partials).
+# Money sums accumulate in exact BIGINT micro-units (round-12 perf
+# recovery of the round-11 DECIMAL fix): a double sum is
+# non-associative, so at 10x rows Spark's partial-agg tree and
+# DuckDB's single-node fold can land one cent apart across a round(2)
+# boundary (q5 549463674.44 vs .43 — run-to-run flaky with AQE
+# repartitioning). Round 11 fixed that with DECIMAL(18,6) summands,
+# but Spark's decimal partial-agg path is interpreted-BigDecimal-heavy
+# (judge A/B at sf0.1: q1 0.26 s double / 0.32 s bigint / 1.05 s
+# DECIMAL). The test data's money columns are 2dp, so every summand
+# here — price, price*(1-disc) (4dp), price*(1-disc)*(1+tax) (6dp) —
+# is EXACT at <=6 decimal places: round(x*1e6) in double recovers the
+# exact integer (double error ~1e-5 micro << the 0.5-micro grid), and
+# BIGINT addition of micro-units is exact and order-independent, in
+# whole-stage-codegen long adds.
+#
+# Overflow discipline (the 100 TB story): a per-PARTITION bigint
+# partial is bounded by partition row count x max summand
+# (~1e6 rows x 1e11 micro = 1e17 << 2^63); grand totals are NOT so
+# bounded (sf100k grand charge ~1e23 micro), so unbounded-group
+# queries aggregate in TWO stages — stage 1 groupBy(keys,
+# spark_partition_id()) sums BIGINT micro partials (the hot loop),
+# stage 2 widens the <= #partitions x #groups partials to
+# DECIMAL(38,0) and merges exactly. The final dollars value divides
+# in DECIMAL (decimal(38,0)/decimal(7,0) -> decimal(38,6), exact for
+# 6dp quotients) and rounds HALF_UP — no double anywhere near a tie.
+# Oracle mirror: DuckDB's DECIMAL/int division silently returns
+# DOUBLE (measured: round(123456789012345000::DEC(38,0)/1e6, 2) gives
+# .34, exact is .35), so the SQL side uses exact HUGEINT integer
+# division instead: ((sum + 5000) // 10000) / 100.0 — identical
+# half-up-at-2dp semantics for the non-negative sums used here.
 
 
-def _money(col):
-    """Exact summand: money column as DECIMAL(18,6)."""
-    return col.cast("decimal(18,6)")
+def _micro(col):
+    """Exact BIGINT micro-unit summand for a <=6dp-exact money
+    expression computed in double."""
+    return F.round(col * F.lit(1000000.0)).cast("bigint")
 
 
-def _factor(col):
-    """Exact per-row multiplier: double expression as DECIMAL(18,12)."""
-    return col.cast("decimal(18,12)")
+def _widen(name):
+    """Stage-2 merge of BIGINT micro partials: exact DECIMAL(38,0)."""
+    return F.sum(F.col(name).cast("decimal(38,0)"))
 
 
-def _dsum(summand, scale=2):
-    """Order-independent money sum, rounded, back to double."""
-    return F.round(F.sum(summand), scale).cast("double")
+def _dollars(sum_micro_dec, scale=2):
+    """Exact DECIMAL(38,0) micro total -> HALF_UP-rounded double
+    dollars (decimal division + decimal round; no double ties)."""
+    return F.round(
+        sum_micro_dec / F.lit(1000000).cast("decimal(7,0)"), scale
+    ).cast("double")
+
+
+def _micro_sum_sql(expr: str, scale: int = 2) -> str:
+    """Oracle twin of _widen+_dollars: exact HUGEINT sum of micro
+    summands, half-up integer division to `scale` dp (non-negative
+    sums), back to double."""
+    q = 10 ** (6 - scale)
+    return (
+        f"CAST((sum(CAST(round(({expr}) * 1000000) AS BIGINT)) + {q // 2}) "
+        f"// {q} AS DOUBLE) / {10 ** scale}"
+    )
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    ext = _money(F.col("l_extendedprice"))
-    disc_price = ext * _factor(F.lit(1.0) - F.col("l_discount"))
-    charge = ext * _factor(
-        (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))
-    )
-    return (
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    partials = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy(
+            "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+        )
         .agg(
-            _dsum(_money(F.col("l_quantity"))).alias("sum_qty"),
-            _dsum(ext).alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(charge).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(_micro(F.col("l_quantity"))).alias("p_qty"),
+            F.sum(_micro(F.col("l_extendedprice"))).alias("p_base"),
+            F.sum(_micro(disc_price)).alias("p_disc"),
+            F.sum(_micro(charge)).alias("p_charge"),
+            F.sum(_micro(F.col("l_discount"))).alias("p_dsc"),
+            F.count("*").alias("p_n"),
         )
     )
+    n = F.sum("p_n")
+    # avgs derive from the SAME exact micro sums (order-independent;
+    # ADVICE r11: double avg partials were the remaining non-associative leg):
+    # round(double(exact_sum)/1e6/n, 4), mirrored operand-for-operand
+    # in the oracle so both engines round the identical double.
+    def _avg(partial):
+        return F.round(
+            _widen(partial).cast("double") / F.lit(1000000.0) / n, 4
+        )
+
+    return partials.groupBy("l_returnflag", "l_linestatus").agg(
+        _dollars(_widen("p_qty")).alias("sum_qty"),
+        _dollars(_widen("p_base")).alias("sum_base_price"),
+        _dollars(_widen("p_disc")).alias("sum_disc_price"),
+        _dollars(_widen("p_charge")).alias("sum_charge"),
+        _avg("p_qty").alias("avg_qty"),
+        _avg("p_base").alias("avg_price"),
+        _avg("p_dsc").alias("avg_disc"),
+        n.alias("count_order"),
+    )
 
 
-Q1_ORACLE = """
+def _avg_sql(expr: str) -> str:
+    """Oracle twin of q1's _avg: exact hugeint micro sum -> the same
+    double division chain Spark runs."""
+    return (
+        f"round(CAST(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 / count(*), 4)"
+    )
+
+
+Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * CAST(1 - l_discount AS DECIMAL(18,12))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,12))), 2) AS DOUBLE) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {_micro_sum_sql('l_quantity')} AS sum_qty,
+       {_micro_sum_sql('l_extendedprice')} AS sum_base_price,
+       {_micro_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_micro_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_avg_sql('l_quantity')} AS avg_qty,
+       {_avg_sql('l_extendedprice')} AS avg_price,
+       {_avg_sql('l_discount')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -119,23 +176,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    revenue = _money(F.col("l_extendedprice")) * _factor(
-        F.lit(1.0) - F.col("l_discount")
-    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # Per-ORDER groups are bounded (<= ~7 lineitems x 1e11 micro <<
+    # 2^63 at ANY scale factor), so a single-stage BIGINT micro sum is
+    # overflow-safe here — no pid widening stage needed.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(revenue).alias("revenue"))
+        .agg(_dollars(F.sum(_micro(revenue)).cast("decimal(38,0)")).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
-Q3_ORACLE = """
+Q3_ORACLE = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * CAST(1 - l_discount AS DECIMAL(18,12))), 2) AS DOUBLE) AS revenue
+       {_micro_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -156,9 +213,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    revenue = _money(F.col("l_extendedprice")) * _factor(
-        F.lit(1.0) - F.col("l_discount")
-    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # 25 unbounded groups -> two-stage micro-unit sum (see q1's
+    # overflow discipline note).
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -166,15 +223,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name", F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(_micro(revenue)).alias("p_rev"))
         .groupBy("n_name", "r_name")
-        .agg(_dsum(revenue).alias("revenue"))
+        .agg(_dollars(_widen("p_rev")).alias("revenue"))
     )
 
 
-Q5_ORACLE = """
+Q5_ORACLE = f"""
 SELECT n_name, r_name,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * CAST(1 - l_discount AS DECIMAL(18,12))), 2) AS DOUBLE) AS revenue
+       {_micro_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -274,34 +332,52 @@ GROUP BY p_brand
 # --- rollup / cube / grouping sets --------------------------------------
 
 
-def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+def _exact_base(df, keys, money_col, pcol="p_m"):
+    """Finest-grain exact aggregate for rollup/cube: two-stage BIGINT
+    micro partials -> DECIMAL(38,0) totals + counts per key tuple.
+    Rolling the tiny result up in DECIMAL is exact (sums of exact
+    per-group sums), so the expensive expand+hash-agg over the fact
+    table runs once in codegen long adds and the grouping-set
+    expansion touches only #groups rows — the cascade layer's rollup
+    convention (operators/cascade.py) applied to the analytic surface."""
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"),
-             _dsum(_money(F.col("l_quantity"))).alias("sum_qty"))
+        df.groupBy(*keys, F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(_micro(money_col)).alias("p_part"), F.count("*").alias("p_n"))
+        .groupBy(*keys)
+        .agg(_widen("p_part").alias(pcol), F.sum("p_n").alias("base_n"))
     )
 
 
-ROLLUP_ORACLE = """
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = _exact_base(li, ["l_returnflag", "l_linestatus"], F.col("l_quantity"))
+    return (
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("base_n").alias("n"),
+             _dollars(F.sum("p_m")).alias("sum_qty"))
+    )
+
+
+ROLLUP_ORACLE = f"""
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+       {_micro_sum_sql('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
+    base = _exact_base(orders, ["o_orderstatus", "o_orderpriority"], F.col("o_totalprice"))
     return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"),
-             _dsum(_money(F.col("o_totalprice"))).alias("total"))
+        base.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("base_n").alias("n"),
+             _dollars(F.sum("p_m")).alias("total"))
     )
 
 
-CUBE_ORACLE = """
+CUBE_ORACLE = f"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+       {_micro_sum_sql('o_totalprice')} AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -1038,15 +1114,15 @@ def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.unionByName(cube).unionByName(gsets)
 
 
-GROUPING_ANALYTICS_ORACLE = """
+GROUPING_ANALYTICS_ORACLE = f"""
 SELECT 'rollup' AS gset, l_returnflag AS key1, l_linestatus AS key2,
        count(*) AS n,
-       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS agg_val
+       {_micro_sum_sql('l_quantity')} AS agg_val
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 UNION ALL
 SELECT 'cube' AS gset, o_orderstatus AS key1, o_orderpriority AS key2,
        count(*) AS n,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS agg_val
+       {_micro_sum_sql('o_totalprice')} AS agg_val
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 UNION ALL
 SELECT 'gsets' AS gset, l_returnflag AS key1, l_linestatus AS key2,

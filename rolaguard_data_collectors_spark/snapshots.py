@@ -91,7 +91,7 @@ import json
 import os
 import shutil
 
-from .storage import LOCAL
+from .storage import store_for
 from .tablelock import TableLock
 
 STAGE_PART_PREFIX = "_dp="
@@ -124,7 +124,12 @@ def _fsync_dir(path: str) -> None:
 
 
 def _atomic_write(path: str, payload: str) -> None:
-    tmp = path + ".tmp"
+    # pid+random temp suffix: a FIXED name lets two writers racing in
+    # the documented lease-expiry TOCTOU window interleave write/rename
+    # on one temp file and publish torn content (ADVICE r11); unique
+    # names reduce the worst case to last-rename-wins of a COMPLETE
+    # payload. Crash leftovers end in .tmp and are swept by vacuum.
+    tmp = f"{path}.{os.getpid():x}-{os.urandom(4).hex()}.tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(payload)
         fh.flush()
@@ -156,13 +161,13 @@ class SnapshotStore:
         # manifest -> flip pointer) runs unchanged on a conditional-put
         # object store without atomic rename. Bulk data dirs stay on
         # the filesystem Spark writes to.
-        self._store = adapter if adapter is not None else LOCAL
+        self._store = adapter if adapter is not None else store_for(root)
         self._manifest_cache: dict[int, dict] = {}
 
     # -- identity ----------------------------------------------------------
     @staticmethod
     def is_snapshot(root: str, adapter=None) -> bool:
-        store = adapter if adapter is not None else LOCAL
+        store = adapter if adapter is not None else store_for(root)
         return store.read(
             os.path.join(root, SnapshotStore.VERSION_FILE)
         ) is not None
@@ -190,9 +195,17 @@ class SnapshotStore:
                 }
             ),
         )
-        store._store.put_atomic(
+        # the _VERSION pointer is the table's birth certificate: an
+        # atomic create-if-absent makes a lost two-first-builders race
+        # fail LOUDLY here instead of both racers proceeding to
+        # snapshot-hood (ADVICE r11 — create() previously put_atomic'd
+        # over the winner's pointer)
+        if not store._store.put_if_absent(
             os.path.join(root, cls.VERSION_FILE), json.dumps({"version": 0})
-        )
+        ):
+            raise SnapshotError(
+                f"{root} is already a snapshot table (lost an init race)"
+            )
         return store
 
     @classmethod
@@ -541,7 +554,7 @@ class SnapshotStore:
         sink epoch is undone in CONTENT while staying committed in the
         log, which is exactly the semantics of a corrective commit."""
         with TableLock(self.root, owner="snapshot_rollback",
-                       timeout=lock_timeout):
+                       timeout=lock_timeout, adapter=self._store):
             self.recover()
             v = int(version)
             # bypass the instance cache (round-10 review find): a
@@ -589,7 +602,7 @@ class SnapshotStore:
         the pass (a multi-table store may Z-order only the table that
         has those columns)."""
         with TableLock(self.root, owner="snapshot_compact",
-                       timeout=lock_timeout) as lk:
+                       timeout=lock_timeout, adapter=self._store) as lk:
             self.recover()
             m = self.manifest()
             todo: list[tuple[str, str, list[str]]] = []
@@ -694,7 +707,7 @@ class SnapshotStore:
         if (keep is None) == (before is None):
             raise ValueError("expire needs exactly one of keep= or before=")
         with TableLock(self.root, owner="snapshot_expire",
-                       timeout=lock_timeout):
+                       timeout=lock_timeout, adapter=self._store):
             self.recover()
             m = self.manifest()
             sel = tables or list(m["tables"])
@@ -731,7 +744,7 @@ class SnapshotStore:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         with TableLock(self.root, owner="snapshot_vacuum",
-                       timeout=lock_timeout):
+                       timeout=lock_timeout, adapter=self._store):
             self.recover()
             cur = self.current_version()
             lo = max(0, cur - keep_last + 1)
@@ -785,6 +798,14 @@ class SnapshotStore:
             # live only in the store, so an os.listdir sweep would
             # silently retain every manifest forever
             for mf in self._store.list_prefix(mroot):
+                if mf.endswith(".tmp"):
+                    # crash leftover from an interrupted atomic write
+                    # (pid+random-suffixed temp): every metadata WRITER
+                    # holds this same lease, so any .tmp seen here is
+                    # orphaned, and without this sweep it would sit in
+                    # the listing forever (ADVICE r11)
+                    self._store.delete(os.path.join(mroot, mf))
+                    continue
                 if not (mf.startswith("v") and mf.endswith(".json")):
                     continue
                 v = int(mf[1:-5])

@@ -53,7 +53,14 @@ class LocalFSStore:
         os.makedirs(root, exist_ok=True)
 
     def put_atomic(self, path: str, payload: str) -> None:
-        tmp = path + ".tmp"
+        # pid+random temp suffix (ADVICE r11): a fixed `path + '.tmp'`
+        # (a) let two writers racing in the lease-expiry TOCTOU window
+        # interleave on ONE temp file and rename torn content over the
+        # target, and (b) left a crash's orphan where vacuum's
+        # list_prefix sweep skipped it forever. Unique names make each
+        # rename publish a complete payload; orphans end in .tmp and
+        # vacuum's manifest sweep deletes them.
+        tmp = f"{path}.{os.getpid():x}-{os.urandom(4).hex()}.tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(payload)
             fh.flush()
@@ -180,3 +187,41 @@ class MemoryConditionalStore:
 
 
 LOCAL = LocalFSStore()
+
+
+# --- path -> store resolution (round 12, ADVICE r11) -----------------------
+#
+# The sinks and builders (NearDupLedgerSink, IvfAppendSink, the
+# persist_*/append_*/maintenance paths) construct SnapshotStore and
+# TableLock from a table ROOT alone — threading an explicit adapter
+# through every one of those call sites would make the seam a
+# per-callsite chore and any missed site a silent LOCAL fallback (the
+# exact bug class ADVICE r11 flagged for the internal maintenance
+# locks). Instead the store is RESOLVED from the path, Hadoop
+# FileSystem.get-style: an adapter registered for a prefix (e.g.
+# "s3://bucket/warehouse") is picked up by every construction site at
+# once, longest prefix wins, LOCAL otherwise. Explicit ``adapter=``
+# still overrides (tests pass stores directly).
+
+_ADAPTERS: list[tuple[str, object]] = []
+
+
+def register_adapter(prefix: str, store) -> None:
+    """Route every SnapshotStore/TableLock whose root starts with
+    ``prefix`` through ``store``. Longest registered prefix wins."""
+    unregister_adapter(prefix)
+    _ADAPTERS.append((prefix, store))
+    _ADAPTERS.sort(key=lambda ps: len(ps[0]), reverse=True)
+
+
+def unregister_adapter(prefix: str) -> None:
+    _ADAPTERS[:] = [ps for ps in _ADAPTERS if ps[0] != prefix]
+
+
+def store_for(path: str):
+    """The store governing ``path``: longest registered prefix match,
+    else the POSIX default."""
+    for prefix, store in _ADAPTERS:
+        if path.startswith(prefix):
+            return store
+    return LOCAL

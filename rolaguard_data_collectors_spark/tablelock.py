@@ -54,7 +54,7 @@ import socket
 import time
 import uuid
 
-from .storage import LOCAL
+from .storage import store_for
 
 
 class LockHeldError(TimeoutError):
@@ -99,7 +99,11 @@ class TableLock:
         # O_EXCL/rename behavior; a conditional-put adapter runs the
         # same protocol on stores without atomic rename (and its true
         # CAS closes the local read-compare-replace TOCTOU windows).
-        self._store = adapter if adapter is not None else LOCAL
+        # With no explicit adapter the store is RESOLVED from the
+        # root (storage.store_for), so locks built deep inside sinks
+        # and builders land on the same store as the metadata they
+        # protect (ADVICE r11).
+        self._store = adapter if adapter is not None else store_for(root)
         self._held = False
         # Exact payload we last wrote: refresh/release are conditional
         # on it (compare-and-swap identity — strictly stronger than

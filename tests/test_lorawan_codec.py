@@ -472,3 +472,106 @@ def test_ja_reference_comment_vector_shape():
     assert prep is not None and prep[0] == 0x20 and len(prep[1]) == 16
     wrong = [bytes([0] * 14 + [i, j]) for i in range(16) for j in range(256)]
     assert lc.test_app_keys_with_join_accept(raw, wrong) == []
+
+
+# --- key-batched numpy AES kernel (round 12, VERDICT r11 item 6) ----------
+
+
+def test_np_aes_fips197_vector():
+    """FIPS-197 appendix C.1: the public AES-128 known-answer test."""
+    import numpy as np
+
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = lc.aes128_expand_keys_np(
+        np.frombuffer(key, dtype=np.uint8).reshape(1, 16)
+    )
+    got = lc.aes128_encrypt_blocks_np(
+        rk, np.zeros(1, dtype=np.intp),
+        np.frombuffer(pt, dtype=np.uint8).reshape(1, 16),
+    )[0].tobytes()
+    assert got == bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+
+
+@given(st.integers(0, 2**128 - 1), st.integers(0, 2**128 - 1))
+@settings(max_examples=50, deadline=None)
+def test_np_aes_matches_openssl(key_int, block_int):
+    """The T-table kernel is bit-identical to the OpenSSL-backed
+    scalar path on arbitrary (key, block) pairs."""
+    import numpy as np
+
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    key = key_int.to_bytes(16, "big")
+    block = block_int.to_bytes(16, "big")
+    rk = lc.aes128_expand_keys_np(
+        np.frombuffer(key, dtype=np.uint8).reshape(1, 16)
+    )
+    got = lc.aes128_encrypt_blocks_np(
+        rk, np.zeros(1, dtype=np.intp),
+        np.frombuffer(block, dtype=np.uint8).reshape(1, 16),
+    )[0].tobytes()
+    assert got == lc.aes128_encrypt(key, block)
+
+
+def test_ja_survivors_batch_matches_scalar():
+    """ja_survivors_batch (key-batched numpy sweep kernel) returns
+    exactly ja_survivors' per-key flags — planted key cracks all
+    frames, structured non-keys crack none — across the internal
+    cache-chunk boundary (chunk size for 12 frames is 491, so 1200
+    keys exercises multi-chunk reassembly)."""
+    import hashlib
+
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    app_key = hashlib.md5(b"app-3").digest()
+    frames = []
+    for i in range(12):
+        ja = lc.encode_join_accept(
+            app_key, i.to_bytes(3, "little"), b"\x13\x00\x00", "%08x" % i
+        )
+        frames.append(lc.ja_crack_prep(ja))
+    cands = [hashlib.md5(b"not-%d" % i).digest() for i in range(1200)]
+    cands.insert(777, app_key)
+    flags = lc.ja_survivors_batch(cands, frames)
+    assert flags.shape == (len(cands), len(frames))
+    for row, key in enumerate(cands):
+        want = lc.ja_survivors(key, frames)
+        assert list(flags[row]) == want, row
+    assert flags[777].all()
+    assert flags.sum() == len(frames)
+
+
+def test_ja_survivors_batch_empty_edges():
+    import hashlib
+
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    key = hashlib.md5(b"app-0").digest()
+    ja = lc.encode_join_accept(key, b"\x01\x00\x00", b"\x13\x00\x00", "0000002a")
+    frames = [lc.ja_crack_prep(ja)]
+    assert lc.ja_survivors_batch([], frames).shape == (0, 1)
+    assert lc.ja_survivors_batch([key], []).shape == (1, 0)
+
+
+def test_ja_survivors_batch_mixed_body_lengths():
+    """16- and 32-byte bodies (without/with CFList) in ONE sample:
+    the kernel groups by body length; survivors must still be exact
+    per (key, frame)."""
+    import hashlib
+
+    from rolaguard_data_collectors_spark.functions import lorawan_codec as lc
+
+    k_a = hashlib.md5(b"app-a").digest()
+    k_b = hashlib.md5(b"app-b").digest()
+    frames = []
+    for i, key in enumerate([k_a, k_b, k_a]):
+        ja = lc.encode_join_accept(
+            key, i.to_bytes(3, "little"), b"\x13\x00\x00", "%08x" % i,
+            cf_list=bytes(16) if i == 1 else None,
+        )
+        frames.append(lc.ja_crack_prep(ja))
+    flags = lc.ja_survivors_batch([k_a, k_b], frames)
+    assert [list(r) for r in flags] == [[True, False, True], [False, True, False]]
