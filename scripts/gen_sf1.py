@@ -21,9 +21,17 @@ Per-replica transforms:
   vectors keep the corpus distribution (the originals are random unit
   vectors) and give cross-replica cosines ~N(0, 1/64) — indistinguishable
   from more of the same data;
+- `events.ts` replicas (k>0) shift by k whole spans (day-granular) so
+  the TIME AXIS extends 10x instead of densifying 10x (round-12 find:
+  verbatim ts replication made every 30-minute window hold 10x events
+  AND created 10x windows, so the bucketed range join's true pair
+  count grew 100x — time_windows at sf1 measured data shape, not
+  engine cost; real 10x data covers more time at similar density);
 - region/nation copy unchanged (fixed dims at every TPC-H SF).
 
-Usage: python scripts/gen_sf1.py [out_dir]   (default testdata_sf1/)
+Usage: python scripts/gen_sf1.py [out_dir] [K] [tables_csv]
+(defaults: testdata_sf1/, K=10, all tables; K=30 with a table
+subset generates the sf3 spot-check slices for the scale curve)
 """
 
 from __future__ import annotations
@@ -37,7 +45,7 @@ SRC = "/root/testdata/sf0.1"
 K = 10
 
 
-def main(out: str) -> None:
+def main(out: str, k: int = K, tables: "set[str] | None" = None) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 8")
@@ -46,6 +54,8 @@ def main(out: str) -> None:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
     def write(t: str, sql: str) -> None:
+        if tables is not None and t not in tables:
+            return
         con.execute(
             f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
@@ -67,7 +77,7 @@ def main(out: str) -> None:
         f"SELECT max(user_id) + 1 FROM {src('events')}"
     ).fetchone()[0]
 
-    rep = "(SELECT range AS k FROM range(%d)) reps" % K
+    rep = "(SELECT range AS k FROM range(%d)) reps" % k
     write("customer", f"""
         SELECT c_custkey + k * {offs['customer']} AS c_custkey,
                c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -92,8 +102,12 @@ def main(out: str) -> None:
                l_linenumber, l_quantity, l_extendedprice, l_discount,
                l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM {src('lineitem')} CROSS JOIN {rep}""")
+    span_days = con.sql(
+        f"SELECT date_diff('day', min(ts), max(ts)) + 1 FROM {src('events')}"
+    ).fetchone()[0]
     write("events", f"""
-        SELECT event_id + k * {offs['events']} AS event_id, ts,
+        SELECT event_id + k * {offs['events']} AS event_id,
+               ts + (k * {span_days}) * INTERVAL 1 DAY AS ts,
                user_id + k * {offs['user']} AS user_id,
                event_type, value, props
         FROM {src('events')} CROSS JOIN {rep}""")
@@ -110,7 +124,7 @@ def main(out: str) -> None:
     # normalized to unit length (the source corpus is unit vectors) —
     # independent of the original, reproducible, no RNG state.
     write("embeddings", f"""
-        WITH reps AS (SELECT range AS k FROM range({K})),
+        WITH reps AS (SELECT range AS k FROM range({k})),
         raws AS (
           SELECT vec_id + k * {offs['embeddings']} AS vec_id, k, label,
                  embedding,
@@ -129,6 +143,9 @@ def main(out: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else
-         os.path.join(os.path.dirname(os.path.dirname(
-             os.path.abspath(__file__))), "testdata_sf1"))
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "testdata_sf1")
+    k_arg = int(sys.argv[2]) if len(sys.argv) > 2 else K
+    tbls = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    main(out_dir, k_arg, tbls)

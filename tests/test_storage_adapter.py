@@ -231,3 +231,115 @@ def test_epoch_replay_guard_on_memory_store(spark, tmp_path):
     assert store.epoch_replay_check("append", 2) is False
     with pytest.raises(Exception, match="epoch regression"):
         store.epoch_replay_check("append", 0)
+
+
+# --- round 12 (ADVICE r11): path-prefix adapter resolution, internal
+# lock routing, unique tmp names, create-race loudness ----------------------
+
+
+def test_store_resolution_by_prefix(tmp_path):
+    """A registered prefix routes EVERY bare SnapshotStore/TableLock
+    construction (the sink/builder shape: path only, no adapter=) to
+    the adapter — including the maintenance entry points' internal
+    locks, which previously fell back to the local filesystem and
+    silently voided cross-host mutual exclusion."""
+    from rolaguard_data_collectors_spark import storage
+    from rolaguard_data_collectors_spark.snapshots import SnapshotStore
+    from rolaguard_data_collectors_spark.tablelock import TableLock
+
+    root = str(tmp_path / "routed")
+    ad = MemoryConditionalStore()
+    storage.register_adapter(str(tmp_path), ad)
+    try:
+        st = SnapshotStore.create(root)  # no adapter= anywhere
+        assert st._store is ad
+        # metadata landed in the memory store, not on disk
+        assert ad.read(os.path.join(root, "_VERSION")) is not None
+        assert not os.path.exists(os.path.join(root, "_VERSION"))
+        # a bare TableLock resolves to the same store: its lease file
+        # must be visible to (and block) an adapter-passing competitor
+        with TableLock(root, owner="bare"):
+            comp = TableLock(root, owner="explicit", adapter=ad,
+                             timeout=0.1, poll=0.02)
+            with pytest.raises(LockHeldError):
+                comp.acquire()
+        # unrelated paths still resolve to the POSIX default
+        other = str(tmp_path.parent / "elsewhere-root")
+        from rolaguard_data_collectors_spark.storage import LOCAL, store_for
+        assert store_for(other) is LOCAL
+    finally:
+        storage.unregister_adapter(str(tmp_path))
+
+
+def test_create_lost_race_fails_loudly(tmp_path):
+    """Two first-builders racing through create(): the loser's
+    _VERSION put_if_absent fails and create() raises instead of
+    silently re-pointing the winner's table (ADVICE r11)."""
+    from rolaguard_data_collectors_spark.snapshots import (
+        SnapshotError,
+        SnapshotStore,
+    )
+
+    root = str(tmp_path / "race")
+    ad = MemoryConditionalStore()
+    SnapshotStore.create(root, adapter=ad)
+    with pytest.raises(SnapshotError, match="already a snapshot"):
+        SnapshotStore.create(root, adapter=ad)
+
+
+def test_vacuum_sweeps_orphan_tmp(spark, tmp_path):
+    """A crash-orphaned atomic-write temp file under _manifests is
+    deleted by vacuum's manifest sweep instead of surviving every
+    sweep forever (ADVICE r11: the old fixed '.tmp' name was also
+    skipped by the v*.json filter)."""
+    import pandas as pd
+
+    from rolaguard_data_collectors_spark.snapshots import SnapshotStore
+
+    root = str(tmp_path / "t")
+    store = SnapshotStore.create(root)
+    edir = str(tmp_path / "stage")
+    os.makedirs(os.path.join(edir, "tbl", "_dp=2024-01-01"))
+    pd.DataFrame({"a": [1]}).to_parquet(
+        os.path.join(edir, "tbl", "_dp=2024-01-01", "p.parquet")
+    )
+    store.commit_staged(edir, op="init")
+    orphan = os.path.join(root, "_manifests",
+                          "v000001.json.deadbeef-aa.tmp")
+    with open(orphan, "w", encoding="utf-8") as fh:
+        fh.write("{torn")
+    store.vacuum(keep_last=2)
+    assert not os.path.exists(orphan)
+    # the real manifest survived
+    assert store.manifest()["version"] == 1
+
+
+def test_atomic_write_tmp_names_unique(tmp_path):
+    """Concurrent atomic writes to one path never share a temp file
+    (the lease-expiry TOCTOU interleave ADVICE r11 flagged): each
+    rename publishes a COMPLETE payload."""
+    from rolaguard_data_collectors_spark.storage import LocalFSStore
+
+    store = LocalFSStore()
+    path = str(tmp_path / "target")
+    payloads = ["x" * 10_000, "y" * 10_000]
+    errs: list = []
+
+    def writer(p):
+        try:
+            for _ in range(50):
+                store.put_atomic(path, p)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(p,)) for p in payloads]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    with open(path, encoding="utf-8") as fh:
+        final = fh.read()
+    assert final in payloads, "torn payload published"
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    assert leftovers == [], leftovers

@@ -1,19 +1,23 @@
-"""Live-socket legs of the transports (VERDICT r10 item 4).
+"""Live-socket legs of the transports (VERDICT r10 item 4; r11 item 8
+closed the MQTT/WebSocket gates).
 
-The container has no MQTT broker, no paho/websocket-client — but the
-TTN v3 SSE leg needs only `requests` (present) and an HTTP server, so
-that callback->queue->poll path runs FOR REAL here against a stdlib
-server speaking the actual SSE protocol (streaming POST, Authorization
-header, identifiers body, blank-line-delimited events, reconnect after
-server close). The MQTT/WebSocket queue halves run through
-put_evict_oldest directly.
+Every transport's socket leg now runs FOR REAL in this container,
+each against a local server speaking the actual public protocol:
 
-Residual gates (exact missing dependency, per transport):
-- MqttTransport.connect/close: needs `paho-mqtt` (not in container;
-  ImportError in __init__ names it) + a broker socket.
-- TTNv2WebSocketTransport.connect: needs `websocket-client` (not in
-  container; ImportError in __init__ names it); its HTTP session half
-  (login/token/refresh) is local-server tested in test_ttn_v2_session.
+- TTN v3 SSE: stdlib HTTP server, streaming POST + Authorization +
+  identifiers body + blank-line-delimited events + reconnect.
+- MQTT: the transport's vendored MQTT 3.1.1 fallback client
+  (_vendor/mqttshim — used when paho-mqtt is absent, as here) against
+  a mini-broker socket: CONNECT auth, SUBSCRIBE filters observed on
+  the wire, QoS 0/1 PUBLISH fan-in, PUBACK, DISCONNECT.
+- TTN v2 WebSocket: the vendored RFC 6455 fallback client
+  (_vendor/wsshim — used when websocket-client is absent) against a
+  handshake+frame server, preceded by the REAL local-HTTP login/token
+  flow; on_open gateway/token subscriptions asserted on the wire.
+
+With paho-mqtt / websocket-client installed the transports prefer
+them (TLS, QoS 2, deflate); these tests pin the fallback path, and
+test_ttn_v2_session pins the HTTP session half separately.
 """
 
 from __future__ import annotations
@@ -141,3 +145,347 @@ def test_put_evict_oldest_no_drop_when_space():
     q: queue.Queue = queue.Queue(maxsize=10)
     assert put_evict_oldest(q, RawMessage("t", "x", 0)) == 0
     assert q.qsize() == 1
+
+
+# --- MQTT over a real local broker socket (round 12, VERDICT r11 #8) -------
+
+
+class _MiniBroker:
+    """Minimal MQTT 3.1.1 broker for the test: CONNECT/CONNACK with
+    credential check, SUBSCRIBE/SUBACK, PINGREQ/PINGRESP, QoS 0/1
+    PUBLISH fan-out to matching filters, PUBACK collection. Speaks the
+    same public wire format as the vendored client (mqttshim helpers),
+    over a real TCP socket."""
+
+    def __init__(self, user=None, password=None):
+        import socket
+
+        from rolaguard_data_collectors_spark._vendor import mqttshim as m
+
+        self._m = m
+        self.user, self.password = user, password
+        self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(4)
+        self.port = self.srv.getsockname()[1]
+        self.subs: list[tuple] = []  # (conn, filter, qos)
+        self.connects: list[dict] = []
+        self.pubacks: list[int] = []
+        self.disconnects = 0
+        self._lock = threading.Lock()
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self):
+        while True:
+            try:
+                conn, _ = self.srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn):
+        import struct
+
+        m = self._m
+        try:
+            ptype, _, body = m.read_packet(conn)
+            assert ptype == m.CONNECT
+            # parse: proto name, level, flags, keepalive, client id, [u, p]
+            off = 2 + struct.unpack(">H", body[:2])[0]
+            level, flags = body[off], body[off + 1]
+            off += 4  # level + flags + keepalive
+            fields = []
+            while off < len(body):
+                ln = struct.unpack(">H", body[off:off + 2])[0]
+                fields.append(body[off + 2:off + 2 + ln])
+                off += 2 + ln
+            info = {"level": level, "flags": flags,
+                    "client_id": fields[0].decode()}
+            if flags & 0x80:
+                info["user"] = fields[1].decode()
+            if flags & 0x40:
+                info["password"] = fields[2].decode()
+            with self._lock:
+                self.connects.append(info)
+            ok = (self.user is None
+                  or (info.get("user") == self.user
+                      and info.get("password") == self.password))
+            conn.sendall(m.encode_packet(m.CONNACK, 0,
+                                         bytes([0, 0 if ok else 4])))
+            if not ok:
+                conn.close()
+                return
+            while True:
+                ptype, pflags, body = m.read_packet(conn)
+                if ptype == m.SUBSCRIBE:
+                    pktid = struct.unpack(">H", body[:2])[0]
+                    ln = struct.unpack(">H", body[2:4])[0]
+                    filt = body[4:4 + ln].decode()
+                    qos = body[4 + ln]
+                    with self._lock:
+                        self.subs.append((conn, filt, qos))
+                    conn.sendall(m.encode_packet(
+                        m.SUBACK, 0, struct.pack(">H", pktid) + bytes([qos])))
+                elif ptype == m.PUBACK:
+                    with self._lock:
+                        self.pubacks.append(struct.unpack(">H", body[:2])[0])
+                elif ptype == m.PINGREQ:
+                    conn.sendall(m.encode_packet(m.PINGRESP, 0, b""))
+                elif ptype == m.DISCONNECT:
+                    with self._lock:
+                        self.disconnects += 1
+                    conn.close()
+                    return
+        except (m.MqttShimError, OSError, AssertionError):
+            return
+
+    def publish(self, topic: str, payload: bytes, qos: int = 0,
+                pktid: int = 77):
+        import struct
+
+        m = self._m
+        body = struct.pack(">H", len(topic)) + topic.encode()
+        if qos:
+            body += struct.pack(">H", pktid)
+        body += payload
+        with self._lock:
+            targets = [c for c, f, _ in self.subs if m.topic_matches(f, topic)]
+        for c in targets:
+            c.sendall(m.encode_packet(m.PUBLISH, qos << 1, body))
+
+    def close(self):
+        self.srv.close()
+
+
+def _drain(transport, want: int, timeout_s: float = 5.0):
+    got: list[RawMessage] = []
+    deadline = time.monotonic() + timeout_s
+    while len(got) < want and time.monotonic() < deadline:
+        got.extend(transport.poll(100))
+        time.sleep(0.02)
+    return got
+
+
+def test_mqtt_transport_live_socket():
+    """The full MQTT socket leg, no paho in the container: the
+    transport's vendored-3.1.1 fallback connects to a real local
+    broker socket, authenticates, subscribes both configured filters,
+    receives QoS 0 and QoS 1 publishes (acking the latter), filters by
+    topic via the broker, and disconnects cleanly."""
+    from rolaguard_data_collectors_spark.sources.transports import (
+        MqttConfig,
+        MqttTransport,
+    )
+
+    broker = _MiniBroker(user="collector", password="pw")
+    try:
+        t = MqttTransport(MqttConfig(
+            host="127.0.0.1", port=broker.port,
+            topics=("gateway/#", "application/+/up"),
+            user="collector", password="pw",
+        ))
+        t.connect()
+        deadline = time.monotonic() + 5
+        while len(broker.subs) < 2 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert [f for _, f, _ in broker.subs] == [
+            "gateway/#", "application/+/up"
+        ]
+        assert broker.connects[0]["user"] == "collector"
+        assert broker.connects[0]["level"] == 4  # MQTT 3.1.1
+
+        broker.publish("gateway/aa01/rx", b'{"rssi":-90}', qos=0)
+        broker.publish("application/7/up", b'{"fcnt":3}', qos=1, pktid=42)
+        broker.publish("other/ignored", b"nope", qos=0)
+        got = _drain(t, 2)
+        assert {(r.topic, r.value) for r in got} == {
+            ("gateway/aa01/rx", '{"rssi":-90}'),
+            ("application/7/up", '{"fcnt":3}'),
+        }
+        # QoS 1 delivery was acked on the wire
+        deadline = time.monotonic() + 5
+        while not broker.pubacks and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert broker.pubacks == [42]
+        assert t.dropped_messages == 0
+
+        t.close()
+        deadline = time.monotonic() + 5
+        while broker.disconnects < 1 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert broker.disconnects == 1
+    finally:
+        broker.close()
+
+
+def test_mqtt_transport_bad_credentials_refused():
+    from rolaguard_data_collectors_spark._vendor.mqttshim import MqttShimError
+    from rolaguard_data_collectors_spark.sources.transports import (
+        MqttConfig,
+        MqttTransport,
+    )
+
+    broker = _MiniBroker(user="collector", password="pw")
+    try:
+        t = MqttTransport(MqttConfig(
+            host="127.0.0.1", port=broker.port,
+            user="collector", password="wrong",
+        ))
+        with pytest.raises((MqttShimError, ConnectionError)):
+            t.connect()
+    finally:
+        broker.close()
+
+
+# --- TTN v2 WebSocket over a real local server socket ----------------------
+
+
+class _MiniWsConsole:
+    """One-connection RFC 6455 server + the TTN v2 console HTTP
+    endpoints (login/cookie/refresh), so TTNv2WebSocketTransport's
+    connect() runs its real path: HTTP login -> token fetch -> ws
+    handshake -> on_open subscriptions -> server push -> queue."""
+
+    def __init__(self):
+        import socket
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        from rolaguard_data_collectors_spark._vendor import wsshim as w
+
+        self._w = w
+        self.received: list[str] = []
+        self.handshake_path: str | None = None
+
+        # HTTP half (login/cookie/refresh)
+        outer = self
+
+        class _H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                self.rfile.read(int(self.headers["Content-Length"]))
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"{}")
+
+            def do_GET(self):
+                if self.path == "/refresh":
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(json.dumps(
+                        {"access_token": "tok-live",
+                         "expires": (time.time() + 3600) * 1000}
+                    ).encode())
+                else:
+                    self.send_response(200)
+                    self.send_header("Set-Cookie", "console_session=s1")
+                    self.end_headers()
+                    self.wfile.write(b"ok")
+
+        self.http = HTTPServer(("127.0.0.1", 0), _H)
+        threading.Thread(target=self.http.serve_forever, daemon=True).start()
+
+        # WS half
+        self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.ws_port = self.srv.getsockname()[1]
+        self._conn = None
+        self._ready = threading.Event()
+        threading.Thread(target=self._serve_ws, daemon=True).start()
+
+    def _serve_ws(self):
+        w = self._w
+        try:
+            conn, _ = self.srv.accept()
+        except OSError:
+            return
+        self._conn = conn
+        head = b""
+        while b"\r\n\r\n" not in head:
+            head += conn.recv(4096)
+        lines = head.split(b"\r\n")
+        self.handshake_path = lines[0].split()[1].decode()
+        key = next(
+            ln.split(b":", 1)[1].strip().decode()
+            for ln in lines if ln.lower().startswith(b"sec-websocket-key:")
+        )
+        conn.sendall((
+            "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+            "Connection: Upgrade\r\n"
+            f"Sec-WebSocket-Accept: {w.accept_key(key)}\r\n\r\n"
+        ).encode())
+        self._ready.set()
+        try:
+            while True:
+                opcode, payload = w.read_frame(conn)
+                if opcode == w.OP_TEXT:
+                    self.received.append(payload.decode())
+                elif opcode == w.OP_PING:
+                    conn.sendall(w.encode_frame(w.OP_PONG, payload, mask=False))
+                elif opcode == w.OP_CLOSE:
+                    conn.sendall(w.encode_frame(w.OP_CLOSE, payload, mask=False))
+                    return
+        except (w.WsShimError, OSError):
+            return
+
+    def push(self, text: str):
+        self._conn.sendall(
+            self._w.encode_frame(self._w.OP_TEXT, text.encode(), mask=False)
+        )
+
+    def close(self):
+        self.srv.close()
+        self.http.shutdown()
+
+
+def test_ttn_v2_ws_transport_live_socket():
+    """The full TTN v2 WebSocket leg, no websocket-client in the
+    container: login + token over local HTTP, RFC 6455 handshake over
+    a local TCP socket via the vendored client, on_open gateway/token
+    subscriptions observed ON THE WIRE, server-pushed frames landing
+    in poll(), clean close."""
+    from rolaguard_data_collectors_spark.sources.transports import (
+        TTNv2Config,
+        TTNv2WebSocketTransport,
+    )
+
+    console = _MiniWsConsole()
+    try:
+        base = f"http://127.0.0.1:{console.http.server_port}"
+        cfg = TTNv2Config(
+            account_login_url=f"{base}/api/v2/users/login",
+            login_url=f"{base}/login",
+            access_token_url=f"{base}/refresh",
+            ws_url=(f"ws://127.0.0.1:{console.ws_port}"
+                    "/api/events/644/lta0xryg/websocket?version=v2.6.11"),
+            gateway_ids=("gw-a", "gw-b"),
+            user="u", password="p",
+        )
+        t = TTNv2WebSocketTransport(cfg)
+        t.connect()
+        assert console._ready.wait(5), "no ws handshake"
+        assert console.handshake_path == (
+            "/api/events/644/lta0xryg/websocket?version=v2.6.11"
+        )
+        deadline = time.monotonic() + 5
+        while len(console.received) < 3 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert console.received == [
+            '["gateway:gw-a"]', '["gateway:gw-b"]', '["token:tok-live"]'
+        ]
+
+        console.push('h')  # SockJS keepalive (dropped downstream)
+        console.push('a["{\\"gatewayID\\":\\"gw-a\\"}"]')
+        got = _drain(t, 2)
+        assert [r.value for r in got] == [
+            'h', 'a["{\\"gatewayID\\":\\"gw-a\\"}"]'
+        ]
+        t.close()
+    finally:
+        console.close()
