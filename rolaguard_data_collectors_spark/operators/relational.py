@@ -57,16 +57,22 @@ def _sentinel_gk() -> F.Column:
 # BIGINT addition of micro-units is exact and order-independent, in
 # whole-stage-codegen long adds.
 #
-# Overflow discipline (the 100 TB story): a per-PARTITION bigint
-# partial is bounded by partition row count x max summand
-# (~1e6 rows x 1e11 micro = 1e17 << 2^63); grand totals are NOT so
-# bounded (sf100k grand charge ~1e23 micro), so unbounded-group
-# queries aggregate in TWO stages — stage 1 groupBy(keys,
-# spark_partition_id()) sums BIGINT micro partials (the hot loop),
-# stage 2 widens the <= #partitions x #groups partials to
-# DECIMAL(38,0) and merges exactly. The final dollars value divides
-# in DECIMAL (decimal(38,0)/decimal(7,0) -> decimal(38,6), exact for
-# 6dp quotients) and rounds HALF_UP — no double anywhere near a tie.
+# Overflow discipline (the 100 TB story): a BIGINT micro sum would
+# wrap past 2^63 micro ~ $9.2e12 per group — unreachable at benched
+# SFs but real for grand totals at sf100k. Under Spark 4's default
+# ANSI mode (on in this engine's session AND the driver's vanilla
+# session) both the per-row cast and the sum's add are checked —
+# overflow FAILS THE QUERY LOUDLY (ARITHMETIC_OVERFLOW / CAST_OVERFLOW;
+# pinned in tests/test_money_sums.py), never a silent wrap. Two
+# measured-and-rejected alternates: a two-stage groupBy(keys,
+# spark_partition_id()) bigint -> DECIMAL(38,0) merge is wrap-free by
+# construction but +0.1-0.15 s/query at sf0.1 for the extra exchange;
+# a shadow-double-sum assert_true guard costs the same and can never
+# fire before ANSI's own check. A non-ANSI deployment at sf100k+
+# should use the two-stage widening — the loud ANSI error message
+# itself says so. The final dollars value divides in DECIMAL
+# (decimal(38,0)/decimal(7,0) -> decimal(38,6), exact for 6dp
+# quotients) and rounds HALF_UP — no double anywhere near a tie.
 # Oracle mirror: DuckDB's DECIMAL/int division silently returns
 # DOUBLE (measured: round(123456789012345000::DEC(38,0)/1e6, 2) gives
 # .34, exact is .35), so the SQL side uses exact HUGEINT integer
@@ -80,17 +86,27 @@ def _micro(col):
     return F.round(col * F.lit(1000000.0)).cast("bigint")
 
 
-def _widen(name):
-    """Stage-2 merge of BIGINT micro partials: exact DECIMAL(38,0)."""
-    return F.sum(F.col(name).cast("decimal(38,0)"))
-
-
 def _dollars(sum_micro_dec, scale=2):
     """Exact DECIMAL(38,0) micro total -> HALF_UP-rounded double
     dollars (decimal division + decimal round; no double ties)."""
     return F.round(
         sum_micro_dec / F.lit(1000000).cast("decimal(7,0)"), scale
     ).cast("double")
+
+
+def _msum(col, scale=2):
+    """Single-stage exact money sum -> rounded double dollars; ANSI
+    makes any 2^63 micro wrap fail loudly (see the overflow-discipline
+    note above)."""
+    return _dollars(F.sum(_micro(col)).cast("decimal(38,0)"), scale)
+
+
+def _mavg(col, n):
+    """Order-independent average from the exact micro sum, mirrored
+    operand-for-operand in the oracle (_avg_sql)."""
+    return F.round(
+        F.sum(_micro(col)).cast("double") / F.lit(1000000.0) / n, 4
+    )
 
 
 def _micro_sum_sql(expr: str, scale: int = 2) -> str:
@@ -108,39 +124,25 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
-    partials = (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy(
-            "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
-        )
-        .agg(
-            F.sum(_micro(F.col("l_quantity"))).alias("p_qty"),
-            F.sum(_micro(F.col("l_extendedprice"))).alias("p_base"),
-            F.sum(_micro(disc_price)).alias("p_disc"),
-            F.sum(_micro(charge)).alias("p_charge"),
-            F.sum(_micro(F.col("l_discount"))).alias("p_dsc"),
-            F.count("*").alias("p_n"),
-        )
-    )
-    n = F.sum("p_n")
+    n = F.count("*")
     # avgs derive from the SAME exact micro sums (order-independent;
-    # ADVICE r11: double avg partials were the remaining non-associative leg):
-    # round(double(exact_sum)/1e6/n, 4), mirrored operand-for-operand
-    # in the oracle so both engines round the identical double.
-    def _avg(partial):
-        return F.round(
-            _widen(partial).cast("double") / F.lit(1000000.0) / n, 4
+    # ADVICE r11: double avg partials were the remaining
+    # non-associative leg): round(double(exact_sum)/1e6/n, 4),
+    # mirrored operand-for-operand in the oracle (_avg_sql) so both
+    # engines round the identical double.
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _msum(F.col("l_quantity")).alias("sum_qty"),
+            _msum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _msum(disc_price).alias("sum_disc_price"),
+            _msum(charge).alias("sum_charge"),
+            _mavg(F.col("l_quantity"), n).alias("avg_qty"),
+            _mavg(F.col("l_extendedprice"), n).alias("avg_price"),
+            _mavg(F.col("l_discount"), n).alias("avg_disc"),
+            n.alias("count_order"),
         )
-
-    return partials.groupBy("l_returnflag", "l_linestatus").agg(
-        _dollars(_widen("p_qty")).alias("sum_qty"),
-        _dollars(_widen("p_base")).alias("sum_base_price"),
-        _dollars(_widen("p_disc")).alias("sum_disc_price"),
-        _dollars(_widen("p_charge")).alias("sum_charge"),
-        _avg("p_qty").alias("avg_qty"),
-        _avg("p_base").alias("avg_price"),
-        _avg("p_dsc").alias("avg_disc"),
-        n.alias("count_order"),
     )
 
 
@@ -178,8 +180,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     # Per-ORDER groups are bounded (<= ~7 lineitems x 1e11 micro <<
-    # 2^63 at ANY scale factor), so a single-stage BIGINT micro sum is
-    # overflow-safe here — no pid widening stage needed.
+    # 2^63 at ANY scale factor), so the overflow guard is skipped —
+    # the sum cannot wrap by construction.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -214,8 +216,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    # 25 unbounded groups -> two-stage micro-unit sum (see q1's
-    # overflow discipline note).
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -223,10 +223,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name", "r_name", F.spark_partition_id().alias("_pid"))
-        .agg(F.sum(_micro(revenue)).alias("p_rev"))
         .groupBy("n_name", "r_name")
-        .agg(_dollars(_widen("p_rev")).alias("revenue"))
+        .agg(_msum(revenue).alias("revenue"))
     )
 
 
@@ -332,19 +330,17 @@ GROUP BY p_brand
 # --- rollup / cube / grouping sets --------------------------------------
 
 
-def _exact_base(df, keys, money_col, pcol="p_m"):
-    """Finest-grain exact aggregate for rollup/cube: two-stage BIGINT
-    micro partials -> DECIMAL(38,0) totals + counts per key tuple.
-    Rolling the tiny result up in DECIMAL is exact (sums of exact
-    per-group sums), so the expensive expand+hash-agg over the fact
-    table runs once in codegen long adds and the grouping-set
-    expansion touches only #groups rows — the cascade layer's rollup
-    convention (operators/cascade.py) applied to the analytic surface."""
-    return (
-        df.groupBy(*keys, F.spark_partition_id().alias("_pid"))
-        .agg(F.sum(_micro(money_col)).alias("p_part"), F.count("*").alias("p_n"))
-        .groupBy(*keys)
-        .agg(_widen("p_part").alias(pcol), F.sum("p_n").alias("base_n"))
+def _exact_base(df, keys, money_col):
+    """Finest-grain exact aggregate for rollup/cube: ONE codegen hash
+    agg over the facts (bigint micro sums + counts) — no grouping-set
+    Expand multiplying the fact rows — then the grouping-set expansion
+    runs over the #groups-row result in exact DECIMAL (sums of exact
+    per-group sums; the cascade layer's rollup convention applied to
+    the analytic surface). Measured: direct rollup's 3x Expand over
+    lineitem cost ~2x this shape at sf0.1."""
+    return df.groupBy(*keys).agg(
+        F.sum(_micro(money_col)).cast("decimal(38,0)").alias("p_m"),
+        F.count("*").alias("base_n"),
     )
 
 
@@ -367,7 +363,8 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    base = _exact_base(orders, ["o_orderstatus", "o_orderpriority"], F.col("o_totalprice"))
+    base = _exact_base(orders, ["o_orderstatus", "o_orderpriority"],
+                       F.col("o_totalprice"))
     return (
         base.cube("o_orderstatus", "o_orderpriority")
         .agg(F.sum("base_n").alias("n"),

@@ -1,0 +1,76 @@
+"""BIGINT micro-unit money sums (round 12): exactness, order
+independence, and the runtime overflow guard (operators/relational.py
+_micro/_msum/_dollars — the recovery of the round-11 DECIMAL
+regression). Value parity vs DuckDB is covered by the registered
+oracles; these pin the mechanism itself."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rolaguard_data_collectors_spark.operators.relational import (
+    _dollars,
+    _micro,
+    _msum,
+)
+
+
+def test_micro_summand_exact_at_6dp(spark):
+    """2dp money x 2dp x 2dp factors are exact at 6dp; _micro must
+    recover the exact integer despite double arithmetic."""
+    rows = [(104999.91, 0.1, 0.08), (0.01, 0.0, 0.0), (95000.25, 0.05, 0.02)]
+    df = spark.createDataFrame(rows, "p double, d double, t double")
+    got = df.select(
+        _micro(F.col("p") * (F.lit(1.0) - F.col("d"))
+               * (F.lit(1.0) + F.col("t"))).alias("m")
+    ).collect()
+    from decimal import Decimal
+
+    for (p, d, t), r in zip(rows, got):
+        exact = (Decimal(str(p)) * (1 - Decimal(str(d)))
+                 * (1 + Decimal(str(t)))) * 10**6
+        assert r.m == int(exact), (p, d, t)
+
+
+def test_msum_order_independent(spark):
+    """The same multiset in shuffled order and partitioning sums to
+    the identical rounded value (the sf1 one-cent-flake class)."""
+    import random
+
+    vals = [round(random.Random(7).uniform(0.01, 99999.99), 2)
+            for _ in range(5000)]
+    outs = set()
+    for seed, parts in [(1, 2), (2, 32), (3, 7)]:
+        shuffled = list(vals)
+        random.Random(seed).shuffle(shuffled)
+        df = spark.createDataFrame(
+            [(v,) for v in shuffled], "v double"
+        ).repartition(parts)
+        outs.add(df.agg(_msum(F.col("v")).alias("s")).collect()[0].s)
+    assert len(outs) == 1, outs
+
+
+def test_msum_overflow_fails_loudly(spark):
+    """A money total past 2^63 micro-units must FAIL THE QUERY, never
+    publish a silently wrapped value — ANSI mode's checked cast/add is
+    the load-bearing mechanism (relational.py overflow-discipline
+    note); this pins that it actually fires in this session config."""
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    # per-row micro fits bigint ($5e12 -> 5e18); 10 rows wrap the SUM
+    df = spark.createDataFrame([(5.0e12,)] * 10, "v double").coalesce(1)
+    with pytest.raises(ArithmeticException, match="OVERFLOW"):
+        df.agg(_msum(F.col("v")).alias("s")).collect()
+
+
+def test_dollars_decimal_rounding_is_half_up_exact(spark):
+    """The tie case double-rounding flubs (measured: DuckDB
+    DECIMAL/int -> DOUBLE gives .34): micro total ...345000 must round
+    half-up to .35 via the decimal division path."""
+    df = spark.createDataFrame([(123456789012345000,)], "m bigint")
+    got = df.select(
+        _dollars(F.col("m").cast("decimal(38,0)")).alias("d")
+    ).collect()[0].d
+    assert got == 123456789012.35
