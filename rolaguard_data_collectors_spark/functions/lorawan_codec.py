@@ -1007,7 +1007,6 @@ def ja_survivors_batch(keys: list[bytes], frames: list[tuple[int, bytes]]):
     by_len: dict[int, list[int]] = {}
     for fi, (_, body) in enumerate(frames):
         by_len.setdefault(len(body), []).append(fi)
-    key_rep = np.repeat(np.arange(n), 1)  # reused shape helper
     for blen, fidx in by_len.items():
         nb = blen // 16
         f = len(fidx)

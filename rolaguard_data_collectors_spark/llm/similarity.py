@@ -344,8 +344,10 @@ def _nd_bits(n_rows: int) -> int:
 # spelling above.
 ND_DYN_PARAMS_CTE = (
     "nd_params AS (SELECT least(CAST(6 + GREATEST(0,"
-    " CAST(ceil(1.5 * log2(count(*) / 2000.0)) AS INTEGER)) AS INTEGER), 30)"
-    " AS bits FROM embeddings)"
+    # GREATEST(count,1): log2(0) is a DuckDB Out of Range error on an
+    # empty/filtered-empty corpus (review find); 1 row -> extra = 0
+    " CAST(ceil(1.5 * log2(GREATEST(count(*), 1) / 2000.0)) AS INTEGER))"
+    " AS INTEGER), 30) AS bits FROM embeddings)"
 )
 ND_DYN_BUCKET_CTE = (
     "nd_bkt AS (SELECT e.*, CAST(list_sum(list_transform("

@@ -110,7 +110,7 @@ def _mavg(col, n):
 
 
 def _micro_sum_sql(expr: str, scale: int = 2) -> str:
-    """Oracle twin of _widen+_dollars: exact HUGEINT sum of micro
+    """Oracle twin of _msum (_micro + _dollars): exact HUGEINT sum of micro
     summands, half-up integer division to `scale` dp (non-negative
     sums), back to double."""
     q = 10 ** (6 - scale)
@@ -180,13 +180,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     # Per-ORDER groups are bounded (<= ~7 lineitems x 1e11 micro <<
-    # 2^63 at ANY scale factor), so the overflow guard is skipped —
-    # the sum cannot wrap by construction.
+    # 2^63 at ANY scale factor) — this sum cannot wrap at any SF.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dollars(F.sum(_micro(revenue)).cast("decimal(38,0)")).alias("revenue"))
+        .agg(_msum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )

@@ -811,6 +811,13 @@ class SnapshotStore:
                 v = int(mf[1:-5])
                 if v < lo:
                     self._store.delete(os.path.join(mroot, mf))
+            # root-level atomic-write orphans (_VERSION/_LOCK temps —
+            # review find: the manifest sweep alone left these forever):
+            # every writer of root metadata holds THIS lease, so any
+            # .tmp seen here is a crash leftover
+            for rf in self._store.list_prefix(self.root):
+                if rf.endswith(".tmp"):
+                    self._store.delete(os.path.join(self.root, rf))
             # retired manifests must not be served from this instance's
             # cache either — their data dirs may be gone
             for v in [v for v in self._manifest_cache if v < lo]:

@@ -219,9 +219,12 @@ def unregister_adapter(prefix: str) -> None:
 
 
 def store_for(path: str):
-    """The store governing ``path``: longest registered prefix match,
-    else the POSIX default."""
+    """The store governing ``path``: longest registered prefix match
+    AT A PATH BOUNDARY (review find: a raw startswith let
+    's3://bucket/warehouse' capture 's3://bucket/warehouse2'), else
+    the POSIX default."""
     for prefix, store in _ADAPTERS:
-        if path.startswith(prefix):
+        p = prefix.rstrip("/")
+        if path == p or path.startswith(p + "/"):
             return store
     return LOCAL

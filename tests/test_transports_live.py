@@ -296,6 +296,12 @@ def test_mqtt_transport_live_socket():
         ]
         assert broker.connects[0]["user"] == "collector"
         assert broker.connects[0]["level"] == 4  # MQTT 3.1.1
+        # review-find regressions: the CONNECT timeout must not leak
+        # into the receive loop (a quiet topic would die silently at
+        # 30 s), and the keepalive pinger must be running (a compliant
+        # broker drops silent clients at 1.5x keepalive)
+        assert t._client._sock.gettimeout() is None
+        assert t._client._pinger is not None and t._client._pinger.is_alive()
 
         broker.publish("gateway/aa01/rx", b'{"rssi":-90}', qos=0)
         broker.publish("application/7/up", b'{"fcnt":3}', qos=1, pktid=42)
