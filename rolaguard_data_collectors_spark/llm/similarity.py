@@ -345,9 +345,11 @@ def _nd_bits(n_rows: int) -> int:
 ND_DYN_PARAMS_CTE = (
     "nd_params AS (SELECT least(CAST(6 + GREATEST(0,"
     # GREATEST(count,1): log2(0) is a DuckDB Out of Range error on an
-    # empty/filtered-empty corpus (review find); 1 row -> extra = 0
+    # empty/filtered-empty corpus (review find); 1 row -> extra = 0.
+    # Counts the RAW table (main.embeddings, not the finite-filtered
+    # CTE) to mirror the Spark side's footer-only count exactly.
     " CAST(ceil(1.5 * log2(GREATEST(count(*), 1) / 2000.0)) AS INTEGER))"
-    " AS INTEGER), 30) AS bits FROM embeddings)"
+    " AS INTEGER), 30) AS bits FROM main.embeddings)"
 )
 ND_DYN_BUCKET_CTE = (
     "nd_bkt AS (SELECT e.*, CAST(list_sum(list_transform("
@@ -372,19 +374,23 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join, not per candidate pair (the vector folds are interpreted
     # HOFs with no CSE, so every reference is a real 64-dim pass).
     src = _emb(spark, sf_dir)
-    # Size the bucket width from the data (one parquet-footer count;
-    # at warehouse scale this is table metadata, not a scan) — see the
-    # ND_REF_ROWS note. _nd_bits(2000) == NEAR_DUP_BITS, so <= sf0.1
-    # plans and values are bit-identical to the fixed-width era.
+    # Size the bucket width from the RAW table count — answered from
+    # parquet footers (no scan, no filter; review find: counting the
+    # finite-FILTERED frame forced a full interpreted-forall scan and
+    # would have diverged from any oracle that counts differently —
+    # the oracle CTE counts main.embeddings, the same raw set). See
+    # the ND_REF_ROWS note; _nd_bits(2000) == NEAR_DUP_BITS, so
+    # <= sf0.1 plans and values are bit-identical to the fixed era.
     # Content-keyed memo (the _JA_SAMPLE_CACHE convention): the count
     # is a property of the immutable corpus, and bench's min-of-3
     # would otherwise bill the build-time job on every run.
-    ckey = content_identity(sf_dir, src)
+    raw = load_table(spark, sf_dir, "embeddings")
+    ckey = content_identity(sf_dir, raw)
     n = _ND_ROWS_CACHE.get(ckey)
     if n is None:
         for stale in [k for k in _ND_ROWS_CACHE if k[0] == sf_dir]:
             del _ND_ROWS_CACHE[stale]
-        n = src.count()
+        n = raw.count()
         _ND_ROWS_CACHE[ckey] = n
     bits = _nd_bits(n)
     emb = src.select(

@@ -91,6 +91,7 @@ import json
 import os
 import shutil
 
+from .storage import LOCAL as LOCAL_STORE
 from .storage import store_for
 from .tablelock import TableLock
 
@@ -124,23 +125,13 @@ def _fsync_dir(path: str) -> None:
 
 
 def _atomic_write(path: str, payload: str) -> None:
-    # pid+random temp suffix: a FIXED name lets two writers racing in
-    # the documented lease-expiry TOCTOU window interleave write/rename
-    # on one temp file and publish torn content (ADVICE r11); unique
-    # names reduce the worst case to last-rename-wins of a COMPLETE
-    # payload. Crash leftovers end in .tmp and are swept by vacuum.
-    tmp = f"{path}.{os.getpid():x}-{os.urandom(4).hex()}.tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(payload)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
-    # durability of the rename itself: an acknowledged commit (manifest
-    # write or _VERSION flip) must not vanish on power loss — recover()
-    # keeps state CONSISTENT either way, but batch callers have already
-    # deleted their scratch by then, so the commit would be silently
-    # lost rather than replayed.
-    _fsync_dir(os.path.dirname(path) or ".")
+    """Delegates to the POSIX storage primitive (storage.py
+    put_atomic: pid+random temp name, file fsync, rename, dir fsync) —
+    this was a line-for-line duplicate and the round-12 temp-name
+    hardening had to be applied twice (review find). Used for
+    LOCAL-ONLY scratch/commit-meta files that ride inside data dirs;
+    adapter-routed metadata goes through self._store directly."""
+    LOCAL_STORE.put_atomic(path, payload)
 
 
 class SnapshotStore:

@@ -38,8 +38,10 @@ def test_msum_order_independent(spark):
     the identical rounded value (the sf1 one-cent-flake class)."""
     import random
 
-    vals = [round(random.Random(7).uniform(0.01, 99999.99), 2)
-            for _ in range(5000)]
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0.01, 99999.99), 2) for _ in range(5000)]
+    assert len(set(vals)) > 4000  # review find: a re-seeded PRNG made
+    # every value identical and the shuffle assertion vacuous
     outs = set()
     for seed, parts in [(1, 2), (2, 32), (3, 7)]:
         shuffled = list(vals)
