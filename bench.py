@@ -181,9 +181,20 @@ def main() -> None:
     # FRESH un-memoized build of the staged union — 4 x |events| rows
     # through the full JSON parse -> route -> radio metadata -> PHY
     # decode in one materialization.
-    pipe_rate = None
+    # VERDICT r12 item 3: the single-sample headline swung 258-375k
+    # msg/s across hosts/runs of IDENTICAL code — noise-dominated. Now
+    # N fresh staged builds (a new DataFrame per sample, so no handle
+    # reuse ties the samples together; Python-side plan construction
+    # stays outside the timed window, same clock as every prior round),
+    # publishing min / median / the full sample band. The headline key
+    # `pipeline_msgs_per_sec` becomes the MEDIAN — the number a
+    # capacity plan should quote — not the best-case single sample.
+    pipe_rate = pipe_rate_min = None
+    pipe_samples: list[int] = []
     stage_build_sec = None
     try:
+        import statistics
+
         from rolaguard_data_collectors_spark.streaming.pipeline_queries import (
             staged_pipeline_union,
         )
@@ -191,15 +202,17 @@ def main() -> None:
         n_events = (
             spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         )
-        staged = staged_pipeline_union(spark, sf_dir)  # build once, like the main loop
-        best = None
-        for _ in range(3):
+        n_samples = max(3, int(os.environ.get("SPARK_GRAFT_PIPE_SAMPLES", "5")))
+        walls: list[float] = []
+        for _ in range(n_samples):
+            staged = staged_pipeline_union(spark, sf_dir)  # FRESH build
             t0 = time.perf_counter()
             staged.write.format("noop").mode("overwrite").save()
-            took = time.perf_counter() - t0
-            best = took if best is None else min(best, took)
-        stage_build_sec = round(best, 2)
-        pipe_rate = int(4 * n_events / best)
+            walls.append(time.perf_counter() - t0)
+        stage_build_sec = round(min(walls), 2)
+        pipe_samples = [int(4 * n_events / w) for w in walls]
+        pipe_rate_min = min(pipe_samples)
+        pipe_rate = int(statistics.median(pipe_samples))
     except Exception as exc:
         print(f"bench: pipeline rate skipped: {exc}", file=sys.stderr)
     # Per-query dicts first, headline totals LAST: the driver archives
@@ -224,7 +237,10 @@ def main() -> None:
                 "codegen_cache_max": spark.conf.get(
                     "spark.sql.codegen.cache.maxEntries", "unset"
                 ),
-                "pipeline_msgs_per_sec": pipe_rate,
+                "pipeline_msgs_per_sec": pipe_rate,  # median of samples
+                "pipeline_msgs_per_sec_min": pipe_rate_min,
+                "pipeline_msgs_per_sec_med": pipe_rate,
+                "pipeline_msgs_per_sec_samples": pipe_samples,
                 "pipeline_stage_build_sec": stage_build_sec,
                 "flagship": _FLAGSHIP,
                 "value_ex_flagship": total_ex_flagship,

@@ -547,18 +547,12 @@ SELECT * FROM jw UNION ALL SELECT * FROM bf UNION ALL SELECT * FROM ja
 """
 
 
-def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ops 43-44 + 46 (both sides) as one tagged union (registry
-    consolidation): the JoinRequest parse + session-key derivation
-    rows tagged ``join_workflow``, the keyspace-cross-frame MIC
-    bruteforce survivors tagged ``bruteforce``, and the
-    JoinAccept-side decrypt->re-MIC sweep survivors
-    (testAppKeysWithJoinAccept, lorawanWrapper.go:388-504) tagged
-    ``ja_crack``, null-padded to the union schema.
-    Registered columns are roundtrip invariants so the whole suite is
-    hash-oracled (_SECURITY_SUITE_ORACLE); the raw-key component
-    builders above keep the standalone semantics for tests
-    (tests/test_lorawan_udfs.py)."""
+def security_suite_legs(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The three suite legs as separate DataFrames — the per-leg wall
+    breakdown (scripts/security_suite_breakdown.py, VERDICT r12 item 2)
+    times each independently; lorawan_security_suite unions them."""
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "signup")
     ev = ev.select(
         "event_id",
@@ -600,9 +594,25 @@ def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bf = lorawan_key_bruteforce(spark, sf_dir).withColumn("stage", F.lit("bruteforce"))
     ja = lorawan_ja_crack(spark, sf_dir).withColumn("stage", F.lit("ja_crack"))
-    return jw.unionByName(bf, allowMissingColumns=True).unionByName(
-        ja, allowMissingColumns=True
-    )
+    return {"join_workflow": jw, "bruteforce": bf, "ja_crack": ja}
+
+
+def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 43-44 + 46 (both sides) as one tagged union (registry
+    consolidation): the JoinRequest parse + session-key derivation
+    rows tagged ``join_workflow``, the keyspace-cross-frame MIC
+    bruteforce survivors tagged ``bruteforce``, and the
+    JoinAccept-side decrypt->re-MIC sweep survivors
+    (testAppKeysWithJoinAccept, lorawanWrapper.go:388-504) tagged
+    ``ja_crack``, null-padded to the union schema.
+    Registered columns are roundtrip invariants so the whole suite is
+    hash-oracled (_SECURITY_SUITE_ORACLE); the raw-key component
+    builders above keep the standalone semantics for tests
+    (tests/test_lorawan_udfs.py)."""
+    legs = security_suite_legs(spark, sf_dir)
+    return legs["join_workflow"].unionByName(
+        legs["bruteforce"], allowMissingColumns=True
+    ).unionByName(legs["ja_crack"], allowMissingColumns=True)
 
 
 QUERIES = [

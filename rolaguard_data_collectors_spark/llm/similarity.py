@@ -326,31 +326,51 @@ _ND_ROWS_CACHE: dict = {}
 
 
 def _nd_bits(n_rows: int) -> int:
-    import math
-
-    extra = (
-        int(math.ceil(1.5 * math.log2(n_rows / float(ND_REF_ROWS))))
-        if n_rows > ND_REF_ROWS
-        else 0
-    )
-    return min(NEAR_DUP_BITS + max(0, extra), 30)
+    """ceil(1.5 * log2(n / ND_REF_ROWS)) extra bits, in EXACT integer
+    arithmetic: extra = min e >= 0 with REF^3 * 4^e >= n^3 (cubing both
+    sides of 2^(2e/3) >= n/REF is a monotone transform, so the two
+    definitions are identical for every n). The r12 spelling evaluated
+    the float formula in TWO libms (Python math.log2 here, DuckDB log2
+    in the oracle CTE) — at n = REF * 2^(2k/3) a 1-ulp disagreement
+    flips ceil() and the engines pick different bucket widths (ADVICE
+    r12). Integer compares cannot disagree; tests pin equality at the
+    exact boundaries (tests/test_simhash_pairs.py)."""
+    n = max(int(n_rows), 1)
+    n_cubed = n * n * n
+    ref_cubed = ND_REF_ROWS ** 3
+    extra = 0
+    while extra < 24 and (ref_cubed << (2 * extra)) < n_cubed:
+        extra += 1
+    return min(NEAR_DUP_BITS + extra, 30)
 
 
 # Oracle twin of _nd_bits + _signbit_bucket with the bit width computed
-# FROM THE DATA (same ceil(1.5 * log2(n / 2000)) formula, same cap —
-# both sides evaluate it in the host libm's double log2, so the values
-# agree bit-for-bit), so the SQL stays one static string across SFs.
-# DuckDB's range(1, b+1) is end-exclusive like the fixed-width
-# spelling above.
-ND_DYN_PARAMS_CTE = (
-    "nd_params AS (SELECT least(CAST(6 + GREATEST(0,"
-    # GREATEST(count,1): log2(0) is a DuckDB Out of Range error on an
-    # empty/filtered-empty corpus (review find); 1 row -> extra = 0.
-    # Counts the RAW table (main.embeddings, not the finite-filtered
-    # CTE) to mirror the Spark side's footer-only count exactly.
-    " CAST(ceil(1.5 * log2(GREATEST(count(*), 1) / 2000.0)) AS INTEGER))"
-    " AS INTEGER), 30) AS bits FROM main.embeddings)"
-)
+# FROM THE DATA via the SAME integer inequality (min e in [0,24] with
+# REF^3 * 4^e >= n^3, HUGEINT so n^3 cannot overflow below n ~ 5e12),
+# so the SQL stays one static string across SFs and agrees with the
+# Spark side bit-for-bit with no libm in the loop. Counts the RAW
+# table (main.embeddings, not the finite-filtered CTE) to mirror the
+# Spark side's footer-only count exactly; GREATEST(count,1) makes an
+# empty corpus pick the floor width instead of erroring. Empty WHERE
+# -> min(e) NULL -> coalesce(24) -> the 30-bit cap, same as Python's
+# loop bound. DuckDB's range(1, b+1) is end-exclusive like the
+# fixed-width spelling above.
+def _nd_params_sql(count_relation: str = "main.embeddings") -> str:
+    """The nd_params CTE body, parameterized on the counted relation so
+    the bits-boundary tests can drive it with synthetic row counts
+    through the exact production SQL."""
+    return (
+        f"nd_params AS (SELECT least({NEAR_DUP_BITS}"
+        " + coalesce(min(e), 24), 30) AS bits"
+        " FROM range(0, 25) t(e),"
+        " (SELECT CAST(GREATEST(count(*), 1) AS HUGEINT) AS n"
+        f" FROM {count_relation}) c"
+        f" WHERE {ND_REF_ROWS ** 3}::HUGEINT"
+        " * CAST(1::BIGINT << (2 * e) AS HUGEINT) >= c.n * c.n * c.n)"
+    )
+
+
+ND_DYN_PARAMS_CTE = _nd_params_sql()
 ND_DYN_BUCKET_CTE = (
     "nd_bkt AS (SELECT e.*, CAST(list_sum(list_transform("
     "range(1, p.bits + 1), j -> CASE WHEN e.embedding[j] > 0"

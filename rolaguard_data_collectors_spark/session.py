@@ -23,12 +23,16 @@ from pyspark.sql import SparkSession
 # with identical results and pipeline throughput. On a real cluster
 # pass SPARK_GRAFT_SHUFFLE_PARTITIONS sized to the executor fleet
 # (AQE coalesces down from it at runtime).
-DEFAULT_SHUFFLE_PARTITIONS = int(
-    os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 12),
+def default_shuffle_partitions() -> int:
+    """Resolved at CALL time (not import) so a deployment that sets
+    SPARK_GRAFT_SHUFFLE_PARTITIONS after import — or a test pinning the
+    env — is honoured (round-13 conf-test refactor)."""
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+            min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 12),
+        )
     )
-)
 
 
 def _infer_profile(master: str) -> str:
@@ -68,8 +72,31 @@ def get_spark(
     hardcoded ``profile='local'`` default applied the 2 MB advisory to
     real clusters reached via spark-submit.
     """
+    master, profile, conf = resolve_conf(
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+        extra_conf=extra_conf,
+        profile=profile,
+    )
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def resolve_conf(
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    profile: str | None = None,
+) -> tuple[str, str, dict[str, str]]:
+    """Resolve (master, profile, conf) WITHOUT touching a JVM — the
+    unit-testable core of get_spark, so tests can assert what a
+    yarn/k8s master would receive (VERDICT r12 item 7: the local 2 MB
+    advisory must never silently leak onto a real cluster again)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    submit_master = None
     if master is None:
         # Under spark-submit, --master lands in spark.master / MASTER
         # env before user code runs; honour it for profile inference
@@ -80,23 +107,21 @@ def get_spark(
         master = submit_master or f"local[{cpus}]"
     if profile is None:
         profile = _infer_profile(master)
-    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    n_shuffle = shuffle_partitions or default_shuffle_partitions()
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(n_shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+    conf: dict[str, str] = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
         # Parquet scans: vectorized reader + pushdown are on by default;
         # keep split size large enough that sf0.1 doesn't over-split.
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         # Whole-stage-codegen class cache: the default 100 entries
         # evicts the entire 50-query board between bench passes (each
         # query compiles several codegen units), forcing Janino
@@ -104,7 +129,7 @@ def get_spark(
         # query. A session that serves a many-query workload wants the
         # cache sized to the workload; 2000 entries is a few hundred
         # MB ceiling of generated classes at most.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        "spark.sql.codegen.cache.maxEntries": "2000",
         # Arrow batch size for pandas-UDF crossings: the default 10000
         # leaves per-batch serialization + kernel-dispatch overhead
         # dominant on the light per-row chains (A/B at sf0.1:
@@ -113,7 +138,7 @@ def get_spark(
         # text queries measured equal-or-better). On a cluster with
         # wide binary rows, size this to rows-per-batch x row-width ~
         # tens of MB per in-flight batch per core.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         # Reliable checkpoints (the iterative fixpoint's cluster mode,
         # llm/components._stage_iter) are permanent by default — a
         # scheduled job would accrete one full-frame snapshot per
@@ -121,38 +146,32 @@ def get_spark(
         # ContextCleaner delete checkpoint data once the owning RDD is
         # GC'd (best-effort; retention on the checkpoint bucket remains
         # the deployment backstop).
-        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-    )
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
+    }
     if profile == "local":
-        builder = (
-            builder
-            # Default (true) forbids AQE from coalescing below
-            # defaultParallelism — which on local[32] is ABOVE the
-            # 12-wide exchange conf, so tiny aggregate shuffles never
-            # coalesced at all and every small relational query paid
-            # 12-task exchange scheduling against a µs-scale oracle
-            # (the r7 "scheduling floor" cluster: q3/q5/packet_summary/
-            # join_left_outer ~0.2-0.5 s each). False lets the advisory
-            # target size govern: KB-scale shuffles run 1-2 tasks.
-            # Stages that need compute fan-out use explicit
-            # repartition/spread widths, which AQE never shrinks.
-            .config(
-                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false",
-            )
-            # Coalesce target with parallelismFirst off. The 64 MB
-            # default over-coalesces the mid-size shuffles (the sf0.1
-            # lineitem sort-merge ~20 MB -> ONE task: asof_join 0.57 ->
-            # 1.08 s); 2 MB keeps those parallel while KB-scale
-            # aggregate shuffles still collapse to 1-2 tasks (A/B at
-            # sf0.1 over the ten smallest relational queries: 64m
-            # 3.98 s, 8m 3.36, 4m 3.8, 2m 3.17, 1m 3.20). Local-only:
-            # on a cluster this advisory would also size AQE skew-join
-            # splits down to ~2 MB tasks.
-            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
-        )
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    return spark
+        # Default (true) forbids AQE from coalescing below
+        # defaultParallelism — which on local[32] is ABOVE the
+        # 12-wide exchange conf, so tiny aggregate shuffles never
+        # coalesced at all and every small relational query paid
+        # 12-task exchange scheduling against a µs-scale oracle
+        # (the r7 "scheduling floor" cluster: q3/q5/packet_summary/
+        # join_left_outer ~0.2-0.5 s each). False lets the advisory
+        # target size govern: KB-scale shuffles run 1-2 tasks.
+        # Stages that need compute fan-out use explicit
+        # repartition/spread widths, which AQE never shrinks.
+        conf["spark.sql.adaptive.coalescePartitions.parallelismFirst"] = \
+            "false"
+        # Coalesce target with parallelismFirst off. The 64 MB
+        # default over-coalesces the mid-size shuffles (the sf0.1
+        # lineitem sort-merge ~20 MB -> ONE task: asof_join 0.57 ->
+        # 1.08 s); 2 MB keeps those parallel while KB-scale
+        # aggregate shuffles still collapse to 1-2 tasks (A/B at
+        # sf0.1 over the ten smallest relational queries: 64m
+        # 3.98 s, 8m 3.36, 4m 3.8, 2m 3.17, 1m 3.20). Local-only:
+        # on a cluster this advisory would also size AQE skew-join
+        # splits down to ~2 MB tasks — which is exactly why the
+        # 'cluster' profile leaves BOTH keys entirely unset (Spark
+        # defaults), asserted by tests/test_session_conf.py.
+        conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "2m"
+    conf.update(extra_conf or {})
+    return master, profile, conf

@@ -802,12 +802,20 @@ class SnapshotStore:
                 v = int(mf[1:-5])
                 if v < lo:
                     self._store.delete(os.path.join(mroot, mf))
-            # root-level atomic-write orphans (_VERSION/_LOCK temps —
-            # review find: the manifest sweep alone left these forever):
-            # every writer of root metadata holds THIS lease, so any
-            # .tmp seen here is a crash leftover
+            # root-level atomic-write orphans (_VERSION temps — review
+            # find: the manifest sweep alone left these forever): every
+            # writer of _VERSION holds THIS lease, so any _VERSION .tmp
+            # seen here is a crash leftover. _LOCK temps are EXCLUDED
+            # (ADVICE r12): an expired-lease takeover writes _LOCK via
+            # put_atomic WITHOUT holding this lease, so sweeping its
+            # temp between creation and os.replace would make the
+            # breaker's rename fail — the lease invariant covers
+            # _VERSION writers only, not _LOCK itself. A crashed
+            # breaker's orphaned _LOCK temp is a few-hundred-byte
+            # residue the next takeover's unique temp name ignores.
             for rf in self._store.list_prefix(self.root):
-                if rf.endswith(".tmp"):
+                if rf.endswith(".tmp") and not rf.startswith(
+                        TableLock.LOCK_NAME + "."):
                     self._store.delete(os.path.join(self.root, rf))
             # retired manifests must not be served from this instance's
             # cache either — their data dirs may be gone

@@ -52,10 +52,14 @@ def test_full_sweep_jr_data_frames(spark, sf_dir):
     true_keys = sorted(
         {hashlib.md5(b"dev-%d" % uid).hexdigest() for _, uid, _, _ in sample}
     )
-    # Materialize the candidate relation BEFORE timing: the tripwire
-    # measures the SWEEP KERNEL, and folding the keyspace generation +
-    # distinct shuffle + first-batch worker state into the timed
-    # window understates it ~2x run-to-run.
+    # Materialize the candidate relation BEFORE the kernel clock: the
+    # tripwire FLOOR measures the SWEEP KERNEL, and folding the
+    # keyspace generation + distinct shuffle + first-batch worker
+    # state into its window understates it ~2x run-to-run. BOTH clocks
+    # are recorded (VERDICT r12 item 8): `kernel` is the floor's
+    # regression signal; `end-to-end` (generation included) is the
+    # like-for-like number against r11-era reports.
+    t_e2e = time.monotonic()
     cands = (
         reference_keyspaces(spark, FULL)
         .select("cand_key")
@@ -71,14 +75,17 @@ def test_full_sweep_jr_data_frames(spark, sf_dir):
     rows = cands.select(
         "cand_key", F.explode(crack("cand_key")).alias("h")
     ).collect()
-    dt = time.monotonic() - t0
+    t_end = time.monotonic()
+    dt = t_end - t0
+    dt_e2e = t_end - t_e2e
     cands.unpersist()
     n_keys = 3 * FULL + len(true_keys)
     checks = n_keys * len(sample)
     rate = checks / dt
     print(f"\nJR/data full sweep: {n_keys} keys x {len(sample)} frames = "
-          f"{checks:,} MIC checks in {dt:.2f}s ({rate/1e6:.1f}M/s, "
-          f"{n_keys/dt/1e3:.0f}k keys/s)")
+          f"{checks:,} MIC checks — kernel {dt:.2f}s ({rate/1e6:.1f}M/s, "
+          f"{n_keys/dt/1e3:.0f}k keys/s); end-to-end {dt_e2e:.2f}s "
+          f"incl. candidate generation ({n_keys/dt_e2e/1e3:.0f}k keys/s)")
     by_frame: dict[int, list] = {}
     for r in rows:
         by_frame.setdefault(r.h.event_id, []).append(
@@ -127,7 +134,9 @@ def test_full_sweep_join_accepts(spark, sf_dir):
         {hashlib.md5(b"app-%d" % (uid % 8)).hexdigest()
          for _, uid, _, _ in sample}
     )
-    # Materialize before timing — see the JR test's note.
+    # Materialize before the kernel clock — see the JR test's note;
+    # both clocks recorded (VERDICT r12 item 8).
+    t_e2e = time.monotonic()
     cands = (
         reference_keyspaces(spark, FULL)
         .select("cand_key")
@@ -143,14 +152,18 @@ def test_full_sweep_join_accepts(spark, sf_dir):
     rows = cands.select(
         "cand_key", F.explode(crack("cand_key")).alias("h")
     ).collect()
-    dt = time.monotonic() - t0
+    t_end = time.monotonic()
+    dt = t_end - t0
+    dt_e2e = t_end - t_e2e
     cands.unpersist()
     n_keys = 3 * FULL + len(true_keys)
     checks = n_keys * len(sample)
     rate = checks / dt
     print(f"\nJoinAccept full sweep: {n_keys} keys x {len(sample)} JAs = "
-          f"{checks:,} decrypt+re-MIC checks in {dt:.2f}s "
-          f"({rate/1e6:.1f}M/s, {n_keys/dt/1e3:.0f}k keys/s)")
+          f"{checks:,} decrypt+re-MIC checks — kernel {dt:.2f}s "
+          f"({rate/1e6:.1f}M/s, {n_keys/dt/1e3:.0f}k keys/s); end-to-end "
+          f"{dt_e2e:.2f}s incl. candidate generation "
+          f"({n_keys/dt_e2e/1e3:.0f}k keys/s)")
     for r in rows:
         want = hashlib.md5(b"app-%d" % (r.h.user_id % 8)).hexdigest()
         assert r.cand_key == want, (r.h.event_id, r.cand_key)

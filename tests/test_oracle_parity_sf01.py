@@ -43,7 +43,19 @@ _SENSITIVE = [
     "multimodal_decode_features",
     "prev_packet_correlation",
     "time_windows",
+    # Round 13 (VERDICT r12 item 1): the ONE query whose plan carries a
+    # data-dependent parameter — the adaptive near-dup bucket width
+    # (_nd_bits) only leaves its default above sf0.1, so the sf1 sweep
+    # (which imports this list) is where the adaptive path is actually
+    # exercised; tests/test_nd_bits.py pins the boundary arithmetic.
+    "embedding_near_dup_pairs",
 ]
+
+# Round 13 (VERDICT r12 item 4): the default suite now re-verifies ALL
+# registered queries at sf0.1 through the exact driver comparator, not
+# just the partitioning-sensitive subset — the driver's own gate runs
+# only sf0.01. _SENSITIVE survives as the (smaller) sf1 sweep list.
+_ALL = sorted(collect_all())
 
 
 @pytest.fixture(scope="module")
@@ -51,7 +63,7 @@ def sf01_con():
     return duckdb_connection(SF01)
 
 
-@pytest.mark.parametrize("name", _SENSITIVE)
+@pytest.mark.parametrize("name", _ALL)
 def test_sf01_parity(spark, sf01_con, name):
     spec = collect_all()[name]
     r = compare(name, spec.build(spark, SF01), spec.oracle, sf01_con)

@@ -343,3 +343,96 @@ def test_atomic_write_tmp_names_unique(tmp_path):
     assert final in payloads, "torn payload published"
     leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
     assert leftovers == [], leftovers
+
+
+def test_full_epoch_through_adapter_no_metadata_rename(spark, sf_dir,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """VERDICT r12 item 6: a FULL maintained-artifact epoch (create ->
+    append -> read -> vacuum) with ALL metadata IO through a non-POSIX
+    adapter while Spark reads/writes the data dirs on the local
+    filesystem. os.replace/os.rename are guarded to REFUSE any
+    metadata-plane target (_VERSION/_LOCK/_manifests) under the table
+    root for the whole epoch, proving the protocol has zero rename
+    dependency on the metadata plane — data-dir publishes (the Spark
+    write side) legitimately stay POSIX renames locally."""
+    from pyspark.sql import functions as F
+
+    from rolaguard_data_collectors_spark import storage
+    from rolaguard_data_collectors_spark.catalog import load_table
+    from rolaguard_data_collectors_spark.operators.cascade import (
+        cascade_append,
+        persist_cascade,
+        read_grain,
+    )
+    from rolaguard_data_collectors_spark.snapshots import SnapshotStore
+
+    cpath = str(tmp_path / "cascade_adapter")
+
+    def _guard(real):
+        def wrapped(src, dst, *a, **kw):
+            for p in (os.fspath(src), os.fspath(dst)):
+                base = os.path.basename(p)
+                if p.startswith(cpath) and (
+                    base.startswith("_VERSION")
+                    or base.startswith("_LOCK")
+                    or (os.sep + "_manifests" + os.sep) in p
+                ):
+                    raise AssertionError(
+                        f"metadata-plane rename: {src} -> {dst}"
+                    )
+            return real(src, dst, *a, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(os, "replace", _guard(os.replace))
+    monkeypatch.setattr(os, "rename", _guard(os.rename))
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 3 == 0)
+    extra = ev.where(F.col("event_id") % 3 == 1)
+    base_dir = str(tmp_path / "corpus")
+    os.makedirs(base_dir)
+    base.toPandas().to_parquet(
+        os.path.join(base_dir, "events.parquet"), index=False
+    )
+
+    ad = MemoryConditionalStore()
+    storage.register_adapter(cpath, ad)
+    try:
+        persist_cascade(spark, base_dir, cpath, layout="snapshot")
+        cascade_append(spark, cpath, extra)
+        store = SnapshotStore(cpath)
+        assert store._store is ad
+        store.vacuum(keep_last=2)
+
+        # the read side agrees with a declarative rebuild
+        want = {
+            (str(r["window_start"]), r["event_type"]): r["n"]
+            for r in base.unionByName(extra)
+            .groupBy(
+                F.date_trunc("minute", F.col("ts")).alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = {
+            (str(r["window_start"]), r["event_type"]): r["n_events"]
+            for r in read_grain(spark, cpath, "minute").collect()
+        }
+        assert got == want
+
+        # every metadata object lives in the adapter, none on disk
+        assert ad.read(os.path.join(cpath, "_VERSION")) is not None
+        assert ad.list_prefix(os.path.join(cpath, "_manifests"))
+        assert not os.path.exists(os.path.join(cpath, "_VERSION"))
+        assert not os.path.exists(os.path.join(cpath, "_LOCK"))
+        mdir = os.path.join(cpath, "_manifests")
+        assert not (os.path.isdir(mdir) and os.listdir(mdir)), (
+            "manifests leaked to the POSIX plane"
+        )
+        # and the data plane is real parquet Spark can scan
+        assert os.path.isdir(os.path.join(cpath, "data"))
+    finally:
+        storage.unregister_adapter(cpath)
