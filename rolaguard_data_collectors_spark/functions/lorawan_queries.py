@@ -487,6 +487,81 @@ def lorawan_ja_crack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lorawan_crack_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bruteforce + ja_crack legs fused into ONE stage chain
+    (round 13; the per-leg breakdown in scripts/
+    security_suite_breakdown.py measured each standalone leg at
+    ~0.5 s, of which ~0.45 s was candidate-relation build + stage
+    scheduling floor, not crypto — two independent chains paid that
+    floor twice). One shared candidate relation (structured keyspace
+    ∪ planted dev keys ∪ planted app keys — supersets of each leg's
+    set; a key from the OTHER family passing a 2^-32/check MIC or
+    decrypt->re-MIC test is the same astronomical accident the
+    existing keyspace union already accepts), both crack UDFs
+    evaluated in a single ArrowEvalPython pass, survivors tagged by
+    stage in one explode. Output rows are identical to the two
+    standalone legs' union (pinned by tests and the suite oracle)."""
+    sample = _frame_sample(spark, sf_dir)
+    crack = make_crack_udf(spark, sample)
+    ja_sample = _ja_frame_sample(spark, sf_dir)
+    ja_crack = make_ja_crack_udf(spark, ja_sample)
+    ev = load_table(spark, sf_dir, "events")
+    true_dev = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.md5(F.format_string("dev-%d", F.col("user_id"))).alias("cand_key")
+        )
+    )
+    true_app = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("event_id") % 97 == 0)
+    ).select(
+        F.md5(F.format_string("app-%d", F.col("user_id") % 8)).alias("cand_key")
+    )
+    n_par = compute_parallelism(spark)
+    candidates = (
+        reference_keyspaces(spark, BRUTE_KEYS_PER_FAMILY)
+        .select("cand_key")
+        .unionByName(true_dev)
+        .unionByName(true_app)
+        .distinct()
+        # same AQE note as lorawan_key_bruteforce: spread the tiny
+        # candidate relation so the per-key fan-out parallelizes
+        .repartition(n_par)
+    )
+
+    def _tag(stage: str):
+        return lambda h: F.struct(
+            F.lit(stage).alias("stage"),
+            h["event_id"].alias("event_id"),
+            h["user_id"].alias("user_id"),
+        )
+
+    hits = candidates.select(
+        "cand_key",
+        F.explode(
+            F.concat(
+                F.transform(crack("cand_key"), _tag("bruteforce")),
+                F.transform(ja_crack("cand_key"), _tag("ja_crack")),
+            )
+        ).alias("_hit"),
+    )
+    return hits.select(
+        F.col("_hit.event_id").alias("event_id"),
+        F.col("_hit.user_id").alias("user_id"),
+        F.col("cand_key").alias("cracked_key"),
+        F.when(
+            F.col("_hit.stage") == "bruteforce",
+            F.col("cand_key")
+            == F.md5(F.format_string("dev-%d", F.col("_hit.user_id"))),
+        ).otherwise(
+            F.col("cand_key")
+            == F.md5(F.format_string("app-%d", F.col("_hit.user_id") % 8))
+        ).alias("is_true_key"),
+        F.col("_hit.stage").alias("stage"),
+    )
+
+
 # DuckDB oracle for the suite: like _DECODE_ROUNDTRIP_ORACLE, every
 # registered column is an invariant derivable from `events`. The jw
 # leg's JoinRequest fields roundtrip through encode->parse, its MIC
@@ -594,7 +669,12 @@ def security_suite_legs(
     )
     bf = lorawan_key_bruteforce(spark, sf_dir).withColumn("stage", F.lit("bruteforce"))
     ja = lorawan_ja_crack(spark, sf_dir).withColumn("stage", F.lit("ja_crack"))
-    return {"join_workflow": jw, "bruteforce": bf, "ja_crack": ja}
+    return {
+        "join_workflow": jw,
+        "bruteforce": bf,
+        "ja_crack": ja,
+        "crack_combined": lorawan_crack_combined(spark, sf_dir),
+    }
 
 
 def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,15 +684,18 @@ def lorawan_security_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bruteforce survivors tagged ``bruteforce``, and the
     JoinAccept-side decrypt->re-MIC sweep survivors
     (testAppKeysWithJoinAccept, lorawanWrapper.go:388-504) tagged
-    ``ja_crack``, null-padded to the union schema.
+    ``ja_crack``, null-padded to the union schema. The two crack legs
+    run FUSED (lorawan_crack_combined — one candidate relation, both
+    kernels in one Arrow pass; round-13 floor shave), row-identical
+    to the standalone legs' union.
     Registered columns are roundtrip invariants so the whole suite is
     hash-oracled (_SECURITY_SUITE_ORACLE); the raw-key component
     builders above keep the standalone semantics for tests
     (tests/test_lorawan_udfs.py)."""
     legs = security_suite_legs(spark, sf_dir)
     return legs["join_workflow"].unionByName(
-        legs["bruteforce"], allowMissingColumns=True
-    ).unionByName(legs["ja_crack"], allowMissingColumns=True)
+        legs["crack_combined"], allowMissingColumns=True
+    )
 
 
 QUERIES = [

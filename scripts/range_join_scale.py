@@ -44,10 +44,9 @@ def main() -> None:
         RANGE_JOIN_ERROR_WINDOWS_ORACLE,
         range_join_error_windows,
     )
-    from rolaguard_data_collectors_spark.oracle import (
-        compare,
-        duckdb_connection,
-    )
+    import duckdb
+
+    from rolaguard_data_collectors_spark.oracle import compare
     from rolaguard_data_collectors_spark.session import get_spark
 
     spark = get_spark(app_name="range_join_scale")
@@ -68,7 +67,14 @@ def main() -> None:
         rows = df.count()
         rec: dict = {"spark_sec": round(best, 2), "rows": rows, "sf": sf}
         if not os.environ.get("SPARK_GRAFT_NO_ORACLE"):
-            con = duckdb_connection(sf_dir)
+            # events-only connection: the sf10 slice generates no other
+            # tables, and oracle.duckdb_connection would fail creating
+            # views over the missing parquet files
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, 'events.parquet')}'"
+            )
             t0 = time.perf_counter()
             con.execute(RANGE_JOIN_ERROR_WINDOWS_ORACLE).fetchall()
             rec["oracle_sec"] = round(time.perf_counter() - t0, 2)

@@ -23,6 +23,10 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# module level: pandas_udf resolves the kernel's type hints against
+# the function's module globals, so `pd` must be importable here
+import pandas as pd  # noqa: E402
+
 
 def _time_noop(df, runs: int) -> float:
     best = None
@@ -38,7 +42,6 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BREAKDOWN_RUNS", "5"))
 
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from rolaguard_data_collectors_spark.bootstrap import (

@@ -267,3 +267,27 @@ def test_ja_crack_udf_matches_codec_kernel(spark, sf_dir):
         )
         assert got[c] == want
     udf.frames_broadcast.unpersist()
+
+
+def test_crack_combined_equals_standalone_legs(spark, sf_dir):
+    """The fused bruteforce+ja_crack leg (round 13: one candidate
+    relation, both kernels in a single Arrow pass) must emit EXACTLY
+    the rows of the two standalone legs' union — the fusion is a plan
+    change, not a semantics change. The combined candidate set is a
+    superset per stage (dev keys visible to the JA kernel and vice
+    versa); any cross-family survivor would surface here as an extra
+    row."""
+    from rolaguard_data_collectors_spark.functions.lorawan_queries import (
+        security_suite_legs,
+    )
+
+    legs = security_suite_legs(spark, sf_dir)
+    key = lambda r: (r.stage, r.event_id, r.user_id, r.cracked_key,
+                     r.is_true_key)
+    sep = sorted(
+        key(r)
+        for r in legs["bruteforce"].unionByName(legs["ja_crack"]).collect()
+    )
+    comb = sorted(key(r) for r in legs["crack_combined"].collect())
+    assert comb == sep
+    assert comb, "empty crack output"

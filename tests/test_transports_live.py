@@ -495,3 +495,60 @@ def test_ttn_v2_ws_transport_live_socket():
         t.close()
     finally:
         console.close()
+
+
+def test_mqtt_client_refused_connack_closes_socket():
+    """ADVICE r12: a refused CONNACK must not leak the fd — connect()
+    closes and nulls the socket before re-raising, so a caller needs
+    no follow-up disconnect() after a failed connect."""
+    from rolaguard_data_collectors_spark._vendor.mqttshim import (
+        Client,
+        MqttShimError,
+    )
+
+    broker = _MiniBroker(user="collector", password="pw")
+    try:
+        c = Client("refused-client")
+        c.username_pw_set("collector", "wrong")
+        with pytest.raises(MqttShimError):
+            c.connect("127.0.0.1", broker.port)
+        assert c._sock is None  # closed AND nulled, not just dropped
+    finally:
+        broker.close()
+
+
+def test_mqtt_client_disconnect_race_no_reader_crash():
+    """ADVICE r12: disconnect() nulls self._sock while the reader
+    thread may be between its _stop check and the blocking read; the
+    reader must exit cleanly (captured socket + AttributeError guard),
+    never die with an uncaught exception. Exercised by a burst of
+    connect/subscribe/disconnect cycles with an active publisher."""
+    import threading
+
+    from rolaguard_data_collectors_spark._vendor.mqttshim import Client
+
+    broker = _MiniBroker()
+    crashed: list = []
+    hook_prev = threading.excepthook
+
+    def _catch(args):
+        crashed.append(args)
+
+    threading.excepthook = _catch
+    try:
+        for i in range(10):
+            # per-iteration topic: earlier iterations' closed sockets
+            # stay in the broker's sub list and a matching publish
+            # would hit their dead fds (a test-broker artifact, not
+            # client behavior under test)
+            c = Client()
+            c.connect("127.0.0.1", broker.port)
+            c.subscribe(f"t{i}/#")
+            c.loop_start()
+            broker.publish(f"t{i}/x", b"payload")
+            c.loop_stop()
+            c.disconnect()
+    finally:
+        threading.excepthook = hook_prev
+        broker.close()
+    assert not crashed, crashed
