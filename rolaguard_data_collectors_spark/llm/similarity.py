@@ -334,7 +334,7 @@ def _nd_bits(n_rows: int) -> int:
     in the oracle CTE) — at n = REF * 2^(2k/3) a 1-ulp disagreement
     flips ceil() and the engines pick different bucket widths (ADVICE
     r12). Integer compares cannot disagree; tests pin equality at the
-    exact boundaries (tests/test_simhash_pairs.py)."""
+    exact boundaries (tests/test_nd_bits.py)."""
     n = max(int(n_rows), 1)
     n_cubed = n * n * n
     ref_cubed = ND_REF_ROWS ** 3
