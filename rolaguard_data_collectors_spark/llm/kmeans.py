@@ -987,31 +987,34 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     assigned = _assign(
         _emb(spark, sf_dir).where(F.col("v").isNotNull()), centroids
     )
-    # Small-codebook parallelism: the pair join's key cardinality is
-    # k x shards; with a small k the join output (where the candidate
-    # EXPLOSION happens) lands on a handful of partitions — and AQE,
-    # seeing only the tiny pre-join shuffle, coalesces it to ONE task
-    # that then evaluates every interpreted cosine fold serially
-    # (measured at sf0.1: the pair stage alone 3.0 s single-task for
-    # 252k pairs; whole operator 6.2 s -> 1.6 s once salted). Salt the
-    # join when k is below the core count; a production-scale codebook
-    # (SemDeDup uses thousands of clusters) clears the bar and never
-    # pays the replication.
-    from ..catalog import compute_parallelism
-
-    width = compute_parallelism(spark)
-    fan_out = width if len(centroids) < width else None
-    return _semantic_survivors(assigned, threshold, cluster_cap, fan_out)
+    return _semantic_survivors(assigned, threshold, cluster_cap)
 
 
 def _semantic_survivors(assigned: DataFrame, threshold: float,
-                        cluster_cap: int,
-                        fan_out: int | None) -> DataFrame:
+                        cluster_cap: int, stage: bool = True) -> DataFrame:
     """Shared SemDeDup tail: candidate pairs -> cosine drop set ->
     keep-smallest anti-join. ``assigned`` must carry (vec_id, cluster,
-    v)."""
-    pairs = _semantic_candidate_pairs(assigned, cluster_cap,
-                                      fan_out=fan_out)
+    v).
+
+    With ``stage=True`` the assignment is staged ONCE (lazy
+    localCheckpoint, the staged-table discipline of tfidf/banded/
+    approx_aggregates): three consumers read it — the per-cluster size
+    aggregate, the pair-kernel input, and the survivor anti-join — and
+    each used to re-evaluate the full scan + interpreted per-centroid
+    distance folds (measured at sf0.1: the pair stage's input frame
+    alone cost 1.11 s of which ~0.85 s was duplicate assignment
+    evaluation; staged, the whole operator runs ~0.7 s). At 100 TB the
+    assignment is the persisted IVF posting layout and this checkpoint
+    is the same "materialize the assignment before fan-out" step
+    persist_ivf_index performs. semantic_dedup_from_index passes
+    stage=False: its assignment IS that persisted layout already — a
+    cheap partition-pruned parquet scan whose re-read costs less than a
+    checkpoint write, and checkpointing would erase the
+    PartitionFilters pruning the per-cell sweep contract is proven
+    by (tests/test_kmeans.py)."""
+    if stage:
+        assigned = assigned.localCheckpoint(eager=False)
+    pairs = _semantic_candidate_pairs(assigned, cluster_cap)
     cos = F.round(F.col("_dot") / (F.col("a_n") * F.col("b_n")), 6)
     drops = (
         pairs.where((F.col("a_n") > 0) & (F.col("b_n") > 0)
@@ -1049,40 +1052,120 @@ def semantic_dedup_from_index(spark: SparkSession, path: str,
     assigned = posts.select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "v"
     )
-    from ..catalog import compute_parallelism
-
-    k = (len(clusters) if clusters is not None
-         else spark.read.parquet(path + "/centroids.parquet").count())
-    width = compute_parallelism(spark)
-    fan_out = width if k < width else None
-    return _semantic_survivors(assigned, threshold, cluster_cap, fan_out)
+    return _semantic_survivors(assigned, threshold, cluster_cap,
+                               stage=False)
 
 
-def _semantic_candidate_pairs(assigned: DataFrame, cluster_cap: int,
-                              fan_out: int | None = None) -> DataFrame:
+_PAIR_SCHEMA = (
+    "a_vec_id long, b_vec_id long, a_n double, b_n double, _dot double"
+)
+
+
+def _pair_block_kernel(pdf):
+    """Per-(cluster, shard) pair enumeration + cosine ingredients in
+    ONE numpy pass (optimization round 13). Replaces the former salted
+    self-join whose per-pair dot product ran as an INTERPRETED Catalyst
+    fold (zip_with + aggregate get no codegen and no CSE): at sf0.1 the
+    252k-pair stage measured 1.93 s salted across 32 tasks; this kernel
+    does the same arithmetic in ~milliseconds and ships each vector
+    over the exchange ONCE (the salted form replicated the b-side
+    fan_out times).
+
+    Bit-exactness contract (the oracle compares round(cos, 6) at a
+    threshold): every float op replicates the old fold's IEEE-754
+    operation sequence exactly —
+
+    * norm: ``sqrt(aggregate(transform(v, x*x), 0.0, acc+z))`` is a
+      LEFT-TO-RIGHT ordered sum of squares; the ``acc = acc + V[:,j]**2``
+      dim loop performs the identical addition sequence per vector
+      (never ``np.sum``, whose pairwise summation rounds differently).
+    * dot: ``aggregate(zip_with(va, vb, x*y), 0.0, acc+z)`` is the same
+      ordered fold over per-dim products; the outer-product dim loop
+      reproduces it per pair.
+
+    numpy float64 ops and JVM doubles are both correctly-rounded IEEE
+    binary64, so equal operation sequences give equal bits.
+    Pairs across DIFFERENT vector lengths keep the old zip_with
+    semantics: the shorter side null-pads, any null product nulls the
+    whole fold, so ``_dot`` is NULL (cosine NULL -> never drops).
+    Per-block memory is O(block^2) doubles — the same bound as the
+    pair frame the join emitted — capped by ``cluster_cap``."""
+    import numpy as np
+    import pandas as pd
+
+    def _empty():
+        z = np.empty(0)
+        zi = np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"a_vec_id": zi, "b_vec_id": zi,
+                             "a_n": z, "b_n": z, "_dot": z})
+
+    n = len(pdf)
+    if n < 2:
+        return _empty()
+    order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+    ids = pdf["vec_id"].to_numpy()[order]
+    vs = [np.asarray(x, dtype=np.float64)
+          for x in pdf["v"].to_numpy()[order]]
+    dims = {v.shape[0] for v in vs}
+    iu, ju = np.triu_indices(n, k=1)
+    strict = ids[iu] < ids[ju]  # the join's a.vec_id < b.vec_id, exactly
+    iu, ju = iu[strict], ju[strict]
+
+    def _norms(V):
+        acc = np.zeros(V.shape[0])
+        for j in range(V.shape[1]):
+            c = V[:, j]
+            acc = acc + c * c
+        return np.sqrt(acc)
+
+    if len(dims) == 1:
+        V = np.stack(vs)
+        norms = _norms(V)
+        G = np.zeros((n, n))
+        for j in range(V.shape[1]):
+            c = V[:, j]
+            G = G + c[:, None] * c[None, :]
+        dot = G[iu, ju]
+    else:
+        # Ragged fallback (never taken by a single-model corpus):
+        # vectorize within each dim class; cross-class pairs carry the
+        # zip_with null-pad semantics (_dot NULL).
+        lens = np.array([v.shape[0] for v in vs])
+        norms = np.zeros(n)
+        G = np.full((n, n), np.nan)
+        for d in sorted(dims):
+            sel = np.flatnonzero(lens == d)
+            V = np.stack([vs[i] for i in sel])
+            norms[sel] = _norms(V)
+            sub = np.zeros((len(sel), len(sel)))
+            for j in range(d):
+                c = V[:, j]
+                sub = sub + c[:, None] * c[None, :]
+            G[np.ix_(sel, sel)] = sub
+        dot = pd.array(G[iu, ju])
+        dot[np.isnan(G[iu, ju])] = None
+    return pd.DataFrame({
+        "a_vec_id": ids[iu], "b_vec_id": ids[ju],
+        "a_n": norms[iu], "b_n": norms[ju], "_dot": dot,
+    })
+
+
+def _semantic_candidate_pairs(assigned: DataFrame,
+                              cluster_cap: int) -> DataFrame:
     """The within-(cluster, shard) candidate pair frame — SemDeDup's
-    only join, exposed so tests/test_scale.py can count exactly the
+    only exchange, exposed so tests/test_scale.py can count exactly the
     pairs a run evaluates. Returns (a_vec_id, b_vec_id, a_n, b_n,
     _dot) with a_vec_id < b_vec_id.
 
-    ``fan_out`` parallelizes the PAIR EXPLOSION itself via
-    salt-replication: the a-side gets a hash-derived salt in
-    [0, fan_out), the b-side replicates once per salt value, and the
-    salt joins as an extra equi-key — every (a, b) pair still matches
-    exactly once (a's salt picks exactly one b replica), so the pair
-    SET is untouched and no oracle change is needed; only the physical
-    distribution changes. Both sides are explicitly repartitioned on
-    the full key set with a pinned partition count — a user-specified
-    width AQE cannot coalesce away — so the join AND the inline cosine
-    fold run across fan_out tasks in ONE stage, with no second
-    shuffle of the (much larger) pair frame. The fold is staged behind
-    a Generate barrier so it evaluates exactly once however many
-    consumers reference it (interpreted higher-order functions get no
-    CSE — catalog.arrays_barrier)."""
-    from ..catalog import arrays_barrier
-
-    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
-                             F.lit(0.0), lambda a, z: a + z))
+    Round-13 shape: vectors shuffle ONCE, grouped by (cluster, shard),
+    and a numpy kernel (_pair_block_kernel) enumerates the block's
+    pairs and their cosine ingredients with bit-identical arithmetic to
+    the former interpreted per-pair fold (measured at sf0.1: pair stage
+    1.93 s -> ~0.3 s, flagship clean_corpus_semantic 2.7 -> ~1.4 s).
+    This is also the better 100 TB shape: the previous salted self-join
+    replicated every vector fan_out times across the exchange; here
+    each vector crosses once and the quadratic pair frame is BORN
+    inside the task that consumes it."""
     # Per-cluster sizes: k rows — always broadcast. shard = portable
     # hash of vec_id mod ceil(size/cap); 1 for every under-cap cluster,
     # so the cap is a no-op until skew actually appears.
@@ -1091,38 +1174,10 @@ def _semantic_candidate_pairs(assigned: DataFrame, cluster_cap: int,
     shard = F.expr(hex32("cast(vec_id as string)")) % n_shards
     rows = (
         assigned.join(F.broadcast(sizes), "cluster")
-        .select("vec_id", "cluster", "v", nrm.alias("n"),
-                shard.alias("_shard"))
+        .select("vec_id", "cluster", "v", shard.alias("_shard"))
     )
-    if fan_out and fan_out > 1:
-        a_rows = rows.withColumn(
-            "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(fan_out)).cast("int")
-        ).repartition(fan_out, "cluster", "_shard", "_salt")
-        b_rows = rows.withColumn(
-            "_salt",
-            F.explode(F.array(*[F.lit(i) for i in range(fan_out)])),
-        ).repartition(fan_out, "cluster", "_shard", "_salt")
-        keys = ("cluster", "_shard", "_salt")
-    else:
-        a_rows, b_rows, keys = rows, rows, ("cluster", "_shard")
-    a, b = a_rows.alias("a"), b_rows.alias("b")
-    cond = F.col("a.vec_id") < F.col("b.vec_id")
-    for c in keys:
-        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
-    joined = a.join(b, cond).select(
-        F.col("a.vec_id").alias("a_vec_id"),
-        F.col("b.vec_id").alias("b_vec_id"),
-        F.col("a.n").alias("a_n"),
-        F.col("b.n").alias("b_n"),
-        F.col("a.v").alias("_va"),
-        F.col("b.v").alias("_vb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("_va", "_vb", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, z: acc + z,
-    )
-    return arrays_barrier(
-        joined, ["a_vec_id", "b_vec_id", "a_n", "b_n"], {"_dot": dot}
+    return rows.groupBy("cluster", "_shard").applyInPandas(
+        _pair_block_kernel, schema=_PAIR_SCHEMA
     )
 
 

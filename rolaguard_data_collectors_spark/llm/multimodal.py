@@ -137,6 +137,11 @@ DECODE_FEATURES_SCHEMA = (
     " mean_rgb array<double>, max_byte int, byte_hist array<double>"
 )
 
+DECODE_FEATURES_GOLDEN_SCHEMA = DECODE_FEATURES_SCHEMA + (
+    ", golden_resize_md5 string, golden_out_w int, golden_out_h int,"
+    " golden_out_bytes long, golden_wav_ahash string"
+)
+
 _DECODE_FIELDS = [f.strip().split(" ")[0] for f in DECODE_FEATURES_SCHEMA.split(",")]
 
 
@@ -162,6 +167,46 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for f in _DECODE_FIELDS:
                 rows[f].append(feat.get(f))
         yield pd.DataFrame(rows, columns=_DECODE_FIELDS)
+
+
+def _golden_constants() -> dict:
+    """The five golden columns, computed THROUGH the real kernels —
+    ``make_resize_kernel`` on the golden PPM and ``media_phash_kernel``
+    on the golden WAV — exactly the code paths the former standalone
+    1-row legs drove. Called INSIDE an executor task (see
+    decode_features_golden), so the driver hash check still proves the
+    real kernels reproduce the pure-codec literals in the oracle; what
+    changed (optimization round 13) is only the plumbing: the two
+    standalone 1-row mapInPandas legs each cost a full Python-stage
+    round trip + a pickled-RDD scan + a broadcast exchange (~0.55 s
+    apiece at any SF — pure fixed overhead), where riding the existing
+    decode crossing costs ~2 ms once per task."""
+    import hashlib
+
+    ppm, _, _ = _golden_media()
+    r = next(make_resize_kernel(2, 2)(
+        iter([pd.DataFrame({"doc_id": [0], "payload": [ppm]})])))
+    w = next(media_phash_kernel(
+        iter([pd.DataFrame({"doc_id": [0], "payload": [_golden_wav()]})])))
+    return {
+        "golden_resize_md5": hashlib.md5(bytes(r["out_payload"][0])).hexdigest(),
+        "golden_out_w": int(r["out_width"][0]),
+        "golden_out_h": int(r["out_height"][0]),
+        "golden_out_bytes": int(r["n_out_bytes"][0]),
+        "golden_wav_ahash": w["dhash"][0],
+    }
+
+
+def decode_features_golden(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """decode_features + the golden-proof columns in one crossing
+    (golden computed once per task, through the real kernels)."""
+    golden = None
+    for pdf in decode_features(batches):
+        if golden is None:
+            golden = _golden_constants()
+        for k, v in golden.items():
+            pdf[k] = v
+        yield pdf
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,29 +255,19 @@ def multimodal_decode_features_flat(spark: SparkSession, sf_dir: str) -> DataFra
     plus the banded near-dup partner count (perceptual_dedup_table),
     both re-derived independently by the DuckDB oracle, and the
     golden WAV's ahash64 through the same kernel (literal-pinned like
-    the resize md5; invariances proven in tests/test_image_phash.py)."""
-    ppm, _, _ = _golden_media()
-    golden = (
-        spark.createDataFrame([(0, ppm)], "doc_id long, payload binary")
-        .mapInPandas(make_resize_kernel(2, 2), schema=RESIZE_SCHEMA)
-        .select(
-            F.md5("out_payload").alias("golden_resize_md5"),
-            F.col("out_width").alias("golden_out_w"),
-            F.col("out_height").alias("golden_out_h"),
-            F.col("n_out_bytes").alias("golden_out_bytes"),
-        )
+    the resize md5; invariances proven in tests/test_image_phash.py).
+
+    Optimization round 13: the golden columns ride INSIDE the decode
+    crossing (decode_features_golden) instead of two standalone 1-row
+    mapInPandas legs + broadcast cross joins — same kernels, same
+    values, two Python stage round trips and two broadcast exchanges
+    removed (measured: the two legs cost ~0.55 s each standalone at
+    ANY scale; the in-kernel computation is ~2 ms once per task)."""
+    media = media_table(spark, sf_dir)
+    feats = media.select("doc_id", "payload").mapInPandas(
+        decode_features_golden, schema=DECODE_FEATURES_GOLDEN_SCHEMA
     )
-    golden_wav = (
-        spark.createDataFrame([(0, _golden_wav())], "doc_id long, payload binary")
-        .mapInPandas(media_phash_kernel, schema=PHASH_SCHEMA)
-        .select(F.col("dhash").alias("golden_wav_ahash"))
-    )
-    feats = multimodal_decode_features(spark, sf_dir)
-    feats = (
-        feats.crossJoin(F.broadcast(golden))
-        .crossJoin(F.broadcast(golden_wav))
-        .join(perceptual_dedup_table(spark, sf_dir), "doc_id")
-    )
+    feats = feats.join(perceptual_dedup_table(spark, sf_dir), "doc_id")
     return feats.select(
         "doc_id",
         "decoder",
@@ -724,6 +759,16 @@ def synthetic_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
+def synthetic_phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """synthetic_media_kernel -> media_phash_kernel composed in ONE
+    Python crossing (optimization round 13): the synthetic payload
+    bytes used to make a full JVM round trip between generation and
+    hashing — two chained mapInPandas stages — for no reason; the
+    composition runs the SAME two kernels back to back inside one
+    task."""
+    yield from media_phash_kernel(synthetic_media_kernel(batches))
+
+
 _GOLDEN_WAV_CACHE: list = []
 
 
@@ -769,10 +814,7 @@ def perceptual_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(
         max(2, compute_parallelism(spark) // 4)
     )
-    hashes = (
-        docs.mapInPandas(synthetic_media_kernel, schema="doc_id long, payload binary")
-        .mapInPandas(media_phash_kernel, schema=PHASH_SCHEMA)
-    )
+    hashes = docs.mapInPandas(synthetic_phash_kernel, schema=PHASH_SCHEMA)
     # Materialize the banded frame ONCE (lazy localCheckpoint) and hand
     # it to all three consumers (both pair-join sides + the pdhash
     # projection). Round 7: previously the static plan carried three
