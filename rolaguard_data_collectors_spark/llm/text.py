@@ -744,6 +744,41 @@ BENCH_MOD = 97
 CONTAM_N = 5
 
 
+def _decontamination_hits(docs: DataFrame) -> DataFrame:
+    """Contaminated docs ONLY: (doc_id, contam_gram_hits >= 1). The
+    sparse inner frame text_profile left-joins (optimization round 13)
+    — at 100 TB contamination is rare, so shipping only hits beats
+    re-entering every clean doc through a corpus-wide join here AND
+    joining the full frame again in the caller.
+
+    The token array is staged behind a Generate barrier before the
+    gram transform (optimization round 13): interpreted higher-order
+    functions get no CSE, so the old inline form re-ran
+    ``split(text, ' ')`` for EVERY gram element (~n_tokens splits per
+    doc, on both the bench and probe sides) — measured at sf0.1:
+    0.65 -> 0.51 s for identical output."""
+    tk = _arrays_barrier(docs, ["doc_id"],
+                         {"_tk": F.split(F.col("text"), " ")})
+    gram_expr = F.expr(
+        "transform(sequence(1, greatest(size(_tk) - %d, 1)),"
+        " i -> array_join(slice(_tk, i, %d), ' '))" % (CONTAM_N - 1, CONTAM_N)
+    )
+    grams = tk.where(F.size("_tk") >= CONTAM_N).select(
+        "doc_id", F.explode(gram_expr).alias("gram")
+    )
+    bench = (
+        grams.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("_bdoc"), "gram")
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bench), "gram")
+        .where(F.col("doc_id") != F.col("_bdoc"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("contam_gram_hits"))
+    )
+
+
 def decontamination(docs: DataFrame) -> DataFrame:
     """Per-doc benchmark-overlap: number of distinct word-5-grams the
     doc shares with the held-out slice, excluding self-matches.
@@ -753,25 +788,7 @@ def decontamination(docs: DataFrame) -> DataFrame:
     broadcast; the corpus side streams through an explode + broadcast
     hash join + per-doc count, never shuffling the corpus by gram
     (gram keys are skewed: stopword runs appear everywhere)."""
-    toks = F.split(F.col("text"), " ")
-    gram_expr = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - %d, 1)),"
-        " i -> array_join(slice(split(text, ' '), i, %d), ' '))" % (CONTAM_N - 1, CONTAM_N)
-    )
-    grams = docs.select("doc_id", F.explode(gram_expr).alias("gram")).where(
-        F.size(toks) >= CONTAM_N
-    )
-    bench = (
-        grams.where(F.col("doc_id") % BENCH_MOD == 0)
-        .select(F.col("doc_id").alias("_bdoc"), "gram")
-        .distinct()
-    )
-    hits = (
-        grams.join(F.broadcast(bench), "gram")
-        .where(F.col("doc_id") != F.col("_bdoc"))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("contam_gram_hits"))
-    )
+    hits = _decontamination_hits(docs)
     return docs.select("doc_id").join(hits, "doc_id", "left").select(
         "doc_id",
         F.coalesce("contam_gram_hits", F.lit(0)).alias("contam_gram_hits"),
@@ -813,13 +830,27 @@ SUBSTR_W = 40  # window width (chars)
 SUBSTR_S = 10  # stride
 
 
-def substring_dup_profile(docs: DataFrame) -> DataFrame:
-    """Per-doc: window count, windows whose hash appears in >= 2
-    distinct docs, and the duplicated fraction.
+def _n_windows_expr():
+    """length(text) -> window count as pure arithmetic — exactly the
+    count the window explode emits (sequence(1, len-W+1, S) has
+    floor((len-W)/S)+1 elements), and exactly the oracle's own CASE
+    arithmetic. Replaces re-COUNTING the exploded windows per doc
+    (optimization round 13): the old per-doc count forced every
+    window row through the doc_id aggregate; at 100 TB that is an
+    O(total windows) shuffle bought to recompute a value derivable
+    from length(text) in-row."""
+    return F.expr(
+        f"CAST(CASE WHEN text IS NULL OR length(text) < {SUBSTR_W} THEN 0"
+        f" ELSE (length(text) - {SUBSTR_W}) div {SUBSTR_S} + 1 END AS BIGINT)"
+    )
 
-    Scale shape: windows shuffle ONCE by hash (the dup inventory is
-    the same exchange the join consumes); n_windows is pure arithmetic
-    on length(text) — no second explode. Never all-pairs."""
+
+def _substring_dup_hits(docs: DataFrame) -> DataFrame:
+    """Docs with >= 1 cross-doc duplicated window ONLY:
+    (doc_id, dup_windows). Sparse inner frame for left-joining; the
+    INNER join against the dup inventory drops every non-duplicated
+    window before the per-doc aggregate (the old left-join shape
+    carried all windows through it)."""
     win_expr = F.expr(
         f"CASE WHEN length(text) < {SUBSTR_W} THEN array()"
         f" ELSE transform(sequence(1, length(text) - {SUBSTR_W} + 1, {SUBSTR_S}),"
@@ -839,29 +870,33 @@ def substring_dup_profile(docs: DataFrame) -> DataFrame:
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("_nd"))
         .where(F.col("_nd") >= 2)
-        .select("h", F.lit(1).alias("_dup"))
-    )
-    # Totals AND dup counts in one per-doc aggregate over the same
-    # windows frame (the h-exchange feeding the dup inventory and the
-    # probe side canonicalize equal -> ReusedExchange); docs shorter
-    # than one window re-enter via the left join, zero-coalesced.
-    per = (
-        wins.join(dup, "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.coalesce(F.sum("_dup"), F.lit(0)).alias("dup_windows"),
-        )
+        .select("h")
     )
     return (
-        docs.select("doc_id")
+        wins.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_windows"))
+    )
+
+
+def substring_dup_profile(docs: DataFrame) -> DataFrame:
+    """Per-doc: window count, windows whose hash appears in >= 2
+    distinct docs, and the duplicated fraction.
+
+    Scale shape: windows shuffle ONCE by hash (the dup inventory is
+    the same exchange the join consumes); n_windows is pure arithmetic
+    on length(text) — no explode at all for it. Never all-pairs."""
+    per = _substring_dup_hits(docs)
+    n_win = F.coalesce(_n_windows_expr(), F.lit(0).cast("bigint"))
+    return (
+        docs.select("doc_id", n_win.alias("n_windows"))
         .join(per, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            "n_windows",
             F.coalesce("dup_windows", F.lit(0)).cast("bigint").alias("dup_windows"),
             F.round(
-                F.when(F.coalesce("n_windows", F.lit(0)) == 0, 0.0).otherwise(
+                F.when(F.col("n_windows") == 0, 0.0).otherwise(
                     F.coalesce("dup_windows", F.lit(0))
                     / F.col("n_windows").cast("double")
                 ),
@@ -971,13 +1006,42 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp["n_shingles"].alias("n_shingles"),
         rep["top_2gram_frac"].alias("top_2gram_frac"),
         rep["n_2grams"].alias("n_2grams"),
+        # substring-dup window count: pure arithmetic on length(text)
+        # (optimization round 13) — no explode, no aggregate.
+        _n_windows_expr().alias("n_windows"),
     )
+    # Corpus-global branches (optimization round 13 shape): the
+    # contamination and substring-dup branches emit SPARSE hit frames
+    # (contaminated docs / docs with a duplicated window only) that
+    # LEFT-join onto base, instead of each re-entering every doc via a
+    # corpus-wide join inside the branch and then joining the full
+    # frame again here — two full-corpus joins removed from the plan;
+    # at 100 TB the joined frames shrink from |corpus| to |hits|.
+    # unigram_logprob stays an inner join: every doc has tokens, so
+    # its frame is corpus-complete by construction.
     return (
-        # corpus-global branches: broadcast small side + one
-        # co-partitioned doc_id equi-join each (skew-free).
-        base.join(decontamination(docs), "doc_id")
+        base.join(_decontamination_hits(docs), "doc_id", "left")
         .join(unigram_logprob(docs), "doc_id")
-        .join(substring_dup_profile(docs), "doc_id")
+        .join(_substring_dup_hits(docs), "doc_id", "left")
+        .select(
+            "doc_id", "ws_tokens", "bpe_tokens", "n_bytes",
+            "stopword_hits", "mean_word_len", "quality_score", "keep",
+            "lang_label", "stopword_ratio", "th_bigrams", "lang_pred",
+            "fp_min", "fp_max", "n_shingles",
+            "top_2gram_frac", "n_2grams",
+            F.coalesce("contam_gram_hits", F.lit(0)).alias("contam_gram_hits"),
+            (F.coalesce("contam_gram_hits", F.lit(0)) > 0).alias("contaminated"),
+            "unigram_logprob",
+            "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).cast("bigint").alias("dup_windows"),
+            F.round(
+                F.when(F.col("n_windows") == 0, 0.0).otherwise(
+                    F.coalesce("dup_windows", F.lit(0))
+                    / F.col("n_windows").cast("double")
+                ),
+                6,
+            ).alias("dup_win_frac"),
+        )
     )
 
 
