@@ -82,8 +82,24 @@ def _sentinel_gk() -> F.Column:
 
 def _micro(col):
     """Exact BIGINT micro-unit summand for a <=6dp-exact money
-    expression computed in double."""
-    return F.round(col * F.lit(1000000.0)).cast("bigint")
+    expression computed in double.
+
+    ``cast(y + 0.5 as bigint)`` (truncation toward zero after adding
+    half), NOT ``round(y)``: Spark's Round on DoubleType allocates a
+    java.math.BigDecimal per row in codegen, and with 6 money
+    aggregates per row that one expression dominated the q1 scan
+    stage (optimization round 13, sf0.1 A/B on the identical
+    aggregate set: round 1.21 s / this form 0.44 s; per-row equality
+    sweep over all six lineitem money expressions: 0 mismatches).
+    Equivalence argument, not just measurement: the design already
+    requires every summand to be <=6dp-exact, so y = col*1e6 always
+    lies within ~1e-4 of an integer i (double error ~y*2^-52, far
+    below the 0.5 grid) and y is non-negative; then trunc(y + 0.5) =
+    i = HALF_UP(y) — the two forms can only disagree when frac(y)
+    lands within ~1 ulp of 0.5, which the 6dp-exactness contract
+    excludes by two orders of magnitude. ANSI cast keeps the loud
+    overflow behavior (tests/test_money_sums.py)."""
+    return (col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
 
 
 def _dollars(sum_micro_dec, scale=2):

@@ -33,6 +33,36 @@ def test_micro_summand_exact_at_6dp(spark):
         assert r.m == int(exact), (p, d, t)
 
 
+def test_micro_trunc_form_matches_round_semantics(spark):
+    """Round-13 perf change: _micro is ``cast(y + 0.5 as bigint)``
+    instead of ``round(y)`` (per-row BigDecimal, measured 2.7x slower
+    over q1's aggregate set). Pin the equivalence on the class of
+    inputs the design admits — 6dp-exact money values, where y = v*1e6
+    sits within ~1e-4 of an integer — including the worst
+    accumulated-error cases (max-magnitude prices, chained products)
+    and the frac-near-1 side where truncation without the +0.5 would
+    be off by one."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    vals = []
+    # max-magnitude 2dp prices and 6dp-exact chained products
+    for p in (104999.91, 99999.99, 95000.25, 0.01, 88888.49, 77777.51):
+        for d in (0.0, 0.01, 0.05, 0.1):
+            for t in (0.0, 0.02, 0.08):
+                vals.append(float(p) * (1.0 - d) * (1.0 + t))
+    # values whose double repr sits just BELOW the integer (frac ~ 1-eps)
+    vals += [2.9999999999999996, 0.9999999999999999, 6.6e-7]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r.m for r in df.select(_micro(F.col("v")).alias("m")).collect()]
+    for v, m in zip(vals, got):
+        # reference: HALF_UP of the shortest-decimal repr, exactly what
+        # Spark's Round(double) computed via BigDecimal.valueOf
+        ref = int(
+            (Decimal(repr(v)) * 10**6).quantize(Decimal(1), ROUND_HALF_UP)
+        )
+        assert m == ref, (v, m, ref)
+
+
 def test_msum_order_independent(spark):
     """The same multiset in shuffled order and partitioning sums to
     the identical rounded value (the sf1 one-cent-flake class)."""
