@@ -369,18 +369,26 @@ def join_workflow_kernel(
         ]
         for i, pair in zip(idxs, lc.derive_session_keys_batch(key, tails)):
             keys[i] = pair
+    # Session-leg crypto in ONE multi-key numpy pass (optimization
+    # round 13): the scalar encode_data_frame + parse_phypayload pair
+    # per row — each row under its OWN derived NwkSKey — cost ~45
+    # one-block OpenSSL FFI calls + a Cipher construction per row
+    # (1.9 s single-core over the sf0.1 signup rows, the join_workflow
+    # leg's dominant term). data_roundtrip_batch runs the identical
+    # encode -> MIC-verify -> FRM-decrypt byte math through the
+    # keyspace sweep's multi-key AES (property-tested bit-identical,
+    # tests/test_lorawan_codec.py).
+    payload_bytes = [(payload_text[i] or "").encode() for i in range(n)]
+    _, rt_mic_ok, rt_frm = lc.data_roundtrip_batch(
+        [keys[i][0] for i in range(n)],
+        [dev_addr[i] for i in range(n)],
+        [int(dev_nonce[i]) for i in range(n)],
+        [int(f_port[i]) for i in range(n)],
+        payload_bytes,
+    )
     for i in range(n):
         p = lc.parse_phypayload_b64(jr_b64[i], app_key[i], None)
         nwk, app = keys[i]
-        sraw = lc.encode_data_frame(
-            nwk,
-            dev_addr[i],
-            int(dev_nonce[i]),
-            (payload_text[i] or "").encode(),
-            f_port=int(f_port[i]),
-        )
-        sp = lc.parse_phypayload(sraw, nwk, nwk)
-        frm = bytes.fromhex(sp.frm_payload) if sp.frm_payload else b""
         cols["m_type"][i] = p.m_type
         cols["join_eui"][i] = p.join_eui
         cols["dev_eui"][i] = p.dev_eui
@@ -395,9 +403,9 @@ def join_workflow_kernel(
             and len(ah) == 32
             and all(c in "0123456789abcdef" for c in nh + ah)
         )
-        cols["session_roundtrip_ok"][i] = bool(sp.mic_ok) and frm == (
-            payload_text[i] or ""
-        ).encode()
+        cols["session_roundtrip_ok"][i] = (
+            bool(rt_mic_ok[i]) and rt_frm[i] == payload_bytes[i]
+        )
     return pd.DataFrame(cols, columns=_JW_FIELDS)
 
 
