@@ -325,7 +325,7 @@ def _staged_token_hashes(spark: SparkSession, sf_dir: str,
     the table scan with an explicit (doc_id, text) frame — the
     incremental-ledger batch path (llm/components.py)."""
     from ..catalog import arrays_barrier
-    from ..portable_sql import hex32_array
+    from ..portable_sql import hex32_array_spark
 
     docs = (
         docs if docs is not None else _docs(spark, sf_dir)
@@ -333,7 +333,7 @@ def _staged_token_hashes(spark: SparkSession, sf_dir: str,
     return arrays_barrier(
         docs,
         ["doc_id"],
-        {"_th": F.expr(hex32_array("array_distinct(split(text, ' '))"))},
+        {"_th": F.expr(hex32_array_spark("array_distinct(split(text, ' '))"))},
     )
 
 

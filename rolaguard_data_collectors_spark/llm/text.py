@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import arrays_barrier, load_table, spread
-from ..portable_sql import hex32, hex32_array
+from ..portable_sql import hex32, hex32_array_spark
 from ..registry import QuerySpec
 
 # A BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
@@ -187,7 +187,7 @@ FROM t
 # referencing the raw expression re-runs the full md5 fold. Measured in
 # round 5: the same fold inlined into 8 MinHash columns regressed
 # 0.9 s -> 3.3 s; behind the barrier each array materializes once.
-_SHINGLE_HASHES_EXPR = hex32_array(
+_SHINGLE_HASHES_EXPR = hex32_array_spark(
     "transform(sequence(1, greatest(length(text) - 4, 1)),"
     " i -> substring(text, i, 5))"
 )

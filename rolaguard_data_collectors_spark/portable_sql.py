@@ -60,6 +60,32 @@ def hex32_array(array_expr: str, lambda_var: str = "s") -> str:
     )
 
 
+# Spark-ONLY spellings of the same hash (optimization round 13, guide
+# §4.1): inside higher-order-function lambdas every expression node is
+# INTERPRETED (no codegen, no CSE), so the 8-term digit parse costs
+# ~34 node evaluations per element. Spark's `conv(hex, 16, 10)` parses
+# the same 8 lowercase hex chars in ONE call — bit-identical value
+# (conv is case-insensitive, 8 hex digits < 2^32 cannot overflow, CAST
+# of its decimal string to BIGINT is exact). DuckDB 1.x has no conv(),
+# which is why the ORACLE strings must keep the digit-parse templates
+# above; the two spellings are value-equal, which every oracle parity
+# row re-proves per run.
+
+
+def hex32_spark(expr: str) -> str:
+    """hex32() value via conv() — Spark-side expressions only."""
+    return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def hex32_array_spark(array_expr: str, lambda_var: str = "s") -> str:
+    """hex32_array() value via conv() — Spark-side expressions only.
+    One transform (md5 + substr + conv per element) instead of two."""
+    return (
+        f"transform({array_expr}, {lambda_var} -> "
+        f"CAST(conv(substr(md5({lambda_var}), 1, 8), 16, 10) AS BIGINT))"
+    )
+
+
 def minhash_term(expr: str, a: int, b: int) -> str:
     """One member of a universal-ish hash family over hex32(expr)."""
     return f"(({a} * {hex32(expr)} + {b}) % {HASH_PRIME})"
