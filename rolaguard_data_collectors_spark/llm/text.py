@@ -337,10 +337,20 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
     freq_agg = (
         F.count("*") if weight is None else F.sum(weight).cast("bigint")
     ).alias("freq")
+    # Stage the confirmed counts too (optimization round 13): the
+    # confirm subtree (semi-join + two-phase aggregate over the full
+    # input) feeds THREE consumers — the ranked top-k output, the
+    # strict guard's _nc/_kth statistics, and the sentinel branch —
+    # and the guard's docstring already paid "one recompute of the
+    # k-row confirm subtree"; with the sentinel that was up to three
+    # evaluations per materialization in the executed plan. The frame
+    # is tiny (<= candidate count rows), so the checkpoint is cheap
+    # and every consumer reads the same materialization.
     exact = (
         tokens.join(F.broadcast(candidates), col, "left_semi")
         .groupBy(col)
         .agg(freq_agg)
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 
@@ -353,8 +363,8 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int = 10,
         # 1-row aggregates — the stats agg ALWAYS emits a row (a
         # row-level guard on the ranked frame silently passes when MG
         # yields zero candidates), so the assert also catches the
-        # fewer-than-k / empty-candidate cases. Costs one recompute of
-        # the k-row confirm subtree plus one scalar scan for W.
+        # fewer-than-k / empty-candidate cases. Costs one scalar scan
+        # for W plus re-ranking the STAGED confirm frame (tiny).
         # The MG rank is the board's one sanctioned partition-less
         # Window over non-bucket rows, sanctioned BECAUSE its input is
         # bounded by counters x partitions — asserted at runtime below
@@ -470,25 +480,87 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # redundant two-phase distinct aggregate over already-distinct
     # rows.
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.select(F.count("*").alias("n_docs"))
+    # Corpus row count: a plain unspread scan — the spread() repartition
+    # the tokenizing branches want is pure shuffle for a count(*) (and
+    # at scale the count comes straight off parquet row-group metadata).
+    n = load_table(spark, sf_dir, "documents").select(
+        F.count("*").alias("n_docs")
+    )
+    # Fused doc + BM25 legs (optimization round 13, guide §2.4): both
+    # legs rank the SAME tf rows within doc_id, only by different
+    # scores — computing both scores in one frame lets the two rank
+    # windows share ONE Exchange hashpartitioning(doc_id) (Spark
+    # stacks Sort+Window pairs over one exchange when the partition
+    # key matches), where the old plan shuffled the tf-scale frame by
+    # doc_id twice (once per leg) and joined dl into only one of them.
+    # The per-leg rows are then unstacked in-row (explode of a 2-slot
+    # struct array) — no extra pass, no recompute. Score arithmetic,
+    # rounding, ordering, and rank<=3 semantics are bit-identical to
+    # the two-leg form (parity-checked exact at sf0.1 during the A/B).
+    k1, b = 1.2, 0.75
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
         .select(
             "doc_id",
             "term",
             "tf",
             F.round(
                 F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-            ).alias("tfidf"),
+            ).alias("_tfidf"),
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("_bm25"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    per_doc = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf"), F.asc("term"))
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("_bm25"), F.asc("term"))
+    ranked = (
+        scored.withColumn("_rd", F.row_number().over(w))
+        .withColumn("_rb", F.row_number().over(wb))
+        .where((F.col("_rd") <= 3) | (F.col("_rb") <= 3))
+    )
+    doc_bm25 = (
+        ranked.select(
+            "doc_id",
+            "term",
+            "tf",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("doc").alias("leg"),
+                        F.col("_tfidf").alias("tfidf"),
+                        F.col("_rd").alias("rank"),
+                    ),
+                    F.struct(
+                        F.lit("bm25").alias("leg"),
+                        F.col("_bm25").alias("tfidf"),
+                        F.col("_rb").alias("rank"),
+                    ),
+                )
+            ).alias("_l"),
+        )
+        .where(F.col("_l.rank") <= 3)
         .select(
-            F.lit("doc").alias("leg"), "doc_id", "term", "tf", "tfidf", "rank"
+            F.col("_l.leg").alias("leg"),
+            "doc_id",
+            "term",
+            "tf",
+            F.col("_l.tfidf").alias("tfidf"),
+            F.col("_l.rank").alias("rank"),
         )
     )
     # Round-5 leg: corpus-wide top-10 terms through the bounded-memory
@@ -506,43 +578,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("tfidf"),
         "rank",
     )
-    # BM25 leg: doc length from the tf frame itself (sum of term
-    # frequencies per doc == token count), avgdl a 1-row broadcast.
-    k1, b = 1.2, 0.75
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    bm25_scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(avgdl))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            F.round(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                    + 1.0
-                )
-                * (F.col("tf") * (k1 + 1))
-                / (
-                    F.col("tf")
-                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-                ),
-                6,
-            ).alias("tfidf"),
-        )
-    )
-    wb = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    bm25 = (
-        bm25_scored.withColumn("rank", F.row_number().over(wb))
-        .filter(F.col("rank") <= 3)
-        .select(
-            F.lit("bm25").alias("leg"), "doc_id", "term", "tf", "tfidf", "rank"
-        )
-    )
-    return per_doc.unionByName(corpus).unionByName(bm25)
+    return doc_bm25.unionByName(corpus)
 
 
 TFIDF_ORACLE = """
