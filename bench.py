@@ -91,34 +91,63 @@ def main() -> None:
         .save()
     )
 
+    # Pipeline cold plan-compile (ADVICE r13): measured BEFORE the
+    # per-query loop — the loop materializes the memoized staged-union
+    # slices, so measuring "cold" after it (the r13 placement) recorded
+    # a partially warmed wall (driver run: 1.72 s vs the 10-30 s a
+    # fresh session actually pays). This is the one-time Janino codegen
+    # + JIT bill a production session pays on its first batch; the
+    # steady-state throughput samples stay at the end of the run, by
+    # which point the query loop's 12 slice materializations guarantee
+    # the 2-3-build warm ramp has completed.
+    pipe_cold_build_sec = None
+    try:
+        from rolaguard_data_collectors_spark.streaming.pipeline_queries import (
+            staged_pipeline_union,
+        )
+
+        cold = staged_pipeline_union(spark, sf_dir)
+        t0 = time.perf_counter()
+        cold.write.format("noop").mode("overwrite").save()
+        pipe_cold_build_sec = round(time.perf_counter() - t0, 2)
+    except Exception as exc:
+        print(f"bench: pipeline cold build skipped: {exc}", file=sys.stderr)
+
     # Best of 3 materializations per query, ROUND-ROBIN across the
     # board (run every query once, then repeat the full pass twice).
-    # The FIRST pass builds each DataFrame (Python-side plan
-    # construction — py4j round trips that measured ~12 s across the
-    # 50 registered queries) and pays JVM analysis + first codegen;
-    # later passes reuse the handle, the way any client reuses a
-    # repeated query, so the min is the steady-state number a capacity
-    # plan would use — each materialization still pays full JVM
-    # optimization + AQE physical planning + execution. Round-robin
-    # (round 7) instead of 3 consecutive runs per query: this host
-    # shows multi-second noise bursts from OUTSIDE the VM (load >4
-    # with no local process; oracle times inflate identically), and a
-    # burst that spans one query's 3 consecutive runs poisons its min
-    # — spread across the board, a burst lands on at most one pass of
-    # many queries and the per-query min dodges it. (Measured round 5:
-    # identical pipeline plans wobble ±50% run-to-run on a loaded
-    # host; min-of-5 on an idle host reproduced the round-3 number.)
+    # Round-robin (round 7) instead of 3 consecutive runs per query:
+    # this host shows multi-second noise bursts from OUTSIDE the VM
+    # (load >4 with no local process; oracle times inflate
+    # identically), and a burst that spans one query's 3 consecutive
+    # runs poisons its min — spread across the board, a burst lands on
+    # at most one pass of many queries and the per-query min dodges it.
+    #
+    # FRESH BUILD PER PASS (optimization round 14, VERDICT r13 item 2):
+    # the r13 loop built each DataFrame once and re-materialized the
+    # same handle, so every query whose build contains a lazy
+    # ``localCheckpoint`` (the repo-wide staging discipline: tfidf's tf
+    # table, dedup token hashes, the kmeans assignment, dsir, ...)
+    # persisted those blocks on pass 1 and passes 2-3 read them back —
+    # the per-query min was an incremental-warm number, not a full
+    # recompute. Now ``spec.build`` runs fresh inside every pass (new
+    # checkpoint RDDs, nothing survives between passes) and only the
+    # materialization is timed (Python-side plan construction — py4j
+    # round trips, ~12 s across the 50 queries — happens outside the
+    # timed window, as it effectively did before: the old min came
+    # from passes 2-3, which paid no build). Driver-side memos keyed
+    # per session (seed codebooks, history blooms) are persisted lake
+    # artifacts by design and stay warm, as in every prior round.
+    # ``queries``/``value`` are the fresh-build numbers; the r13
+    # reused-handle methodology is published once more this transition
+    # round as ``queries_warm_reuse`` (see below).
     timings: dict[str, float] = {}
-    built: dict[str, object] = {}
     for _pass in range(3):
         for name, spec in specs.items():
             if timings.get(name, 0) < 0:
                 continue  # failed on an earlier pass
             try:
+                df = spec.build(spark, sf_dir)  # fresh: re-stage checkpoints
                 t0 = time.perf_counter()
-                df = built.get(name)
-                if df is None:
-                    df = built[name] = spec.build(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 took = time.perf_counter() - t0
                 prev = timings.get(name)
@@ -129,6 +158,26 @@ def main() -> None:
     timings = {
         n: (round(t, 2) if t >= 0 else -1.0) for n, t in timings.items()
     }
+
+    # Transition-round twin (one round only, VERDICT r13 item 2): the
+    # r13-and-earlier reused-handle min — build once, materialize
+    # twice, min — so BENCH_r14 is comparable against BENCH_r13 per
+    # query while the headline moves to fresh builds.
+    warm_reuse: dict[str, float] = {}
+    for name, spec in specs.items():
+        if timings.get(name, 0) < 0:
+            continue
+        try:
+            df = spec.build(spark, sf_dir)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            warm_reuse[name] = round(best, 2)
+        except Exception as exc:
+            warm_reuse[name] = -1.0
+            print(f"bench: warm-reuse {name} FAILED: {exc}", file=sys.stderr)
 
     # DuckDB oracle wall-times over the same parquet at the same SF —
     # the single-node baseline each Spark time is judged against
@@ -192,7 +241,6 @@ def main() -> None:
     pipe_rate = pipe_rate_min = None
     pipe_samples: list[int] = []
     stage_build_sec = None
-    pipe_cold_build_sec = None
     try:
         import statistics
 
@@ -204,23 +252,13 @@ def main() -> None:
             spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         )
         n_samples = max(3, int(os.environ.get("SPARK_GRAFT_PIPE_SAMPLES", "5")))
-        # Measurement fix (optimization round 13, disclosed in
-        # OPTIMIZATION_r13.md): the FIRST-ever materialization of this
-        # plan shape pays one-time Janino codegen compilation + JVM JIT
-        # of the whole 4-source union (~10-30 s measured) — a cost every
-        # earlier round's single sample silently dodged because the
-        # query loop's memoized slice queries had already compiled the
-        # identical plan. Sampling N fresh builds without that warmth
-        # let 1-2 cold samples dominate the median with one-time setup
-        # that is not throughput. Record the cold wall separately
-        # (pipeline_cold_build_sec — both clocks stay visible), then
-        # quote min/median of N samples at steady state, which is what
-        # a capacity plan needs and what r12-and-earlier numbers
-        # actually measured.
-        cold = staged_pipeline_union(spark, sf_dir)
-        t0 = time.perf_counter()
-        cold.write.format("noop").mode("overwrite").save()
-        pipe_cold_build_sec = round(time.perf_counter() - t0, 2)
+        # The one-time Janino codegen/JIT bill of this plan shape is
+        # measured at the TOP of the run (pipeline_cold_build_sec, see
+        # above — ADVICE r13 moved it before the query loop so it is
+        # genuinely cold); by this point the query loop's 12 memoized
+        # slice materializations guarantee the 2-3-build warm ramp has
+        # completed, so these N fresh builds sample steady state — the
+        # number a capacity plan needs.
         walls: list[float] = []
         for _ in range(n_samples):
             staged = staged_pipeline_union(spark, sf_dir)  # FRESH build
@@ -242,15 +280,23 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                # Transition-round twin (r13 methodology: one build,
+                # min of 2 reused-handle materializations) — published
+                # this round only so BENCH_r13/BENCH_r14 stay
+                # per-query comparable across the fresh-build switch.
+                "queries_warm_reuse": warm_reuse,
                 "oracle_queries": duck,
                 "metric": "total_query_wall",
                 "unit": "sec",
                 "sf": _sf_of(sf_dir),
                 "runs_per_query": 3,
-                # min-of-3 round-robin passes (full board per pass) —
+                # min-of-3 round-robin passes (full board per pass),
+                # each pass building the DataFrame FRESH (round 14) so
+                # lazy localCheckpoint staging is recomputed per pass —
                 # recorded so a methodology regression is visible in
                 # the artifact itself, alongside the codegen-cache
                 # sizing the steady-state number depends on.
+                "build_mode": "fresh_per_pass",
                 "run_order": "round_robin",
                 "codegen_cache_max": spark.conf.get(
                     "spark.sql.codegen.cache.maxEntries", "unset"

@@ -106,3 +106,44 @@ def test_dollars_decimal_rounding_is_half_up_exact(spark):
         _dollars(F.col("m").cast("decimal(38,0)")).alias("d")
     ).collect()[0].d
     assert got == 123456789012.35
+
+
+def test_registered_money_expressions_nonnegative(spark, sf_dir):
+    """_micro's trunc form equals HALF_UP only for NON-NEGATIVE
+    summands: cast(y + 0.5 as bigint) truncates toward zero, so a
+    negative y (e.g. -2.5) gives trunc(-2.0) = -2 where HALF_UP
+    (away from zero) gives -3 — a silent one-micro skew on every
+    negative row. That contract lived in a docstring (VERDICT r13
+    item 8); this test makes it executable — it enumerates the BASE
+    COLUMNS feeding every registered _micro/_msum/_mavg call site
+    (operators/relational.py: q1, q3, q5, grouping_analytics,
+    pivot/rollup bases) and fails if the data admits a negative
+    summand or a discount outside [0, 1] (which would make
+    p*(1-d) negative). A future registered money expression over a
+    signed column must extend _micro first (widen to the two-stage
+    DECIMAL form or re-prove trunc==HALF_UP on negatives)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = li.agg(
+        F.min("l_quantity").alias("min_q"),
+        F.min("l_extendedprice").alias("min_p"),
+        F.min("l_discount").alias("min_d"),
+        F.max("l_discount").alias("max_d"),
+        F.min("l_tax").alias("min_t"),
+    ).collect()[0]
+    assert row.min_q >= 0, "l_quantity can go negative: _micro contract broken"
+    assert row.min_p >= 0, "l_extendedprice can go negative"
+    assert 0 <= row.min_d and row.max_d <= 1, "l_discount outside [0,1]"
+    assert row.min_t >= 0, "l_tax can go negative"
+    min_tp = orders.agg(F.min("o_totalprice").alias("m")).collect()[0].m
+    assert min_tp >= 0, "o_totalprice can go negative"
+    # The derived forms are products of non-negative factors given the
+    # bounds above — spot-check the fully composed worst case anyway.
+    worst = li.agg(
+        F.min(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("m")
+    ).collect()[0].m
+    assert worst >= 0

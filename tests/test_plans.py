@@ -396,25 +396,32 @@ def test_bench_cost_tripwire(spark, sf_dir):
         f"staged pipeline parse blowup: {staged_wall:.1f}s at sf0.01 "
         "(cold compile + materialization baseline ~13s)"
     )
-    # Two round-robin passes, per-query MIN (optimization round 13):
-    # single-sample walls false-positive two ways on this host —
-    # external noise bursts (bench.py documents multi-second bursts
-    # with no local process; observed here as a different random
-    # query >12 s on each run) and legitimate one-time driver-side
-    # artifact memos (PQ codebooks, history blooms) billed to a
-    # query's first build. A real blowup (quadratic pair explosion)
-    # is slow on EVERY pass, so the min still trips.
+    # Round 14 (ADVICE r13 + VERDICT r13 item 1): each pass builds the
+    # DataFrame FRESH so lazy localCheckpoint staging (tfidf, dedup,
+    # heavy_hitters, cascade, dsir, multimodal, kmeans assignment) is
+    # recomputed per pass — the r13 form reused the built handle, so a
+    # quadratic blowup UPSTREAM of any checkpoint only ran on pass 1
+    # and min-of-passes discarded it. The default suite runs ONE pass
+    # (the second full pass is gated behind SPARK_GRAFT_FULL_SWEEP to
+    # keep the driver's verify inside its budget); noise immunity for
+    # the single-pass default comes from a targeted retry instead: a
+    # host-noise burst clears on the retry, a real blowup is slow on
+    # EVERY materialization and still trips.
+    def _wall(name: str) -> float:
+        t0 = time.perf_counter()
+        df = SPECS[name].build(spark, sf001)  # fresh: re-stage checkpoints
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    n_passes = 2 if os.environ.get("SPARK_GRAFT_FULL_SWEEP") else 1
     walls: dict[str, float] = {}
-    built: dict[str, object] = {}
-    for _pass in range(2):
-        for name, spec in SPECS.items():
-            t0 = time.perf_counter()
-            df = built.get(name)
-            if df is None:
-                df = built[name] = spec.build(spark, sf001)
-            df.write.format("noop").mode("overwrite").save()
-            wall = time.perf_counter() - t0
+    for _pass in range(n_passes):
+        for name in SPECS:
+            wall = _wall(name)
             walls[name] = min(walls.get(name, float("inf")), wall)
+    for name, w in list(walls.items()):
+        if w > 12.0:
+            walls[name] = min(w, _wall(name))
     overs = [(n, round(w, 2)) for n, w in walls.items() if w > 12.0]
     total = sum(walls.values())
     assert not overs, f"per-query cost blowup (>12s at sf0.01): {overs}"
