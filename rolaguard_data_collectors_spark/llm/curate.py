@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
-from ..portable_sql import hex32
+from ..portable_sql import hex32, hex32_spark
 from ..registry import QuerySpec
 
 # Hash-fraction denominator: h32 is uniform on [0, 2^32); a row is
@@ -43,7 +43,7 @@ _H_SPACE = 2 ** 32
 def _doc_hash(key_col: str, salt: str = "") -> F.Column:
     """Portable deterministic hash of a key column (+ fixed salt so
     different sampling decisions are independent)."""
-    return F.expr(hex32(f"concat(cast({key_col} as string), '{salt}')"))
+    return F.expr(hex32_spark(f"concat(cast({key_col} as string), '{salt}')"))
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float,
@@ -337,7 +337,7 @@ def curation_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat NULL-propagates while DuckDB concat skips NULLs, so a bare
     # concat(md5(text), ...) silently sends NULL-text docs to 'test' on
     # one engine and a hashed split on the other.
-    split_h = F.expr(hex32("concat(coalesce(md5(text), ''), 'split')"))
+    split_h = F.expr(hex32_spark("concat(coalesce(md5(text), ''), 'split')"))
     split = (
         F.when(split_h < int(0.90 * _H_SPACE), "train")
         .when(split_h < int(0.95 * _H_SPACE), "val")

@@ -217,10 +217,6 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str,
     (llm/components.py), instead of rebuilding the dominant
     MinHash/banding subtree twice (round-9 review fix; the DuckDB
     oracle already shared it via MATERIALIZED CTEs)."""
-    docs = _docs(spark, sf_dir)
-    tok_arrays = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
     # Representative election via a window min, not a groupBy+self-join:
     # the self-join form rebuilt the signature subplan on both sides
     # (scanned the corpus twice more); the window computes reps in the
@@ -228,15 +224,46 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str,
     if assign is None:
         assign = _band_assignments(minhash_signatures(spark, sf_dir))
     w = Window.partitionBy("band", "bucket")
+    # Staged (lazy localCheckpoint): three consumers — the verify join
+    # plus the two candidate-id prefilters below — must not re-run the
+    # banding window each (optimization round 14).
     cand = (
         assign.withColumn("rep", F.min("doc_id").over(w))
         .filter(F.col("doc_id") != F.col("rep"))
         .groupBy("doc_id")
         .agg(F.min("rep").alias("rep_id"))
+        .localCheckpoint(eager=False)
     )
-    ta = tok_arrays.select(F.col("doc_id"), F.col("toks").alias("toks_doc"))
-    tb = tok_arrays.select(
-        F.col("doc_id").alias("rep_id"), F.col("toks").alias("toks_rep")
+    # Candidate-id prefilter (optimization round 14, guide §3.2): only
+    # docs that appear in a (doc, rep) edge ever reach the exact
+    # verify, so the corpus is semi-joined down to those ids BEFORE
+    # tokenization — the former shape tokenized and shuffled the WHOLE
+    # corpus into both join sides to keep |cand| rows. The id frames
+    # broadcast (they are bounded by the candidate count, one row per
+    # bucketed non-rep doc); at a scale where the drop-candidate set
+    # outgrows a broadcast, the same two semi-joins degrade gracefully
+    # to Spark's runtime bloom-filter / shuffled semi-join — still
+    # moving only matching documents' token arrays, never the corpus.
+    # Inner-join equivalence: ta rows that survive the verify join all
+    # have doc_id in cand.doc_id; tb rows likewise in cand.rep_id —
+    # a semi-join on exactly those key sets drops no output row.
+    docs = load_table(spark, sf_dir, "documents")
+    ta = (
+        docs.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+        .select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks_doc")
+        )
+    )
+    tb = (
+        docs.join(
+            F.broadcast(cand.select(F.col("rep_id").alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
+        .select(
+            F.col("doc_id").alias("rep_id"),
+            F.array_distinct(F.split("text", " ")).alias("toks_rep"),
+        )
     )
     inter = F.size(F.array_intersect("toks_doc", "toks_rep"))
     jacc = F.round(

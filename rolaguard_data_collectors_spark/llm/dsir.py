@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..portable_sql import hex32
+from ..portable_sql import hex32, hex32_spark
 from ..registry import QuerySpec
 
 DSIR_BUCKETS = 128
@@ -89,7 +89,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = bigrams.select(
         "doc_id",
         "lang",
-        F.expr(f"{hex32('bg')} % {DSIR_BUCKETS}").alias("bucket"),
+        F.expr(f"{hex32_spark('bg')} % {DSIR_BUCKETS}").alias("bucket"),
     )
     # Materialize once: both the model aggregate and the per-doc
     # weight aggregate consume this frame, and their pruned subtrees

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..commitlog import append_commit_line
-from ..portable_sql import hex32
+from ..portable_sql import hex32, hex32_spark
 from ..tablelock import TableLock
 
 
@@ -79,7 +79,7 @@ def seed_codebook(spark: SparkSession, sf_dir: str, k: int = 8) -> list[list[flo
     bounded at any corpus scale."""
     df = _emb(spark, sf_dir).where(F.col("v").isNotNull())
     seeds = (
-        df.withColumn("_h", F.expr(hex32("cast(vec_id as string)")))
+        df.withColumn("_h", F.expr(hex32_spark("cast(vec_id as string)")))
         .orderBy("_h", "vec_id")
         .limit(k)
         .collect()
@@ -1171,7 +1171,7 @@ def _semantic_candidate_pairs(assigned: DataFrame,
     # so the cap is a no-op until skew actually appears.
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csz"))
     n_shards = F.ceil(F.col("_csz") / F.lit(float(cluster_cap)))
-    shard = F.expr(hex32("cast(vec_id as string)")) % n_shards
+    shard = F.expr(hex32_spark("cast(vec_id as string)")) % n_shards
     rows = (
         assigned.join(F.broadcast(sizes), "cluster")
         .select("vec_id", "cluster", "v", shard.alias("_shard"))

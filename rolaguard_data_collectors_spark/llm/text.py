@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import arrays_barrier, load_table, spread
-from ..portable_sql import hex32, hex32_array_spark
+from ..portable_sql import hex32, hex32_array_spark, hex32_spark
 from ..registry import QuerySpec
 
 # A BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
@@ -899,7 +899,7 @@ def _substring_dup_hits(docs: DataFrame) -> DataFrame:
     # scan+spread+explode+hash chain runs twice.
     wins = (
         docs.select("doc_id", F.explode(win_expr).alias("w"))
-        .select("doc_id", F.expr(hex32("w")).alias("h"))
+        .select("doc_id", F.expr(hex32_spark("w")).alias("h"))
         .localCheckpoint(eager=False)
     )
     dup = (
