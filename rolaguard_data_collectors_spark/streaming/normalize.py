@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lorawan_sql import (
+    EXPR_SAFE_FIELDS,
+    decode_fields_from_hex,
+    decoded_frame_hex,
+)
 from ..functions.lorawan_udfs import decode_phypayload, decode_phypayload_for
 from ..schemas import (
     CHIRPSTACK_APPLICATION_SCHEMA,
@@ -132,6 +137,29 @@ def _attach_parsed(
     for null input)."""
     strategy = strategy or DECODE_STRATEGY
     if df.isStreaming or strategy == "memo":
+        # No-key pruned decode -> pure Catalyst expressions
+        # (optimization round 14, guide §4.1): when every requested
+        # field is a byte slice (no FRMPayload decrypt, no MIC, no
+        # MAC-command JSON), the parse runs inside whole-stage codegen
+        # and the ArrowEvalPython crossing disappears from the plan —
+        # value-identical to the UDF by the lorawan_sql exactness
+        # contract (fuzz-pinned in tests/test_decode_expr.py).
+        # Measured at sf0.1: the four crossings cost 0.48 s of the
+        # 1.20 s staged-union materialization, all Arrow serialization
+        # (an all-NULL-input crossing measured the same 1.0 s).
+        if fields is not None and set(fields) <= EXPR_SAFE_FIELDS:
+            # The decoded-frame hex is staged as its OWN column first:
+            # SimplifyExtractValueOps flattens the _p struct into its
+            # consumers (one copy per field), but CollapseProject keeps
+            # a non-cheap alias referenced more than once, so the
+            # canonicalize+decode chain behind ``_ph`` evaluates once
+            # per row and each field copy is a conv/substr over the
+            # attribute (see decoded_frame_hex: the unstaged form
+            # carried 40 unbase64 nodes and ran slower than the UDF).
+            staged = df.withColumn("_ph", decoded_frame_hex(F.col("data")))
+            return staged.withColumn(
+                "_p", decode_fields_from_hex(F.col("_ph"), tuple(fields))
+            ).drop("_ph")
         return df.withColumn("_p", _decoded(F.col("data"), fields))
     frames = df.select("data").where(F.col("data").isNotNull()).dropDuplicates()
     decoded = frames.select("data", _decoded(F.col("data"), fields).alias("_p"))

@@ -160,16 +160,29 @@ def _full_builders():
 def test_decode_pipelines_default_memo_single_scan(spark, sf_dir):
     """Default batch decode strategy is the measured winner (see
     normalize.DECODE_STRATEGY A/B note): ONE narrow pass over events -
-    single scan, Arrow codec UDF in-line, no join/exchange introduced
-    for the decode. Round 8: asserted on the FULL per-source builders
-    (the components of the staged union — the registered queries are
-    routed slices, tested below)."""
+    single scan, no join/exchange introduced for the decode. Round 8:
+    asserted on the FULL per-source builders (the components of the
+    staged union — the registered queries are routed slices, tested
+    below). Optimization round 14 (guide §4.1): the pruned no-key
+    decode these builders request is now pure Catalyst expressions
+    (lorawan_sql.decode_phypayload_expr) — NO Python crossing of any
+    kind may appear; ``unbase64`` is the JVM decode's plan signature."""
     for name, build in _full_builders().items():
         plan = _df_plan(build(spark, sf_dir), spark)
         assert plan.count("FileScan parquet") == 1, (
             f"{name}: expected single scan\n{plan}"
         )
-        assert "decode_phypayload" in plan, f"{name}: codec UDF missing\n{plan}"
+        assert "unbase64" in plan, f"{name}: JVM decode missing\n{plan}"
+        assert "decode_phypayload" not in plan, (
+            f"{name}: decode crossing reappeared\n{plan}"
+        )
+        # chirpstack keeps exactly ONE crossing: the protobuf-uplink
+        # fallback (pb bodies can't be parsed in expressions); every
+        # other source is now Python-free.
+        want_crossings = 1 if name == "chirpstack" else 0
+        assert plan.count("ArrowEvalPython") == want_crossings, (
+            f"{name}: unexpected Python crossings\n{plan}"
+        )
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python\n{plan}"
 
 
@@ -184,7 +197,13 @@ def test_staged_pipeline_union_and_slices(spark, sf_dir):
 
     union_plan = _df_plan(pq.staged_pipeline_union(spark, sf_dir), spark)
     assert union_plan.count("FileScan parquet") == 4, union_plan
-    assert union_plan.count("decode_phypayload") == 4, union_plan
+    # Round 14: the four in-line decode crossings became JVM
+    # expressions (one unbase64 chain per source) — the union must
+    # carry ZERO Python nodes now.
+    assert union_plan.count("unbase64") >= 4, union_plan
+    assert "decode_phypayload" not in union_plan, union_plan
+    # one crossing total: chirpstack's protobuf-uplink fallback
+    assert union_plan.count("ArrowEvalPython") == 1, union_plan
     assert "BatchEvalPython" not in union_plan, union_plan
     for name in ("pipeline_mqtt_forwarder", "pipeline_chirpstack_gateway",
                  "pipeline_ttn_v2", "pipeline_ttn_v3"):
